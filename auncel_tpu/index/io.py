@@ -1,0 +1,71 @@
+"""Index serialization.
+
+Capability parity with the reference's ``write_index``/``read_index``
+(``/root/reference/Auncel/index_io.cpp``, fourcc binary format) for the index
+types this framework implements — realized as a single .npz container (numpy's
+zip format) holding the packed device arrays plus a small JSON header. The
+reference's eval flow of caching a *trained-but-empty* index
+(``eval/bound.cpp:265-268``, centroids only) is supported via
+``save_index(index_without_adds)``.
+
+Error profiles get their own save/load in ``auncel_tpu/profile/trace.py`` —
+an improvement over the reference, which retrains profiles on every run
+(SURVEY.md §5 checkpoint/resume).
+"""
+
+import json
+
+import numpy as np
+
+from auncel_tpu.types import Metric
+from auncel_tpu.index.base import Index
+from auncel_tpu.index.flat import FlatIndex
+from auncel_tpu.index.ivf import IVFFlatIndex
+
+_FORMAT_VERSION = 1
+
+
+def save_index(index: Index, path: str) -> None:
+    if isinstance(index, FlatIndex):
+        header = dict(version=_FORMAT_VERSION, kind="Flat", d=index.d,
+                      metric=index.metric.value)
+        np.savez(path, header=json.dumps(header), xb=index.xb)
+        return
+    if isinstance(index, IVFFlatIndex):
+        header = dict(version=_FORMAT_VERSION, kind="IVFFlat", d=index.d,
+                      metric=index.metric.value, nlist=index.nlist,
+                      trained=index.is_trained, ntotal=index.ntotal)
+        payload = dict(header=json.dumps(header))
+        if index.is_trained:
+            payload["centroids"] = index.centroids
+        if index.ntotal:
+            a = index.arrays
+            payload["db"] = np.asarray(a.db, np.float32)
+            payload["vec_ids"] = np.asarray(a.vec_ids)
+            payload["list_sizes"] = np.asarray(a.list_sizes)
+        np.savez(path, **payload)
+        return
+    raise NotImplementedError(f"cannot serialize {type(index).__name__}")
+
+
+def load_index(path: str) -> Index:
+    with np.load(path, allow_pickle=False) as z:
+        header = json.loads(str(z["header"]))
+        metric = Metric.parse(header["metric"])
+        if header["kind"] == "Flat":
+            idx = FlatIndex(header["d"], metric)
+            idx.add(z["xb"])
+            return idx
+        if header["kind"] == "IVFFlat":
+            idx = IVFFlatIndex(header["d"], header["nlist"], metric)
+            if header["trained"]:
+                idx.set_centroids(z["centroids"])
+            if header["ntotal"]:
+                db = z["db"]
+                vec_ids = z["vec_ids"]
+                mask = vec_ids >= 0
+                flat_x = db[mask]
+                flat_ids = vec_ids[mask].astype(np.int64)
+                idx.add(flat_x, flat_ids)
+            return idx
+    raise ValueError(f"unrecognized index file {path}")

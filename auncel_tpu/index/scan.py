@@ -1,0 +1,138 @@
+"""Core IVF list-scan primitives (XLA path).
+
+This is the TPU recast of the reference's hot loop — per-list scanning with
+heap updates (``/root/reference/Auncel/IndexIVFFlat.cpp:117-137``
+``IVFFlatScanner::scan_codes`` driven by ``IndexIVF.cpp:439-475``
+``scan_one_list``). Instead of a scalar distance + heap-push per stored
+vector, one probe step for a whole query batch is:
+
+    gather [B, cap, d] list block from HBM
+    -> one batched matvec/matmul on the MXU (actual metric values)
+    -> mask padding and per-query probe limits
+    -> exact top-k merge into the running result
+
+``limit`` carries the per-query probe budget: probe slot ``ik`` contributes
+iff ``ik < limit[b]``. This replaces the reference's per-query ``break`` at
+``stage >= my_nprobe`` (IndexIVF.cpp:613-633) with a mask, so a whole batch
+runs one fixed-shape program while each query still scans exactly its own
+number of lists.
+
+A fused Pallas kernel with the same contract lives in
+``auncel_tpu/pallas_kernels``; this XLA version is the reference
+implementation and the fallback.
+"""
+
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from auncel_tpu.types import Metric, worst_value
+from auncel_tpu.ops.topk import topk_scores, init_topk
+
+
+class IVFArrays(NamedTuple):
+    """Device-resident IVF-Flat index state (a pytree).
+
+    Replaces the reference's ``InvertedLists`` pointer structure
+    (``InvertedLists.h:31-101``) with padded dense HBM tensors.
+    """
+    centroids: jax.Array   # [nlist, d] float32
+    cent_sq: jax.Array     # [nlist] float32
+    db: jax.Array          # [nlist, cap, d] storage dtype (f32 or bf16)
+    db_sq: jax.Array       # [nlist, cap] float32 (0 at padding)
+    vec_ids: jax.Array     # [nlist, cap] int32, -1 at padding
+    list_sizes: jax.Array  # [nlist] int32
+    interdis: jax.Array    # [nlist, nlist] float32; L2: sqdist, IP: angle
+                           # (reference interdis_cem, IndexIVF.cpp:97-111)
+
+    @property
+    def nlist(self) -> int:
+        return self.centroids.shape[0]
+
+    @property
+    def cap(self) -> int:
+        return self.db.shape[1]
+
+    @property
+    def d(self) -> int:
+        return self.centroids.shape[1]
+
+
+def coarse_rank(arrays: IVFArrays, q: jax.Array, metric: Metric,
+                q_sq: jax.Array | None = None):
+    """Rank ALL centroids per query (the reference always ranks the full
+    centroid set in tune mode: ``quantizer->search(n, x, nlist, ...)``,
+    IndexIVF.cpp:355-365). Returns (cdis [B, nlist], cids [B, nlist]),
+    best-first."""
+    from auncel_tpu.ops.distance import pairwise_scores
+    scores = pairwise_scores(q, arrays.centroids, metric,
+                             y_sqnorms=arrays.cent_sq, x_sqnorms=q_sq)
+    nlist = arrays.nlist
+    all_ids = jax.lax.broadcasted_iota(jnp.int32, scores.shape, 1)
+    return topk_scores(scores, all_ids, nlist, metric)
+
+
+def scan_probe_range(
+    arrays: IVFArrays,
+    q: jax.Array,            # [B, d]
+    q_sq: jax.Array,         # [B]
+    probe_lists: jax.Array,  # [B, nlist] coarse-ranked list ids
+    vals: jax.Array,         # [B, k] running top-k values
+    ids: jax.Array,          # [B, k] running top-k ids
+    limit: jax.Array,        # [B] int32 per-query probe budget
+    start,                   # int or scalar: first probe slot
+    width: int,              # static number of probe slots to scan
+    metric: Metric,
+):
+    """Scan probe slots [start, start+width) for every query in the batch."""
+    k = vals.shape[-1]
+    worst = worst_value(metric)
+
+    def body(ik, carry):
+        rvals, rids = carry
+        lists = jnp.take_along_axis(
+            probe_lists, ik[None, None].astype(jnp.int32), axis=1)[:, 0]
+        sub = arrays.db[lists]          # [B, cap, d] gather
+        sub_sq = arrays.db_sq[lists]    # [B, cap]
+        sub_ids = arrays.vec_ids[lists]  # [B, cap]
+        dots = jnp.einsum(
+            "bcd,bd->bc", sub, q.astype(sub.dtype),
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST)
+        if metric is Metric.L2:
+            scores = q_sq[:, None] + sub_sq - 2.0 * dots
+        else:
+            scores = dots
+        active = (ik < limit)[:, None] & (sub_ids >= 0)
+        scores = jnp.where(active, scores, worst)
+        sub_ids = jnp.where(active, sub_ids, -1)
+        allv = jnp.concatenate([rvals, scores], axis=-1)
+        alli = jnp.concatenate([rids, sub_ids], axis=-1)
+        return topk_scores(allv, alli, k, metric)
+
+    start = jnp.asarray(start, jnp.int32)
+    return jax.lax.fori_loop(start, start + width, body, (vals, ids))
+
+
+@functools.partial(jax.jit, static_argnames=("k", "nprobe", "metric"))
+def ivf_search_fixed(
+    arrays: IVFArrays,
+    q: jax.Array,
+    k: int,
+    nprobe: int,
+    metric: Metric,
+):
+    """Fixed-nprobe IVF-Flat search (the reference's untuned
+    ``search_preassigned`` path). Returns (vals [B,k], ids [B,k]) sorted
+    best-first."""
+    from auncel_tpu.ops.distance import sqnorms
+    B = q.shape[0]
+    q_sq = sqnorms(q)
+    cdis, cids = coarse_rank(arrays, q, metric, q_sq=q_sq)
+    vals, ids = init_topk((B,), k, metric)
+    limit = jnp.full((B,), nprobe, jnp.int32)
+    vals, ids = scan_probe_range(
+        arrays, q, q_sq, cids, vals, ids, limit, 0, nprobe, metric)
+    return vals, ids

@@ -1,0 +1,102 @@
+"""Blocked exact brute-force k-NN.
+
+Capability parity with the reference's ``knn_L2sqr``/``knn_inner_product``
+drivers (``/root/reference/Auncel/utils.cpp:624-654``) and thus with its
+``IndexFlat`` search and ground-truth generator (``dist/gt.cpp``). The
+reference blocks SGEMM at bs_x=4096 / bs_y=1024 to stay in cache
+(``utils.cpp:538-614``); we block to bound HBM working-set of the [qb, db]
+score tile, and let the MXU do the rest.
+
+The query-block loop is a host Python loop over a jitted step (block sizes
+are static, so each distinct shape compiles once); the corpus-block loop is
+a ``lax.fori_loop`` with a running top-k merge.
+"""
+
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from auncel_tpu.types import Metric
+from auncel_tpu.ops.distance import pairwise_scores, sqnorms
+from auncel_tpu.ops.topk import topk_scores, merge_topk, init_topk
+
+
+class KnnResult(NamedTuple):
+    vals: np.ndarray  # [nq, k] metric values, best first
+    ids: np.ndarray   # [nq, k] int32 corpus ids
+
+
+def _pad_rows(x: np.ndarray, rows: int) -> np.ndarray:
+    if x.shape[0] == rows:
+        return x
+    out = np.zeros((rows,) + x.shape[1:], x.dtype)
+    out[: x.shape[0]] = x
+    return out
+
+
+@functools.partial(jax.jit, static_argnames=("k", "metric", "db_block"))
+def _knn_block(q, db, db_sq, n_valid, k, metric, db_block):
+    """Top-k of one query block against the full (device-resident) corpus."""
+    nb = db.shape[0]
+    nsteps = nb // db_block
+
+    def body(i, carry):
+        vals, ids = carry
+        y = jax.lax.dynamic_slice_in_dim(db, i * db_block, db_block, 0)
+        ysq = jax.lax.dynamic_slice_in_dim(db_sq, i * db_block, db_block, 0)
+        s = pairwise_scores(q, y, metric, y_sqnorms=ysq)
+        base = i * db_block
+        block_ids = base + jax.lax.broadcasted_iota(
+            jnp.int32, (q.shape[0], db_block), 1)
+        # Mask padded corpus rows.
+        valid = block_ids < n_valid
+        from auncel_tpu.types import worst_value
+        s = jnp.where(valid, s, worst_value(metric))
+        bvals, bids = topk_scores(s, block_ids, min(k, db_block), metric)
+        return merge_topk(vals, ids, bvals, bids, k, metric)
+
+    init = init_topk((q.shape[0],), k, metric)
+    return jax.lax.fori_loop(0, nsteps, body, init)
+
+
+def knn(
+    queries,
+    corpus,
+    k: int,
+    metric: Metric = Metric.L2,
+    q_block: int = 1024,
+    db_block: int = 65536,
+) -> KnnResult:
+    """Exact k nearest neighbors of each query in the corpus.
+
+    Host-facing: accepts numpy or jax arrays, returns numpy. The corpus is
+    placed on device once; queries stream through in blocks.
+    """
+    metric = Metric.parse(metric)
+    queries = np.asarray(queries, np.float32)
+    corpus = np.asarray(corpus, np.float32)
+    nq, d = queries.shape
+    nb = corpus.shape[0]
+    assert corpus.shape[1] == d
+
+    db_block = min(db_block, max(512, nb))
+    nb_pad = ((nb + db_block - 1) // db_block) * db_block
+    db = jnp.asarray(_pad_rows(corpus, nb_pad))
+    db_sq = sqnorms(db)
+
+    out_vals = np.empty((nq, k), np.float32)
+    out_ids = np.empty((nq, k), np.int32)
+    # One padded block shape for all blocks (incl. the ragged last one):
+    # a single compilation per (qb, nb) instead of one per remainder size.
+    qb_shape = min(q_block, ((nq + 63) // 64) * 64)
+    for q0 in range(0, nq, q_block):
+        q1 = min(q0 + q_block, nq)
+        qb = _pad_rows(queries[q0:q1], qb_shape)
+        vals, ids = _knn_block(
+            jnp.asarray(qb), db, db_sq, nb, k, metric, db_block)
+        out_vals[q0:q1] = np.asarray(vals)[: q1 - q0]
+        out_ids[q0:q1] = np.asarray(ids)[: q1 - q0]
+    return KnnResult(out_vals, out_ids)

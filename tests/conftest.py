@@ -1,0 +1,34 @@
+"""Test configuration: run everything on a simulated 8-device CPU mesh.
+
+The driver validates multi-chip sharding the same way
+(xla_force_host_platform_device_count); tests must not require real TPU
+hardware. Set before importing jax anywhere.
+"""
+
+import os
+
+# Force CPU even if the environment pre-set JAX_PLATFORMS (e.g. axon TPU
+# tunnel): the test suite must be hermetic and fast. Opt out with
+# AUNCEL_TEST_TPU=1 to exercise the suite on real hardware.
+if not os.environ.get("AUNCEL_TEST_TPU"):
+    os.environ["JAX_PLATFORMS"] = "cpu"
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8").strip()
+
+import jax  # noqa: E402
+
+# A pytest plugin may have imported jax before this conftest ran, making the
+# env vars above too late; config.update still works until the backend is
+# first used.
+if not os.environ.get("AUNCEL_TEST_TPU"):
+    jax.config.update("jax_platforms", "cpu")
+
+import numpy as np  # noqa: E402
+import pytest  # noqa: E402
+
+
+@pytest.fixture(scope="session")
+def rng():
+    return np.random.RandomState(1234)

@@ -1,0 +1,125 @@
+"""IVF-Flat index tests: recall vs brute force, exactness of full scan,
+serialization round-trip (reference style: tests/test_index.py asserting
+recall against IndexFlatL2)."""
+
+import numpy as np
+import pytest
+
+from auncel_tpu.types import Metric
+from auncel_tpu.data.synthetic import make_clustered_dataset
+from auncel_tpu.index.flat import FlatIndex
+from auncel_tpu.index.ivf import IVFFlatIndex
+from auncel_tpu.index.factory import index_factory
+from auncel_tpu.index.io import save_index, load_index
+
+
+def recall_at_k(ids, gt_ids, k):
+    hits = 0
+    for a, b in zip(ids[:, :k], gt_ids[:, :k]):
+        hits += len(set(a.tolist()) & set(b.tolist()))
+    return hits / (ids.shape[0] * k)
+
+
+@pytest.fixture(scope="module")
+def small_ds():
+    return make_clustered_dataset(nb=20000, nq=50, d=32, n_clusters=64,
+                                  seed=7)
+
+
+@pytest.fixture(scope="module")
+def built_index(small_ds):
+    idx = IVFFlatIndex(small_ds.d, nlist=64)
+    idx.train(small_ds.xt[:10000])
+    idx.add(small_ds.xb)
+    return idx
+
+
+def test_flat_index_exact(small_ds):
+    flat = FlatIndex(small_ds.d)
+    flat.add(small_ds.xb[:5000])
+    vals, ids = flat.search(small_ds.xq, 10)
+    d = ((small_ds.xq[:, None, :] - small_ds.xb[None, :5000, :]) ** 2).sum(-1)
+    want = np.sort(d, 1)[:, :10]
+    np.testing.assert_allclose(vals, want, rtol=2e-4, atol=0.5)
+
+
+def test_ivf_full_scan_is_exact(small_ds, built_index):
+    flat = FlatIndex(small_ds.d)
+    flat.add(small_ds.xb)
+    gt_vals, gt_ids = flat.search(small_ds.xq, 10)
+    vals, ids = built_index.exact_search(small_ds.xq, 10)
+    assert recall_at_k(ids, gt_ids, 10) > 0.999
+    np.testing.assert_allclose(vals, gt_vals, rtol=1e-4, atol=1.0)
+
+
+def test_ivf_recall_grows_with_nprobe(small_ds, built_index):
+    flat = FlatIndex(small_ds.d)
+    flat.add(small_ds.xb)
+    _, gt_ids = flat.search(small_ds.xq, 10)
+    recalls = []
+    for nprobe in (1, 4, 16, 64):
+        _, ids = built_index.search(small_ds.xq, 10, nprobe=nprobe)
+        recalls.append(recall_at_k(ids, gt_ids, 10))
+    assert recalls == sorted(recalls)
+    assert recalls[-1] > 0.999  # nprobe=nlist == exact
+    assert recalls[0] < recalls[-1]
+
+
+def test_ivf_partial_scan_distances_match_full_scan(small_ds, built_index):
+    """Value-consistency invariant the profile trainer relies on: a vector's
+    distance from a 4-probe scan equals its distance from the full scan
+    (reference kscaling matches values at 1e-5 rel, IVF_pro.cpp:72-82)."""
+    vals4, ids4 = built_index.search(small_ds.xq, 10, nprobe=4)
+    valsf, idsf = built_index.exact_search(small_ds.xq, 10)
+    lut = {}
+    for q in range(len(small_ds.xq)):
+        for v, i in zip(valsf[q], idsf[q]):
+            lut[(q, int(i))] = v
+    checked = 0
+    for q in range(len(small_ds.xq)):
+        for v, i in zip(vals4[q], ids4[q]):
+            if (q, int(i)) in lut:
+                assert abs(lut[(q, int(i))] - v) <= 1e-5 * max(abs(v), 1.0)
+                checked += 1
+    assert checked > 100
+
+
+def test_ivf_ip_metric(small_ds):
+    ds = make_clustered_dataset(nb=8000, nq=30, d=32, n_clusters=32,
+                                seed=9, metric=Metric.IP)
+    idx = IVFFlatIndex(ds.d, nlist=32, metric=Metric.IP)
+    idx.train(ds.xt[:4000])
+    idx.add(ds.xb)
+    flat = FlatIndex(ds.d, Metric.IP)
+    flat.add(ds.xb)
+    _, gt_ids = flat.search(ds.xq, 10)
+    _, ids = idx.exact_search(ds.xq, 10)
+    assert recall_at_k(ids, gt_ids, 10) > 0.99
+
+
+def test_factory():
+    idx = index_factory(64, "IVF128,Flat")
+    assert isinstance(idx, IVFFlatIndex) and idx.nlist == 128
+    flat = index_factory(32, "Flat", Metric.IP)
+    assert isinstance(flat, FlatIndex) and flat.metric is Metric.IP
+    with pytest.raises(NotImplementedError):
+        index_factory(64, "IVF128,PQ16")
+
+
+def test_serialization_roundtrip(tmp_path, small_ds, built_index):
+    p = str(tmp_path / "ivf.npz")
+    save_index(built_index, p)
+    loaded = load_index(p)
+    v1, i1 = built_index.search(small_ds.xq[:8], 5, nprobe=8)
+    v2, i2 = loaded.search(small_ds.xq[:8], 5, nprobe=8)
+    np.testing.assert_allclose(v1, v2, rtol=1e-6)
+    assert np.array_equal(i1, i2)
+
+
+def test_add_with_custom_ids(small_ds):
+    idx = IVFFlatIndex(small_ds.d, nlist=16)
+    idx.train(small_ds.xb[:4000])
+    custom = np.arange(1000, dtype=np.int64) * 7 + 3
+    idx.add(small_ds.xb[:1000], ids=custom)
+    _, ids = idx.exact_search(small_ds.xb[:5], 1)
+    np.testing.assert_array_equal(ids[:, 0], custom[:5])
