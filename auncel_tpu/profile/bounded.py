@@ -1,0 +1,244 @@
+"""Online error-bounded search: wave execution with masked termination.
+
+This is the TPU recast of the reference's ``tune`` branch of
+``IndexIVF::search_preassigned`` (IndexIVF.cpp:497-673) — the reason the
+system exists. The reference runs, per query, a sequential probe loop that
+after *every* list sorts the current top-k, predicts how many candidates are
+already true top-k (``cur_num``), applies a stagnation heuristic, and breaks
+when the prediction satisfies the per-query bound (times a calibration
+multiplier).
+
+TPU-first redesign (SURVEY.md §7): probes are scanned in *waves* whose
+boundaries are the power-of-two trace stages (1, 2, ..., nlist/8) followed
+by scan-only waves up to nlist. The termination predicate is evaluated
+batch-wide at wave boundaries with masks instead of per-query breaks:
+
+  * a query that decides my_nprobe = stage * multipler keeps scanning only
+    list slots < my_nprobe (the ``limit`` mask of scan_probe_range) — the
+    same lists the reference would scan;
+  * a wave whose work no active query needs is skipped at runtime via
+    ``lax.cond`` (one compiled program, data-dependent skipping);
+  * everything — coarse ranking, boundary geometry, scans, predicate,
+    decisions — is ONE jit per (batch, query_k) configuration, so a search
+    costs one dispatch regardless of how many waves run.
+
+Known, deliberate deviations from the reference (all bound-conservative):
+  * decisions happen at wave boundaries, not after every list — a query can
+    only terminate *later* than the reference would, never earlier;
+  * the stagnation counter advances by whole waves (the top-k worst value is
+    monotone, so "unchanged across a wave" == "unchanged at every list in
+    it"); intermediate trigger points inside a wave are detected one
+    boundary late.
+"""
+
+import functools
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from auncel_tpu.types import Metric
+from auncel_tpu.index.scan import IVFArrays, coarse_rank, scan_probe_range
+from auncel_tpu.ops.distance import sqnorms
+from auncel_tpu.ops.topk import init_topk
+from auncel_tpu.profile.geometry import boundary_distances, sum_angle
+from auncel_tpu.profile.trace import TraceSet, trace_lookup
+from auncel_tpu.profile.trainer import train_stages
+
+# Slack factors lifted from the reference decision logic.
+FULL_OK_SLACK = 1.005      # cur_num's all-k fast path (IVF_pro.cpp:276)
+TRUE_RECALL_SLACK = 1.0005  # profile-mode true-recall count (IndexIVF.cpp:584)
+STAGNATION_FACTOR = 12.0   # stops = require_acc * 12 (IndexIVF.cpp:575)
+
+
+def wave_boundaries(nlist: int) -> list[int]:
+    """Decision boundaries (powers of two to nlist/8) + scan-only boundaries
+    (steps of nlist/8 up to nlist)."""
+    bounds = train_stages(nlist)
+    step = max(nlist // 8, 1)
+    b = bounds[-1] + step
+    while b <= nlist:
+        bounds.append(b)
+        b += step
+    return bounds
+
+
+def stage_to_trace(stage: int, nlist: int) -> int:
+    """Map a probe stage to its trace index: smallest ind with
+    2^ind >= min(stage, nlist/8 - 1) (IndexIVF.cpp:555-558)."""
+    tmp = min(stage, nlist // 8 - 1)
+    ind = 0
+    while tmp > (1 << ind):
+        ind += 1
+    return ind
+
+
+def _simulate_cur_num(p: jax.Array, first_ok: jax.Array,
+                      query_k: int) -> jax.Array:
+    """Vectorized replay of the reference's binary search over candidate
+    ranks (``error_pro::cur_num``, IVF_pro.cpp:258-291). ``p[b, m]`` is the
+    predicate (m+1) * U(phi(D_m)) <= query_k. The predicate is not
+    guaranteed monotone, so we replicate the exact binary-search result
+    rather than a count."""
+    B = p.shape[0]
+    low = jnp.zeros((B,), jnp.int32)
+    high = jnp.full((B,), query_k - 1, jnp.int32)
+    done = first_ok
+    result = jnp.where(first_ok, query_k, 0)
+
+    def body(_, st):
+        low, high, done, result = st
+        active = (~done) & (low <= high)
+        middle = (low + high) // 2
+        ret0 = active & (middle <= 0)
+        result = jnp.where(ret0, 0, result)
+        done = done | ret0
+        pm = jnp.take_along_axis(
+            p, jnp.clip(middle, 0, query_k - 1)[:, None], axis=1)[:, 0]
+        go = active & (~ret0)
+        low = jnp.where(go & pm, middle + 1, low)
+        high = jnp.where(go & (~pm), middle - 1, high)
+        return low, high, done, result
+
+    low, high, done, result = jax.lax.fori_loop(
+        0, 10, body, (low, high, done, result))
+    return jnp.where(done, result, low + 1)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("query_k", "max_topk", "metric", "with_true_recall"))
+def bounded_search(
+    arrays: IVFArrays,
+    traces: TraceSet,
+    q: jax.Array,            # [B, d]
+    require_acc: jax.Array,  # [B] per-query required recall in (0, 1]
+    multipler: jax.Array,    # scalar calibration (hyperparameter.txt col 1)
+    std_m: jax.Array,        # scalar conservativeness (col 2)
+    gt_kth: jax.Array,       # [B] GT k-th distance (profile mode) or zeros
+    query_k: int,            # user top-k (set_topk)
+    max_topk: int,           # profile depth (heap size, == GT depth)
+    metric: Metric,
+    with_true_recall: bool = False,
+):
+    """Returns (vals [B, max_topk], ids, my_nprobe [B], n_scanned [B],
+    true_recall [B])."""
+    B = q.shape[0]
+    nlist = arrays.nlist
+    q_sq = sqnorms(q)
+    cdis, cids = coarse_rank(arrays, q, metric, q_sq=q_sq)
+    dtb = boundary_distances(cdis, cids, arrays.interdis, metric)
+    vals, ids = init_topk((B,), max_topk, metric)
+
+    my_np = jnp.zeros((B,), jnp.int32)       # 0 = undecided
+    decided_at = jnp.zeros((B,), jnp.int32)
+    stoped = jnp.zeros((B,), jnp.int32)
+    pre_val = jnp.zeros((B,), jnp.float32)
+    stops = jnp.floor(require_acc * STAGNATION_FACTOR).astype(jnp.int32)
+    kf = float(query_k)
+    mrange = jnp.arange(1, query_k + 1, dtype=jnp.float32)[None, :]
+
+    state = (vals, ids, my_np, decided_at, stoped, pre_val)
+    prev = 0
+    for wave_i, stage in enumerate(wave_boundaries(nlist)):
+        width = stage - prev
+        is_decision = stage <= nlist // 8
+        is_forced = stage >= nlist // 8  # forced decision (IndexIVF.cpp:619)
+
+        def run_wave(st, prev=prev, stage=stage, width=width,
+                     is_decision=is_decision, is_forced=is_forced,
+                     wave_i=wave_i):
+            vals, ids, my_np, decided_at, stoped, pre_val = st
+            limit = jnp.where(my_np > 0, my_np, nlist)
+            vals, ids = scan_probe_range(
+                arrays, q, q_sq, cids, vals, ids, limit, prev, width, metric)
+            if not is_decision:
+                return vals, ids, my_np, decided_at, stoped, pre_val
+
+            ind = stage_to_trace(stage, nlist)
+            tval = vals
+            if metric is Metric.IP:
+                tval = jnp.arccos(jnp.clip(vals, -1.0, 1.0))
+            phi = sum_angle(tval[:, :query_k], dtb, (1 << ind) - 1)
+            U = trace_lookup(traces, ind, phi, std_m)
+            p = (mrange * U) <= kf
+            first_ok = kf * U[:, query_k - 1] <= kf * FULL_OK_SLACK
+            pre_num = _simulate_cur_num(p, first_ok, query_k)
+            recall = pre_num.astype(jnp.float32) / kf
+
+            max_val = vals[:, max_topk - 1]  # worst of the running top-k
+            if wave_i > 0:
+                same = max_val == pre_val
+                stoped = jnp.where(same, stoped + width, 0)
+                recall = jnp.where(stoped >= stops, 1.0, recall)
+            pre_val = max_val
+
+            sat = (recall >= require_acc) & (my_np == 0)
+            if is_forced:
+                sat = sat | (my_np == 0)
+            new_np = jnp.floor(stage * multipler).astype(jnp.int32)
+            eff = sat & (new_np > 0)
+            my_np = jnp.where(eff, new_np, my_np)
+            decided_at = jnp.where(eff, stage, decided_at)
+            return vals, ids, my_np, decided_at, stoped, pre_val
+
+        # Skip the whole wave once no query needs lists beyond `prev`.
+        need = jnp.any((state[2] == 0) | (state[2] > prev))
+        state = jax.lax.cond(need, run_wave, lambda s: s, state)
+        prev = stage
+
+    vals, ids, my_np, decided_at, stoped, pre_val = state
+    n_scanned = jnp.minimum(jnp.maximum(my_np, decided_at), nlist)
+
+    if with_true_recall:
+        # Reference profile mode (IndexIVF.cpp:578-588,624-627): count heap
+        # entries within the GT k-th distance; can exceed 1 by construction.
+        if metric is Metric.L2:
+            cnt = jnp.sum(vals <= gt_kth[:, None] * TRUE_RECALL_SLACK, axis=1)
+        else:
+            cnt = jnp.sum(
+                vals >= gt_kth[:, None] * (2.0 - TRUE_RECALL_SLACK), axis=1)
+        true_recall = cnt.astype(jnp.float32) / kf
+        true_recall = jnp.where(my_np >= nlist, 1.0, true_recall)
+    else:
+        true_recall = jnp.zeros((B,), jnp.float32)
+    return vals, ids, my_np, n_scanned, true_recall
+
+
+@functools.partial(jax.jit, static_argnames=("max_topk", "metric"))
+def budgeted_search(
+    arrays: IVFArrays,
+    q: jax.Array,            # [B, d]
+    budget_ms: jax.Array,    # [B] per-query latency budgets
+    per_probe_ms: jax.Array,  # scalar: calibrated cost of one probe
+    max_topk: int,
+    metric: Metric,
+):
+    """Latency-budget mode (reference ``time_search`` /
+    IndexIVF.cpp:545-549: break when elapsed >= 0.95*budget - avg_probe).
+
+    Mid-kernel wall clocks don't exist under XLA, so the budget is converted
+    *up front* to a per-query probe count with a calibrated per-probe cost
+    model: n = max(1, ceil(0.95 * budget / t - 1)) — the same stopping stage
+    the reference's inequality yields for constant per-probe time t.
+    """
+    B = q.shape[0]
+    nlist = arrays.nlist
+    q_sq = sqnorms(q)
+    cdis, cids = coarse_rank(arrays, q, metric, q_sq=q_sq)
+    vals, ids = init_topk((B,), max_topk, metric)
+    n_budget = jnp.ceil(0.95 * budget_ms / per_probe_ms - 1.0)
+    n_budget = jnp.clip(n_budget, 1, nlist).astype(jnp.int32)
+
+    state = (vals, ids)
+    prev = 0
+    for stage in wave_boundaries(nlist):
+        def run_wave(st, prev=prev, stage=stage):
+            v, i = st
+            return scan_probe_range(arrays, q, q_sq, cids, v, i, n_budget,
+                                    prev, stage - prev, metric)
+        need = jnp.any(n_budget > prev)
+        state = jax.lax.cond(need, run_wave, lambda s: s, state)
+        prev = stage
+    vals, ids = state
+    return vals, ids, n_budget

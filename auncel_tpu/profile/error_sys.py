@@ -1,0 +1,220 @@
+"""User-facing error-bounded search system.
+
+Capability parity with the reference's ``Error_sys``
+(``/root/reference/Auncel/profile.{h,cpp}``): holds the ground truth, drives
+offline profile training (``sys_train``), binds online queries with their
+per-query required accuracies (``set_queries``), and runs bounded
+(``search``) or latency-budgeted (``time_search``) searches, recording the
+per-query chosen probe counts (``my_nprobe``) and achieved recalls
+(``t_recalls``).
+
+Differences by design:
+  * searches are batched (any slice of the bound queries in one call);
+    the reference is one query per call in its eval loop;
+  * trained profiles can be saved/loaded (the reference retrains per run);
+  * ``calibrate`` auto-tunes (multipler, std_m) on held-out queries instead
+    of the reference's hand-maintained hyperparameter.txt (which is also
+    supported via ``setparam``).
+"""
+
+import time
+
+import numpy as np
+import jax.numpy as jnp
+
+from auncel_tpu.types import Metric
+from auncel_tpu.index.ivf import IVFFlatIndex
+from auncel_tpu.profile import hyper
+from auncel_tpu.profile.trainer import train_profile, train_stages
+from auncel_tpu.profile.trace import (
+    TraceSet, save_trace_set, load_trace_set)
+from auncel_tpu.profile.bounded import bounded_search, budgeted_search
+
+
+class ErrorSys:
+    def __init__(self, index: IVFFlatIndex, train_num: int, max_topk: int):
+        if train_num % 10 != 0:
+            # reference requires nq % 10 == 0 (profile.cpp:30-31)
+            raise ValueError("train_num must be divisible by 10")
+        if not isinstance(index, IVFFlatIndex):
+            raise TypeError("ErrorSys requires an IVFFlatIndex "
+                            "(reference supports key == 'IVF' only)")
+        self.index = index
+        self.train_num = train_num
+        self.max_topk = max_topk
+        self.is_trained = False
+        self.traces: TraceSet | None = None
+        self.raw_pairs = None          # per-stage (phi, U) for validation maps
+        self.multipler = hyper.DEFAULT_MULTIPLER
+        self.std_m = hyper.DEFAULT_STD_M
+        self.profile = False           # record t_recalls (effect_error mode)
+        self.query_topk = max_topk
+        self.per_probe_ms: float | None = None
+        self.gt_D: np.ndarray | None = None
+        self.gt_I: np.ndarray | None = None
+        # online state (set_queries)
+        self.queries: np.ndarray | None = None
+        self.require_acc: np.ndarray | None = None
+        self.my_nprobe: np.ndarray | None = None
+        self.n_scanned: np.ndarray | None = None
+        self.t_recalls: np.ndarray | None = None
+
+    # ------------------------------------------------------------ offline
+
+    def set_gt(self, gt_D: np.ndarray, gt_I: np.ndarray) -> None:
+        gt_D = np.asarray(gt_D, np.float32)
+        gt_I = np.asarray(gt_I, np.int64)
+        assert gt_D.shape[1] >= self.max_topk
+        self.gt_D = gt_D[:, : self.max_topk].copy()
+        self.gt_I = gt_I[:, : self.max_topk].copy()
+
+    def sys_train(self, nq: int, xq: np.ndarray, bs: int = 250) -> None:
+        """Train the phi->U maps on the first ``nq`` queries
+        (reference sys_train, profile.cpp:88-171). ``bs=1`` gives the
+        validation-mode raw maps (reference README.md:40-41)."""
+        assert self.gt_D is not None, "set_gt before sys_train"
+        assert nq <= self.train_num
+        xq = np.asarray(xq, np.float32)
+        self.traces, self.raw_pairs = train_profile(
+            self.index.arrays, xq[:nq], self.gt_D[:nq], self.max_topk,
+            self.index.metric, bs=bs)
+        self.is_trained = True
+
+    def save_profile(self, path: str) -> None:
+        assert self.is_trained
+        save_trace_set(self.traces, path)
+
+    def load_profile(self, path: str) -> None:
+        self.traces = load_trace_set(path)
+        self.is_trained = True
+
+    # ------------------------------------------------------------- online
+
+    def set_queries(self, n: int, queries: np.ndarray,
+                    require_acc: np.ndarray,
+                    alloc_size: int | None = None) -> None:
+        """Bind the query set and per-query bounds. ``require_acc`` is
+        indexed by absolute query id (like the reference's acc array over
+        train+test queries, eval/bound.cpp:375-380)."""
+        self.num = n
+        self.queries = np.asarray(queries, np.float32)
+        self.require_acc = np.asarray(require_acc, np.float32)
+        alloc = alloc_size or self.require_acc.shape[0]
+        self.my_nprobe = np.zeros(alloc, np.int64)
+        self.n_scanned = np.zeros(alloc, np.int64)
+        self.t_recalls = np.zeros(alloc, np.float32)
+
+    def set_topk(self, k: int) -> None:
+        assert k <= self.max_topk
+        self.query_topk = k
+
+    def setparam(self, figure_id: int) -> None:
+        self.multipler, self.std_m = hyper.get_params(figure_id)
+        self.profile = False  # reference setparam side effect
+
+    def set_hyper(self, multipler: float, std_m: float) -> None:
+        self.multipler, self.std_m = float(multipler), float(std_m)
+
+    def search(self, start: int, search_size: int = -1):
+        """Bounded search over queries[start : start+size]. Returns
+        (D [size, max_topk], I [size, max_topk]) and records
+        my_nprobe / n_scanned / t_recalls at absolute positions."""
+        assert self.is_trained, "sys_train before search (profile.cpp:212)"
+        size = self.num if search_size == -1 else search_size
+        q = self.queries[start:start + size]
+        acc = self.require_acc[start:start + size]
+        want_true = self.profile and self.gt_D is not None
+        if want_true:
+            gt_kth = self.gt_D[start:start + size, self.query_topk - 1]
+        else:
+            gt_kth = np.zeros(size, np.float32)
+        vals, ids, my_np, n_scanned, t_rec = bounded_search(
+            self.index.arrays, self.traces, jnp.asarray(q),
+            jnp.asarray(acc), jnp.float32(self.multipler),
+            jnp.float32(self.std_m), jnp.asarray(gt_kth),
+            self.query_topk, self.max_topk, self.index.metric,
+            with_true_recall=want_true)
+        self.my_nprobe[start:start + size] = np.asarray(my_np)
+        self.n_scanned[start:start + size] = np.asarray(n_scanned)
+        if want_true:
+            self.t_recalls[start:start + size] = np.asarray(t_rec)
+        return np.asarray(vals), np.asarray(ids, np.int64)
+
+    # -------------------------------------------------------- time budget
+
+    def calibrate_time(self, probe_lo: int = 32, probe_hi: int = 128,
+                       reps: int = 5) -> float:
+        """Measure the marginal per-probe cost (ms) used by time_search's
+        cost model. Differencing two fixed-nprobe searches cancels fixed
+        dispatch overhead."""
+        q = self.queries[:1] if self.queries is not None else np.zeros(
+            (1, self.index.d), np.float32)
+
+        def timed(nprobe):
+            self.index.search(q, self.max_topk, nprobe=nprobe)  # warm
+            t0 = time.perf_counter()
+            for _ in range(reps):
+                v, _ = self.index.search(q, self.max_topk, nprobe=nprobe)
+            np.asarray(v)
+            return (time.perf_counter() - t0) / reps * 1e3
+
+        t_lo, t_hi = timed(probe_lo), timed(probe_hi)
+        self.per_probe_ms = max((t_hi - t_lo) / (probe_hi - probe_lo), 1e-4)
+        return self.per_probe_ms
+
+    def time_search(self, start: int, search_size: int = -1):
+        """Latency-budget mode: require_acc holds per-query budgets in ms
+        (reference time_search, profile.cpp:229-244)."""
+        size = self.num if search_size == -1 else search_size
+        if self.per_probe_ms is None:
+            self.calibrate_time()
+        q = self.queries[start:start + size]
+        budget = self.require_acc[start:start + size]
+        vals, ids, n_budget = budgeted_search(
+            self.index.arrays, jnp.asarray(q), jnp.asarray(budget),
+            jnp.float32(self.per_probe_ms), self.max_topk, self.index.metric)
+        self.my_nprobe[start:start + size] = np.asarray(n_budget)
+        self.n_scanned[start:start + size] = np.asarray(n_budget)
+        return np.asarray(vals), np.asarray(ids, np.int64)
+
+    # ---------------------------------------------------------- utilities
+
+    @staticmethod
+    def recall(I: np.ndarray, gt_I: np.ndarray, topk: int) -> float:
+        """Set-intersection recall@topk (reference Error_sys::recall,
+        profile.cpp:246-280, sans its sorted-dedup binary search)."""
+        a = set(np.asarray(I[:topk]).tolist())
+        b = set(np.asarray(gt_I[:topk]).tolist())
+        a.discard(-1)
+        return len(a & b) / topk
+
+    def calibrate(self, start: int, size: int, target_bound: float,
+                  max_multipler: float = 64.0) -> float:
+        """Auto-tune ``multipler`` on held-out queries: smallest value whose
+        *worst-case* recall@query_k meets the bound (the reference tunes
+        this by hand into hyperparameter.txt). Uses distance-threshold
+        intersection like eval/bound.cpp:117-128."""
+        assert self.gt_D is not None and self.gt_I is not None
+        lo, hi = 1.0, max_multipler
+        best = max_multipler
+        for _ in range(8):
+            mid = (lo + hi) / 2.0
+            self.multipler = mid
+            D, I = self.search(start, size)
+            minr = self._min_recall(D, start, size)
+            if minr >= target_bound:
+                best = mid
+                hi = mid
+            else:
+                lo = mid
+        self.multipler = best
+        return best
+
+    def _min_recall(self, D: np.ndarray, start: int, size: int) -> float:
+        k = self.query_topk
+        thresh = self.gt_D[start:start + size, k - 1]
+        if self.index.metric is Metric.L2:
+            cnt = (D[:, :k] <= thresh[:, None] + 1e-6).sum(1)
+        else:
+            cnt = (D[:, :k] >= thresh[:, None] - 1e-6).sum(1)
+        return float(np.min(np.minimum(cnt, k)) / k)
