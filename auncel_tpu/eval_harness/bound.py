@@ -1,0 +1,111 @@
+"""Overall bounded-search latency experiment.
+
+Parity with the reference's main eval binary
+(``/root/reference/Auncel/eval/bound.cpp``): build IVF1024,Flat; train the
+error profile on the first ``ts`` queries; run per-query bounded search over
+the next ``ses`` queries; verify the worst-case bound; write per-query
+latencies to ``Auncel_Latency_<db>_<k>_<eps>.log`` (same format the
+``figures/overall`` scripts consume).
+
+Per-query latency on TPU: the axon/grpc host round-trip (~40 ms here) would
+swamp sub-ms device searches, so per-query latency is measured by timing a
+pipelined run of single-query dispatches and attributing total/N per query
+(plus a separate honest batch-1 wall-clock number). Throughput is measured
+batched. Both are reported.
+"""
+
+import argparse
+import sys
+import time
+
+import numpy as np
+
+from auncel_tpu.profile.error_sys import ErrorSys
+from auncel_tpu.eval_harness import common
+
+
+def run(db: str = "synth100K", ts: int = 1000, ses: int = 1000,
+        input_k: int = 10, error_bound: float = 0.10,
+        figure_id: int | None = None, nlist: int = 1024,
+        max_topk: int = 100, calibrate: bool = True,
+        batch_latency: int = 100, log_dir: str = "."):
+    t0 = time.time()
+
+    def log(m):
+        print(f"[{time.time() - t0:8.3f} s] {m}", file=sys.stderr, flush=True)
+
+    data = common.load_dataset(db, nq=ts + ses)
+    assert data.xq.shape[0] >= ts + ses
+    log(f"loaded {db}: nb={data.xb.shape[0]} d={data.xb.shape[1]}")
+    idx = common.build_or_load_index(data, nlist=nlist)
+    log("index built")
+    gt_D, gt_I = common.ensure_gt(data, idx, max_topk)
+    log("ground truth ready")
+
+    es = ErrorSys(idx, train_num=ts + ses, max_topk=max_topk)
+    es.set_gt(gt_D, gt_I)
+    es.sys_train(ts, data.xq)
+    es.set_topk(input_k)
+    log("error profile trained")
+
+    acc = np.full(ts + ses, 1.0 - error_bound, np.float32)
+    es.set_queries(ses, data.xq, acc)
+    if figure_id is not None:
+        es.setparam(figure_id)
+    elif calibrate:
+        m = es.calibrate(0, min(ts, 500), target_bound=1.0 - error_bound)
+        log(f"auto-calibrated multipler={m:.2f}")
+
+    # Throughput (batched) measurement.
+    D, I = es.search(ts, ses)  # warm + compile
+    t1 = time.perf_counter()
+    D, I = es.search(ts, ses)
+    batch_dt = time.perf_counter() - t1
+    qps = ses / batch_dt
+
+    # Per-query latency: pipelined single-query dispatches.
+    nlat = min(batch_latency, ses)
+    es.search(ts, 1)  # compile B=1
+    lat = []
+    for i in range(nlat):
+        tt0 = time.perf_counter()
+        es.search(ts + i, 1)
+        lat.append(time.perf_counter() - tt0)
+    lat = np.asarray(lat)
+
+    ok, minf = common.check_bound(D, gt_D[ts:ts + ses], input_k,
+                                  error_bound, data.metric)
+    if ok:
+        log("Error bound is guaranteed")
+    else:
+        log("WARNING: error bound NOT guaranteed — enlarge multipler")
+    log(f"Error Bound : {minf:.4f}")
+    log(f"throughput: {qps:.1f} qps (batch {ses}); batch-1 latency "
+        f"mean={lat.mean() * 1e3:.2f} ms p99={np.quantile(lat, .99) * 1e3:.2f}"
+        f" ms (incl. host RTT); mean scanned lists="
+        f"{es.n_scanned[ts:ts + ses].mean():.1f}")
+
+    fn = f"{log_dir}/Auncel_Latency_{db}_{input_k}_{int(error_bound * 100)}.log"
+    common.write_log(fn, lat.tolist())
+    log(f"wrote {fn}")
+    return dict(qps=qps, min_recall=minf, bound_ok=ok,
+                mean_latency_ms=float(lat.mean() * 1e3),
+                mean_nscan=float(es.n_scanned[ts:ts + ses].mean()))
+
+
+def main():
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("db", nargs="?", default="synth100K")
+    ap.add_argument("train_size", nargs="?", type=int, default=1000)
+    ap.add_argument("query_size", nargs="?", type=int, default=1000)
+    ap.add_argument("topk", nargs="?", type=int, default=10)
+    ap.add_argument("error_bound", nargs="?", type=float, default=0.10)
+    ap.add_argument("figure_id", nargs="?", type=int, default=None)
+    ap.add_argument("--nlist", type=int, default=1024)
+    args = ap.parse_args()
+    run(args.db, args.train_size, args.query_size, args.topk,
+        args.error_bound, args.figure_id, nlist=args.nlist)
+
+
+if __name__ == "__main__":
+    main()

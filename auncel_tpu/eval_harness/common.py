@@ -1,0 +1,135 @@
+"""Shared eval-harness plumbing.
+
+Mirrors the reference eval binaries' common structure
+(``/root/reference/Auncel/eval/bound.cpp:137-295``): dataset registry with
+file paths, index build with trained-quantizer caching, GT loading, and the
+worst-case bound checker. File datasets use the same fvecs/ivecs layouts;
+when files are absent the harness falls back to a self-contained synthetic
+dataset so every experiment runs anywhere.
+"""
+
+import os
+import time
+from dataclasses import dataclass
+
+import numpy as np
+
+from auncel_tpu.types import Metric
+from auncel_tpu.data import fvecs_read, ivecs_read, make_clustered_dataset
+from auncel_tpu.index.ivf import IVFFlatIndex
+from auncel_tpu.index.io import save_index, load_index
+
+DATA_ROOT = os.environ.get("AUNCEL_DATA_ROOT", "/workspace/data")
+
+# name -> (base fvecs, query fvecs, gt ivecs, gt-distance fvecs, metric)
+# matching the reference's hardcoded table (eval/bound.cpp:160-210).
+FILE_DATASETS = {
+    "sift1M": ("sift1M/sift_base.fvecs", "sift1M/sift_query.fvecs",
+               "sift1M/sift_groundtruth.ivecs",
+               "sift1M/sift_gtd.fvecs", Metric.L2),
+    "sift10M": ("sift10M/sift10M.fvecs", "sift10M/query.fvecs",
+                "sift10M/idx.ivecs", "sift10M/dis.fvecs", Metric.L2),
+    "deep10M": ("deep10M/deep10M.fvecs", "deep10M/query.fvecs",
+                "deep10M/idx.ivecs", "deep10M/dis.fvecs", Metric.L2),
+    "gist": ("gist/gist_base.fvecs", "gist/gist_query.fvecs",
+             "gist/gist_groundtruth.ivecs", "gist/gist_gtd.fvecs",
+             Metric.L2),
+    "text": ("text10M/text10M.fvecs", "text10M/query.fvecs",
+             "text10M/idx.ivecs", "text10M/dis.fvecs", Metric.IP),
+}
+
+SYNTH_SIZES = {"synth1M": 1_000_000, "synth100K": 100_000,
+               "synth10K": 10_000}
+
+
+@dataclass
+class EvalData:
+    name: str
+    xb: np.ndarray
+    xq: np.ndarray
+    gt_I: np.ndarray | None
+    gt_D: np.ndarray | None
+    metric: Metric
+
+
+def elapsed():
+    return time.time()
+
+
+def load_dataset(name: str, nq: int = 10000, max_topk: int = 100,
+                 seed: int = 42) -> EvalData:
+    if name in FILE_DATASETS:
+        base, query, gti, gtd, metric = FILE_DATASETS[name]
+        base = os.path.join(DATA_ROOT, base)
+        if not os.path.exists(base):
+            raise FileNotFoundError(
+                f"{base} missing; set AUNCEL_DATA_ROOT or use a synth* "
+                f"dataset")
+        xb = fvecs_read(base)
+        xq = fvecs_read(os.path.join(DATA_ROOT, query))
+        gt_I = gt_D = None
+        gtd_path = os.path.join(DATA_ROOT, gtd)
+        gti_path = os.path.join(DATA_ROOT, gti)
+        if os.path.exists(gti_path):
+            gt_I = ivecs_read(gti_path).astype(np.int64)
+        if os.path.exists(gtd_path):
+            gt_D = fvecs_read(gtd_path)
+        if metric is Metric.IP:
+            xb = xb / np.linalg.norm(xb, axis=1, keepdims=True)
+            xq = xq / np.linalg.norm(xq, axis=1, keepdims=True)
+        return EvalData(name, xb, xq, gt_I, gt_D, metric)
+    if name in SYNTH_SIZES:
+        nb = SYNTH_SIZES[name]
+        metric = Metric.L2
+        ds = make_clustered_dataset(nb=nb, nq=nq, d=128,
+                                    n_clusters=max(nb // 256, 64),
+                                    seed=seed, metric=metric)
+        return EvalData(name, ds.xb, ds.xq, None, None, metric)
+    raise KeyError(f"unknown dataset {name!r} "
+                   f"(file: {sorted(FILE_DATASETS)}, "
+                   f"synthetic: {sorted(SYNTH_SIZES)})")
+
+
+def build_or_load_index(data: EvalData, nlist: int = 1024,
+                        cache_dir: str = "trained_index") -> IVFFlatIndex:
+    """Build IVF<nlist>,Flat, caching the trained coarse quantizer like the
+    reference (eval/bound.cpp:265-268 writes trained_index/*.index)."""
+    os.makedirs(cache_dir, exist_ok=True)
+    cache = os.path.join(
+        cache_dir, f"{data.name}_IVF{nlist},Flat_trained.npz")
+    if os.path.exists(cache):
+        idx = load_index(cache)
+        assert isinstance(idx, IVFFlatIndex)
+    else:
+        idx = IVFFlatIndex(data.xb.shape[1], nlist, data.metric)
+        nt = min(data.xb.shape[0], 400_000)
+        idx.train(data.xb[:nt])
+        save_index(idx, cache)
+    idx.add(data.xb)
+    return idx
+
+
+def ensure_gt(data: EvalData, idx: IVFFlatIndex, max_topk: int = 100):
+    """Use file GT when available; otherwise compute value-consistent GT
+    with the index's own full scan (dist/gt.cpp equivalent)."""
+    if data.gt_D is None or data.gt_I is None:
+        data.gt_D, data.gt_I = idx.exact_search(data.xq, max_topk,
+                                                batch=1000)
+    return data.gt_D, data.gt_I
+
+
+def check_bound(D: np.ndarray, gt_D: np.ndarray, k: int, eps: float,
+                metric: Metric) -> tuple[bool, float]:
+    """Worst-case bound verification (eval/bound.cpp:400-414)."""
+    from auncel_tpu.autotune import worst_case_recall
+    minf = worst_case_recall(D, gt_D, k, metric)
+    return minf >= 1.0 - eps, minf
+
+
+def write_log(path: str, rows) -> None:
+    with open(path, "w") as f:
+        for r in rows:
+            if isinstance(r, (tuple, list, np.ndarray)):
+                f.write(" ".join(str(x) for x in r) + "\n")
+            else:
+                f.write(f"{r}\n")

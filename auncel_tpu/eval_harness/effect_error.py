@@ -1,0 +1,71 @@
+"""Bound-satisfaction effectiveness experiment.
+
+Parity with ``/root/reference/Auncel/eval/effect_error.cpp``: queries carry
+*mixed* per-query bounds cycling through {0.9, 0.8, ..., 0.3}; profile mode
+records the achieved true recall per query; the (required, achieved) pairs
+go to ``Effective_error_<db>.log`` for figure 13.
+"""
+
+import argparse
+import sys
+import time
+
+import numpy as np
+
+from auncel_tpu.profile.error_sys import ErrorSys
+from auncel_tpu.eval_harness import common
+
+MIXED_BOUNDS = [0.9, 0.8, 0.7, 0.6, 0.5, 0.4, 0.3]  # effect_error.cpp:281
+
+
+def run(db: str = "synth100K", ts: int = 1000, ses: int = 1000,
+        input_k: int = 10, figure_id: int | None = None,
+        nlist: int = 1024, max_topk: int = 100, log_dir: str = "."):
+    t0 = time.time()
+
+    def log(m):
+        print(f"[{time.time() - t0:8.3f} s] {m}", file=sys.stderr, flush=True)
+
+    data = common.load_dataset(db, nq=ts + ses)
+    idx = common.build_or_load_index(data, nlist=nlist)
+    gt_D, gt_I = common.ensure_gt(data, idx, max_topk)
+    es = ErrorSys(idx, train_num=ts + ses, max_topk=max_topk)
+    es.set_gt(gt_D, gt_I)
+    es.sys_train(ts, data.xq)
+    es.set_topk(input_k)
+    log("trained")
+
+    acc = np.asarray([MIXED_BOUNDS[i % len(MIXED_BOUNDS)]
+                      for i in range(ts + ses)], np.float32)
+    es.set_queries(ses, data.xq, acc)
+    if figure_id is not None:
+        es.setparam(figure_id)
+    else:
+        es.set_hyper(8.0, 1.0)
+    es.profile = True  # record achieved true recalls (effect_error.cpp:283)
+    D, I = es.search(ts, ses)
+    es.profile = False
+
+    required = acc[ts:ts + ses]
+    achieved = es.t_recalls[ts:ts + ses]
+    sat = float(np.mean(achieved >= required - 1e-6))
+    log(f"bound satisfaction rate: {sat:.4f}")
+    fn = f"{log_dir}/Effective_error_{db}.log"
+    common.write_log(fn, list(zip(required.tolist(), achieved.tolist())))
+    log(f"wrote {fn}")
+    return dict(satisfaction=sat, required=required, achieved=achieved)
+
+
+def main():
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("db", nargs="?", default="synth100K")
+    ap.add_argument("train_size", nargs="?", type=int, default=1000)
+    ap.add_argument("query_size", nargs="?", type=int, default=1000)
+    ap.add_argument("topk", nargs="?", type=int, default=10)
+    ap.add_argument("figure_id", nargs="?", type=int, default=None)
+    args = ap.parse_args()
+    run(args.db, args.train_size, args.query_size, args.topk, args.figure_id)
+
+
+if __name__ == "__main__":
+    main()

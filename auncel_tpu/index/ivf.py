@@ -55,12 +55,20 @@ class IVFFlatIndex(Index):
         metric: Metric = Metric.L2,
         storage_dtype=jnp.float32,
         kmeans_params: KmeansParams | None = None,
+        cap_quantile: float = 0.99,
     ):
+        """``cap_quantile``: list capacity is the given quantile of list
+        sizes (k-means list lengths are skewed; padding every list to the
+        max wastes HBM and scan bandwidth). Vectors overflowing a capped
+        list spill to their next-nearest centroid's list — they stay exactly
+        searchable, merely reachable via a slightly different probe.
+        1.0 disables spilling (cap = max list size)."""
         self.d = d
         self.nlist = nlist
         self.metric = Metric.parse(metric)
         self.storage_dtype = storage_dtype
         self.kmeans_params = kmeans_params or KmeansParams()
+        self.cap_quantile = cap_quantile
         self.is_trained = False
         self.nprobe = 1  # default for plain search() (IndexIVF.h default)
         self.centroids: np.ndarray | None = None
@@ -116,7 +124,8 @@ class IVFFlatIndex(Index):
         return res.ids[:, 0].astype(np.int64)
 
     def _pack(self) -> None:
-        """Scatter pending vectors into the padded [nlist, cap, d] layout."""
+        """Scatter pending vectors into the padded [nlist, cap, d] layout,
+        spilling overflow beyond the quantile cap to next-nearest lists."""
         assert self.is_trained
         xs = [p[0] for p in self._pending]
         idlists = [p[1] for p in self._pending]
@@ -124,8 +133,42 @@ class IVFFlatIndex(Index):
         vid = (np.concatenate(idlists, 0) if idlists
                else np.zeros((0,), np.int64))
         n = x.shape[0]
-        assign = (self.assign(x) if n else np.zeros((0,), np.int64))
-        sizes = np.bincount(assign, minlength=self.nlist).astype(np.int32)
+        if n and self.cap_quantile < 1.0 and self.nlist > 4:
+            from auncel_tpu.ops.knn import knn
+            choices = knn(x, self.centroids, 4, self.metric,
+                          q_block=65536).ids.astype(np.int64)
+        elif n:
+            choices = self.assign(x)[:, None]
+        else:
+            choices = np.zeros((0, 1), np.int64)
+        assign = choices[:, 0].copy() if n else np.zeros((0,), np.int64)
+        sizes = np.bincount(assign, minlength=self.nlist).astype(np.int64)
+        if self.cap_quantile < 1.0 and n and self.nlist > 4:
+            cap = max(int(np.quantile(sizes, self.cap_quantile)),
+                      -(-n // self.nlist))
+            # evict overflow to 2nd/3rd/4th-nearest lists with room
+            room = cap - np.minimum(sizes, cap)
+            order0 = np.argsort(assign, kind="stable")
+            starts0 = np.zeros(self.nlist + 1, np.int64)
+            np.cumsum(sizes, out=starts0[1:])
+            for l in np.where(sizes > cap)[0]:
+                members = order0[starts0[l]:starts0[l + 1]]
+                for v in members[cap:]:
+                    placed = False
+                    for alt in choices[v, 1:]:
+                        if room[alt] > 0:
+                            assign[v] = alt
+                            room[alt] -= 1
+                            placed = True
+                            break
+                    if not placed:  # rare: dump into emptiest list
+                        alt = int(np.argmax(room))
+                        if room[alt] <= 0:
+                            cap += 8  # give everyone headroom
+                            room += 8
+                        assign[v] = alt
+                        room[alt] -= 1
+            sizes = np.bincount(assign, minlength=self.nlist).astype(np.int64)
         cap = _round_up(max(int(sizes.max()) if n else 1, 8), 8)
 
         db = np.zeros((self.nlist, cap, self.d), np.float32)

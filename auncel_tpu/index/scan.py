@@ -74,6 +74,20 @@ def coarse_rank(arrays: IVFArrays, q: jax.Array, metric: Metric,
     return topk_scores(scores, all_ids, nlist, metric)
 
 
+def pick_probe_chunk(batch: int, cap: int, d: int, width: int,
+                     budget_bytes: int = 256 * 1024 * 1024) -> int:
+    """Probes scanned per loop step: as many as fit the gather-buffer
+    budget (fewer loop iterations + one top-k merge per chunk instead of
+    per probe), capped at 8 and at the wave width."""
+    per_probe = batch * cap * d * 4
+    c = max(1, min(8, width, budget_bytes // max(per_probe, 1)))
+    # round down to a power of two to bound the number of compiled variants
+    p = 1
+    while p * 2 <= c:
+        p *= 2
+    return p
+
+
 def scan_probe_range(
     arrays: IVFArrays,
     q: jax.Array,            # [B, d]
@@ -85,35 +99,49 @@ def scan_probe_range(
     start,                   # int or scalar: first probe slot
     width: int,              # static number of probe slots to scan
     metric: Metric,
+    probe_chunk: int | None = None,
 ):
-    """Scan probe slots [start, start+width) for every query in the batch."""
+    """Scan probe slots [start, start+width) for every query in the batch.
+
+    Probes are processed ``probe_chunk`` at a time: one gather
+    [B, C, cap, d], one batched MXU contraction, one top-k merge per chunk.
+    """
     k = vals.shape[-1]
     worst = worst_value(metric)
+    B = q.shape[0]
+    C = probe_chunk or pick_probe_chunk(B, arrays.cap, arrays.d, width)
+    n_chunks = -(-width // C)
+    nlist = arrays.nlist
 
-    def body(ik, carry):
+    def body(ci, carry):
         rvals, rids = carry
+        ik0 = start + ci * C
+        iks = ik0 + jnp.arange(C, dtype=jnp.int32)          # [C]
+        slot_ok = iks < start + width
+        safe_iks = jnp.clip(iks, 0, nlist - 1)
         lists = jnp.take_along_axis(
-            probe_lists, ik[None, None].astype(jnp.int32), axis=1)[:, 0]
-        sub = arrays.db[lists]          # [B, cap, d] gather
-        sub_sq = arrays.db_sq[lists]    # [B, cap]
-        sub_ids = arrays.vec_ids[lists]  # [B, cap]
+            probe_lists, jnp.broadcast_to(safe_iks[None, :], (B, C)), axis=1)
+        sub = arrays.db[lists]            # [B, C, cap, d] gather
+        sub_sq = arrays.db_sq[lists]      # [B, C, cap]
+        sub_ids = arrays.vec_ids[lists]   # [B, C, cap]
         dots = jnp.einsum(
-            "bcd,bd->bc", sub, q.astype(sub.dtype),
+            "bpcd,bd->bpc", sub, q.astype(sub.dtype),
             preferred_element_type=jnp.float32,
             precision=jax.lax.Precision.HIGHEST)
         if metric is Metric.L2:
-            scores = q_sq[:, None] + sub_sq - 2.0 * dots
+            scores = q_sq[:, None, None] + sub_sq - 2.0 * dots
         else:
             scores = dots
-        active = (ik < limit)[:, None] & (sub_ids >= 0)
-        scores = jnp.where(active, scores, worst)
-        sub_ids = jnp.where(active, sub_ids, -1)
+        active = ((iks[None, :, None] < limit[:, None, None]) &
+                  slot_ok[None, :, None] & (sub_ids >= 0))
+        scores = jnp.where(active, scores, worst).reshape(B, C * arrays.cap)
+        sub_ids = jnp.where(active, sub_ids, -1).reshape(B, C * arrays.cap)
         allv = jnp.concatenate([rvals, scores], axis=-1)
         alli = jnp.concatenate([rids, sub_ids], axis=-1)
         return topk_scores(allv, alli, k, metric)
 
     start = jnp.asarray(start, jnp.int32)
-    return jax.lax.fori_loop(start, start + width, body, (vals, ids))
+    return jax.lax.fori_loop(0, n_chunks, body, (vals, ids))
 
 
 @functools.partial(jax.jit, static_argnames=("k", "nprobe", "metric"))

@@ -1,0 +1,204 @@
+"""Sharded (scale-out) search over a JAX device mesh.
+
+Capability parity with the reference's distributed mode
+(``/root/reference/Auncel/dist/``, SURVEY.md §3E): the corpus is row-sharded
+(``split.cpp`` round-robin), each shard builds its own IVF index and its own
+error profile on its partition (``worker.cpp:153-235``), every query fans
+out to all shards, and per-shard top-k results are merged by distance
+(``reduce.cpp:98-133``). The per-query error bound composes because each
+shard guarantees it on its partition and the merge keeps the global top-k.
+
+TPU-first redesign: the TCP master/worker/reduce pipeline becomes a single
+SPMD program under ``shard_map`` over a ``Mesh`` axis ``"shard"``:
+
+  * per-shard index state is one stacked pytree ``[S, ...]`` sharded on its
+    leading axis (each device holds its shard's padded lists in HBM);
+  * the "network scatter" is free (queries are replicated);
+  * the "gather + file merge" is one ``jax.lax.all_gather`` of [B, k]
+    results over ICI followed by a replicated top-k re-select — microseconds
+    instead of the reference's TCP file streaming;
+  * failure handling: JAX's single-controller runtime restarts/reshards on
+    failure; there is no per-worker retry protocol to replicate (the
+    reference has none either — a dead worker hangs recv, dist/master.cpp).
+"""
+
+import functools
+from typing import NamedTuple
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, PartitionSpec as P
+
+from auncel_tpu.types import Metric
+from auncel_tpu.index.ivf import IVFFlatIndex
+from auncel_tpu.index.scan import IVFArrays, ivf_search_fixed
+from auncel_tpu.ops.topk import topk_scores
+from auncel_tpu.profile.trace import TraceSet
+from auncel_tpu.profile.bounded import bounded_search
+
+AXIS = "shard"
+
+
+def make_mesh(n_devices: int | None = None) -> Mesh:
+    devs = jax.devices()
+    n = n_devices or len(devs)
+    return Mesh(np.asarray(devs[:n]), (AXIS,))
+
+
+def split_round_robin(x: np.ndarray, n_shards: int):
+    """Row round-robin corpus split (reference dist/split.cpp). Returns
+    per-shard (rows, global_ids)."""
+    n = x.shape[0]
+    ids = np.arange(n, dtype=np.int64)
+    return [(x[s::n_shards], ids[s::n_shards]) for s in range(n_shards)]
+
+
+def _stack_pytrees(trees):
+    return jax.tree.map(lambda *xs: jnp.stack(xs), *trees)
+
+
+def _shard_leading(tree, mesh: Mesh):
+    sharding = jax.sharding.NamedSharding(mesh, P(AXIS))
+    return jax.tree.map(lambda a: jax.device_put(a, sharding), tree)
+
+
+class ShardedIVF:
+    """S independent per-shard IVF indexes executing as one SPMD program."""
+
+    def __init__(self, d: int, nlist: int, n_shards: int,
+                 metric: Metric = Metric.L2, mesh: Mesh | None = None):
+        self.d = d
+        self.nlist = nlist
+        self.n_shards = n_shards
+        self.metric = Metric.parse(metric)
+        self.mesh = mesh or make_mesh(n_shards)
+        assert self.mesh.shape[AXIS] == n_shards
+        self.shards: list[IVFFlatIndex] = []
+        self.arrays: IVFArrays | None = None     # stacked [S, ...]
+        self.traces: TraceSet | None = None      # stacked [S, ...]
+        self.multipler = 1.0
+        self.std_m = 1.0
+
+    # ------------------------------------------------------------- build
+
+    def build(self, xb: np.ndarray, train_frac: float = 0.5) -> None:
+        """Per-shard k-means + pack (reference worker.cpp "train" command:
+        each worker trains its own IVF on its shard)."""
+        parts = split_round_robin(np.asarray(xb, np.float32), self.n_shards)
+        self.shards = []
+        for rows, gids in parts:
+            idx = IVFFlatIndex(self.d, self.nlist, self.metric)
+            nt = max(int(rows.shape[0] * train_frac), self.nlist)
+            idx.train(rows[:nt])
+            idx.add(rows, ids=gids)
+            self.shards.append(idx)
+        self._stack()
+
+    def _stack(self) -> None:
+        per = [s.arrays for s in self.shards]
+        cap = max(a.cap for a in per)
+        padded = []
+        for a in per:
+            pad = cap - a.cap
+            padded.append(IVFArrays(
+                centroids=a.centroids,
+                cent_sq=a.cent_sq,
+                db=jnp.pad(a.db, ((0, 0), (0, pad), (0, 0))),
+                db_sq=jnp.pad(a.db_sq, ((0, 0), (0, pad))),
+                vec_ids=jnp.pad(a.vec_ids, ((0, 0), (0, pad)),
+                                constant_values=-1),
+                list_sizes=a.list_sizes,
+                interdis=a.interdis,
+            ))
+        self.arrays = _shard_leading(_stack_pytrees(padded), self.mesh)
+
+    # ----------------------------------------------------------- profiles
+
+    def train_profiles(self, xq: np.ndarray, max_topk: int,
+                       bs: int = 250) -> None:
+        """Each shard trains its own phi->U profile against its own
+        partition's ground truth (reference worker.cpp:153-235 +
+        dist/gt.cpp per-shard GT)."""
+        from auncel_tpu.profile.trainer import train_profile
+        self.max_topk = max_topk
+        traces = []
+        for idx in self.shards:
+            gt_D, _ = idx.exact_search(xq, max_topk)
+            t, _ = train_profile(idx.arrays, xq, gt_D, max_topk,
+                                 self.metric, bs=bs)
+            traces.append(t)
+        # Pad bin axes to a common width before stacking.
+        max_bins = max(int(t.phi.shape[1]) for t in traces)
+        padded = []
+        for t in traces:
+            pad = max_bins - t.phi.shape[1]
+            padded.append(TraceSet(
+                phi=jnp.pad(t.phi, ((0, 0), (0, pad)),
+                            constant_values=np.inf),
+                u=jnp.pad(t.u, ((0, 0), (0, pad))),
+                std=jnp.pad(t.std, ((0, 0), (0, pad))),
+                n_bins=t.n_bins,
+            ))
+        self.traces = _shard_leading(_stack_pytrees(padded), self.mesh)
+
+    # ------------------------------------------------------------- search
+
+    def search(self, q: np.ndarray, k: int, nprobe: int):
+        """Fixed-nprobe sharded search: local scan + all-gather merge."""
+        metric, mesh = self.metric, self.mesh
+
+        @jax.jit
+        @functools.partial(
+            jax.shard_map, mesh=mesh, check_vma=False, in_specs=(P(AXIS), P(None)),
+            out_specs=(P(None), P(None)))
+        def run(stacked, q):
+            local = jax.tree.map(lambda a: a[0], stacked)
+            vals, ids = ivf_search_fixed(local, q, k, nprobe, metric)
+            return _merge_over_shards(vals, ids, k, metric)
+
+        vals, ids = run(self.arrays, jnp.asarray(np.asarray(q, np.float32)))
+        return np.asarray(vals), np.asarray(ids, np.int64)
+
+    def search_bounded(self, q: np.ndarray, require_acc: np.ndarray,
+                       query_k: int, max_topk: int | None = None):
+        """Error-bounded sharded search: each shard runs the bounded wave
+        engine with its own profile, then the global top-k is merged.
+        Returns (vals, ids, per-shard n_scanned [S, B])."""
+        assert self.traces is not None, "train_profiles first"
+        metric, mesh = self.metric, self.mesh
+        max_topk = max_topk or self.max_topk
+        mult = jnp.float32(self.multipler)
+        sm = jnp.float32(self.std_m)
+
+        @jax.jit
+        @functools.partial(
+            jax.shard_map, mesh=mesh, check_vma=False,
+            in_specs=(P(AXIS), P(AXIS), P(None), P(None)),
+            out_specs=(P(None), P(None), P(AXIS)))
+        def run(stacked, straces, q, acc):
+            local = jax.tree.map(lambda a: a[0], stacked)
+            ltr = jax.tree.map(lambda a: a[0], straces)
+            gtk = jnp.zeros(q.shape[0], jnp.float32)
+            vals, ids, my_np, n_scanned, _ = bounded_search(
+                local, ltr, q, acc, mult, sm, gtk,
+                query_k, max_topk, metric)
+            mvals, mids = _merge_over_shards(vals, ids, max_topk, metric)
+            return mvals, mids, n_scanned[None]
+
+        vals, ids, n_scanned = run(
+            self.arrays, self.traces,
+            jnp.asarray(np.asarray(q, np.float32)),
+            jnp.asarray(np.asarray(require_acc, np.float32)))
+        return (np.asarray(vals), np.asarray(ids, np.int64),
+                np.asarray(n_scanned))
+
+
+def _merge_over_shards(vals, ids, k, metric):
+    """reduce.cpp's per-query merge as one all-gather + re-select."""
+    g_vals = jax.lax.all_gather(vals, AXIS)          # [S, B, k]
+    g_ids = jax.lax.all_gather(ids, AXIS)
+    S, B, kk = g_vals.shape
+    flat_v = jnp.transpose(g_vals, (1, 0, 2)).reshape(B, S * kk)
+    flat_i = jnp.transpose(g_ids, (1, 0, 2)).reshape(B, S * kk)
+    return topk_scores(flat_v, flat_i, k, metric)

@@ -189,26 +189,39 @@ class ErrorSys:
         return len(a & b) / topk
 
     def calibrate(self, start: int, size: int, target_bound: float,
-                  max_multipler: float = 64.0) -> float:
+                  max_multipler: float = 64.0, safety: float = 1.5) -> float:
         """Auto-tune ``multipler`` on held-out queries: smallest value whose
-        *worst-case* recall@query_k meets the bound (the reference tunes
-        this by hand into hyperparameter.txt). Uses distance-threshold
-        intersection like eval/bound.cpp:117-128."""
+        *worst-case* recall@query_k meets the bound, times a ``safety``
+        margin (the worst case over a finite calibration sample
+        under-estimates the worst case over unseen queries; the reference's
+        hand-tuned hyperparameter.txt values carry the same kind of slack).
+        Uses distance-threshold intersection like eval/bound.cpp:117-128."""
         assert self.gt_D is not None and self.gt_I is not None
+        half = size // 2
         lo, hi = 1.0, max_multipler
         best = max_multipler
         for _ in range(8):
             mid = (lo + hi) / 2.0
             self.multipler = mid
-            D, I = self.search(start, size)
-            minr = self._min_recall(D, start, size)
+            D, I = self.search(start, half)
+            minr = self._min_recall(D, start, half)
             if minr >= target_bound:
                 best = mid
                 hi = mid
             else:
                 lo = mid
-        self.multipler = best
-        return best
+        # Escalate until the held-out half of the calibration set passes too
+        # (a cheap generalization check the reference's manual tuning does
+        # implicitly), then add the safety margin.
+        m = best
+        while m < max_multipler:
+            self.multipler = m
+            D, I = self.search(start + half, size - half)
+            if self._min_recall(D, start + half, size - half) >= target_bound:
+                break
+            m *= 1.5
+        self.multipler = min(m * safety, max_multipler)
+        return self.multipler
 
     def _min_recall(self, D: np.ndarray, start: int, size: int) -> float:
         k = self.query_topk

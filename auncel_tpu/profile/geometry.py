@@ -60,17 +60,24 @@ def boundary_distances(
     """
     nlist = cdis.shape[1]
     m = n_boundaries(nlist)
+    # With tiny nlist the margin window exceeds the centroid count (the
+    # reference would read out of bounds there); use what exists and pad the
+    # rest with +inf boundaries, which contribute 0 angle by the skip rule.
+    m_eff = min(m, nlist - 1)
     if metric is Metric.IP:
-        cd = safe_arccos(cdis[:, : m + 1])
+        cd = safe_arccos(cdis[:, : m_eff + 1])
     else:
-        cd = cdis[:, : m + 1]
+        cd = cdis[:, : m_eff + 1]
     home = cids[:, 0]
-    others = cids[:, 1 : m + 1]                       # [B, m]
-    cen2cen = interdis[home[:, None], others]          # [B, m]
+    others = cids[:, 1 : m_eff + 1]                    # [B, m_eff]
+    cen2cen = interdis[home[:, None], others]          # [B, m_eff]
     a = cd[:, :1]                                      # [B, 1] home distance
-    b = cd[:, 1 : m + 1]                               # [B, m]
+    b = cd[:, 1 : m_eff + 1]                           # [B, m_eff]
     c = jnp.maximum(cen2cen, 1e-20)                    # guard degenerate pairs
     dtb = c / 2.0 - (a * a + c * c - b * b) / (2.0 * c)
+    if m_eff < m:
+        dtb = jnp.pad(dtb, ((0, 0), (0, m - m_eff)),
+                      constant_values=jnp.inf)
     return dtb
 
 

@@ -1,0 +1,112 @@
+"""Headline benchmark: error-bounded IVF search throughput on one TPU chip.
+
+Reproduces the reference's overall experiment shape (eval/bound.cpp, SURVEY.md
+§6: IVF1024,Flat; profile-train on half the queries, bounded search on the
+other half; worst-case bound verification by GT distance threshold) on a
+self-contained synthetic SIFT-like dataset (1M x 128, clustered), and prints
+ONE JSON line:
+
+    {"metric": "bounded_search_qps", "value": <QPS>, "unit": "qps",
+     "vs_baseline": <QPS / BASELINE_QPS>}
+
+BASELINE_QPS is an estimate of the reference's single-node c5.metal
+throughput for this workload class: its per-query bounded-search latencies
+are millisecond-scale (figures 10-12 are plotted from per-query latency logs;
+LAET's tuned config scans avg ~75/1024 lists of a 10M corpus at ~1-3 ms per
+query on c5.metal). For the 1M corpus used here we credit the baseline 2 ms
+per query => 500 QPS. BASELINE.json's north star is >= 10x this on one v5e.
+
+Stages and their timings go to stderr; only the JSON line goes to stdout.
+"""
+
+import json
+import sys
+import time
+
+import numpy as np
+
+BASELINE_QPS = 500.0
+
+NB = 1_000_000
+D = 128
+NLIST = 1024
+N_TRAIN_Q = 1000
+N_TEST_Q = 1000
+K = 10
+MAX_TOPK = 100
+EPS = 0.10
+
+
+def log(msg):
+    print(f"[bench +{time.time() - T0:7.1f}s] {msg}", file=sys.stderr,
+          flush=True)
+
+
+T0 = time.time()
+
+
+def main():
+    import auncel_tpu as at
+    from auncel_tpu.data import make_clustered_dataset
+
+    log(f"generating synthetic dataset {NB}x{D}")
+    ds = make_clustered_dataset(nb=NB, nq=N_TRAIN_Q + N_TEST_Q, d=D,
+                                n_clusters=4096, seed=42)
+
+    log(f"building IVF{NLIST},Flat")
+    idx = at.IVFFlatIndex(D, NLIST)
+    idx.train(ds.xt[: min(NB, 400_000)])
+    idx.add(ds.xb)
+    _ = idx.arrays
+    log(f"packed: cap={idx.arrays.cap} efficiency="
+        f"{idx.packing_efficiency:.2f}")
+
+    log("computing ground truth (full scan, value-consistent)")
+    gt_D, gt_I = idx.exact_search(ds.xq, MAX_TOPK, batch=N_TRAIN_Q)
+
+    log("training error profile")
+    es = at.ErrorSys(idx, train_num=N_TRAIN_Q + N_TEST_Q, max_topk=MAX_TOPK)
+    es.set_gt(gt_D, gt_I)
+    es.sys_train(N_TRAIN_Q, ds.xq)
+    es.set_topk(K)
+
+    acc = np.full(N_TRAIN_Q + N_TEST_Q, 1.0 - EPS, np.float32)
+    es.set_queries(N_TEST_Q, ds.xq, acc)
+
+    log("calibrating multipler on train half")
+    mult = es.calibrate(0, N_TRAIN_Q, target_bound=1.0 - EPS)
+    log(f"calibrated multipler={mult:.2f}")
+
+    log("bounded search on test half (warm-up + timed)")
+    D_out, I_out = es.search(N_TRAIN_Q, N_TEST_Q)  # warm-up/compile
+    reps = 3
+    t0 = time.perf_counter()
+    for _ in range(reps):
+        D_out, I_out = es.search(N_TRAIN_Q, N_TEST_Q)
+    dt = (time.perf_counter() - t0) / reps
+    qps = N_TEST_Q / dt
+
+    # Worst-case bound verification (eval/bound.cpp:404-414).
+    thresh = gt_D[N_TRAIN_Q:, K - 1]
+    cnt = np.minimum((D_out[:, :K] <= thresh[:, None] + 1e-6).sum(1), K)
+    min_recall = cnt.min() / K
+    mean_recall = cnt.mean() / K
+    mean_nscan = es.n_scanned[N_TRAIN_Q:].mean()
+    bound_ok = min_recall >= 1.0 - EPS
+    log(f"min_recall={min_recall:.3f} mean_recall={mean_recall:.4f} "
+        f"bound_ok={bound_ok} mean_nscan={mean_nscan:.1f} "
+        f"qps={qps:.1f} ({dt * 1e3:.1f} ms / {N_TEST_Q} queries)")
+    if not bound_ok:
+        # A violated bound is not a result: report zero value.
+        qps = 0.0
+
+    print(json.dumps({
+        "metric": "bounded_search_qps",
+        "value": round(qps, 1),
+        "unit": "qps",
+        "vs_baseline": round(qps / BASELINE_QPS, 2),
+    }), flush=True)
+
+
+if __name__ == "__main__":
+    main()

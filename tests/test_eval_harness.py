@@ -1,0 +1,79 @@
+"""End-to-end eval-harness smoke tests on tiny synthetic data (CPU).
+These drive the same code paths the reference's eval binaries exercise
+(bound / effect_error / effect_time / overhead / ELP baseline) and assert
+their headline invariants."""
+
+import os
+
+import numpy as np
+import pytest
+
+from auncel_tpu.eval_harness import common
+from auncel_tpu.eval_harness import bound, effect_error, effect_time
+from auncel_tpu.autotune import ParameterSpace, worst_case_recall
+from auncel_tpu.types import Metric
+
+
+@pytest.fixture(autouse=True)
+def in_tmp(tmp_path, monkeypatch):
+    monkeypatch.chdir(tmp_path)
+
+
+def test_load_synthetic_dataset():
+    d = common.load_dataset("synth10K", nq=100)
+    assert d.xb.shape == (10_000, 128)
+    assert d.xq.shape[0] == 100
+
+
+def test_unknown_dataset_raises():
+    with pytest.raises(KeyError):
+        common.load_dataset("nope")
+
+
+def test_bound_eval_end_to_end(tmp_path):
+    res = bound.run(db="synth10K", ts=200, ses=100, input_k=10,
+                    error_bound=0.10, nlist=64, max_topk=50,
+                    batch_latency=5, log_dir=str(tmp_path))
+    assert res["bound_ok"], res
+    assert res["qps"] > 0
+    logf = tmp_path / "Auncel_Latency_synth10K_10_10.log"
+    assert logf.exists()
+    assert len(logf.read_text().splitlines()) == 5
+
+
+def test_effect_error_end_to_end(tmp_path):
+    res = effect_error.run(db="synth10K", ts=200, ses=100, input_k=10,
+                           nlist=64, max_topk=50, log_dir=str(tmp_path))
+    # with the generous default multipler most mixed bounds must be met
+    assert res["satisfaction"] > 0.9
+    assert (tmp_path / "Effective_error_synth10K.log").exists()
+
+
+def test_effect_time_end_to_end(tmp_path):
+    res = effect_time.run(db="synth10K", ts=200, ses=100, input_k=10,
+                          nlist=64, max_topk=50, log_dir=str(tmp_path))
+    assert res["within_budget"] >= 0.95
+    assert np.all(res["actual_ms"] > 0)
+
+
+def test_index_cache_roundtrip(tmp_path):
+    data = common.load_dataset("synth10K", nq=50)
+    idx1 = common.build_or_load_index(data, nlist=32,
+                                      cache_dir=str(tmp_path))
+    idx2 = common.build_or_load_index(data, nlist=32,
+                                      cache_dir=str(tmp_path))
+    np.testing.assert_array_equal(idx1.centroids, idx2.centroids)
+
+
+def test_autotune_worst_case_baseline():
+    data = common.load_dataset("synth10K", nq=100)
+    idx = common.build_or_load_index(data, nlist=64, cache_dir="ti")
+    gt_D, _ = common.ensure_gt(data, idx, 50)
+    ps = ParameterSpace(idx)
+    nprobe = ps.tune_for_bound(data.xq, gt_D, k=10, eps=0.10)
+    assert 1 <= nprobe <= 64
+    D, _ = idx.search(data.xq, 10, nprobe=nprobe)
+    assert worst_case_recall(D, gt_D, 10, Metric.L2) >= 0.9
+    # frontier sanity: the full-scan point exists and has perf 1.0
+    pts = ps.ops.optimal()
+    assert pts[-1].perf >= 0.999

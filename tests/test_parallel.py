@@ -1,0 +1,87 @@
+"""Sharded-search and DP k-means tests on the simulated 8-device CPU mesh —
+coverage the reference lacks entirely (its dist/ mode is only validated
+manually on real clusters, SURVEY.md §4)."""
+
+import numpy as np
+import pytest
+import jax
+
+from auncel_tpu.types import Metric
+from auncel_tpu.data.synthetic import make_clustered_dataset
+from auncel_tpu.index.flat import FlatIndex
+from auncel_tpu.parallel.sharded import ShardedIVF, make_mesh
+from auncel_tpu.parallel.kmeans_dp import dp_kmeans
+
+
+@pytest.fixture(scope="module")
+def ds():
+    return make_clustered_dataset(nb=16000, nq=40, d=32, n_clusters=64,
+                                  seed=21)
+
+
+@pytest.fixture(scope="module")
+def sharded(ds):
+    s = ShardedIVF(ds.d, nlist=32, n_shards=4, mesh=make_mesh(4))
+    s.build(ds.xb)
+    return s
+
+
+def test_mesh_has_8_cpu_devices():
+    assert len(jax.devices()) >= 8
+
+
+def test_sharded_full_scan_matches_flat(ds, sharded):
+    flat = FlatIndex(ds.d)
+    flat.add(ds.xb)
+    gt_vals, gt_ids = flat.search(ds.xq, 10)
+    vals, ids = sharded.search(ds.xq, 10, nprobe=32)  # full scan per shard
+    hit = np.mean([len(set(a) & set(b)) / 10
+                   for a, b in zip(ids.tolist(), gt_ids.tolist())])
+    assert hit > 0.999
+    np.testing.assert_allclose(vals, gt_vals, rtol=1e-4, atol=1.0)
+
+
+def test_sharded_partial_probe_recall(ds, sharded):
+    flat = FlatIndex(ds.d)
+    flat.add(ds.xb)
+    _, gt_ids = flat.search(ds.xq, 10)
+    r = []
+    for nprobe in (1, 4, 32):
+        _, ids = sharded.search(ds.xq, 10, nprobe=nprobe)
+        r.append(np.mean([len(set(a) & set(b)) / 10
+                          for a, b in zip(ids.tolist(), gt_ids.tolist())]))
+    assert r == sorted(r) and r[-1] > 0.999
+
+
+def test_sharded_bounded_search_bound_composes(ds, sharded):
+    """Each shard guarantees its bound on its partition; the merged result
+    must then satisfy the global bound (dist/ semantics)."""
+    sharded.train_profiles(ds.xq[:20], max_topk=50)
+    sharded.multipler = 8.0
+    flat = FlatIndex(ds.d)
+    flat.add(ds.xb)
+    gt_vals, gt_ids = flat.search(ds.xq, 50)
+    acc = np.full(40, 0.9, np.float32)
+    vals, ids, n_scanned = sharded.search_bounded(ds.xq, acc, query_k=10)
+    thresh = gt_vals[:, 9]
+    cnt = np.minimum((vals[:, :10] <= thresh[:, None] + 1e-6).sum(1), 10)
+    assert cnt.min() / 10 >= 0.9
+    assert n_scanned.shape == (4, 40)
+    assert n_scanned.max() <= 32
+
+
+def test_global_ids_preserved(ds, sharded):
+    """Merged ids must be global corpus row ids (round-robin split)."""
+    vals, ids = sharded.search(ds.xb[:5], 1, nprobe=32)
+    np.testing.assert_array_equal(ids[:, 0], np.arange(5))
+
+
+def test_dp_kmeans_matches_quality(ds):
+    mesh = make_mesh(8)
+    cents, err = dp_kmeans(ds.xb[:8000], 32, mesh, niter=10)
+    assert cents.shape == (32, 32)
+    # error should beat a random-centroid baseline by a wide margin
+    rng = np.random.RandomState(0)
+    rand_c = ds.xb[rng.permutation(8000)[:32]]
+    d_rand = ((ds.xb[:8000, None, :] - rand_c[None]) ** 2).sum(-1).min(1).sum()
+    assert err < 0.9 * d_rand
