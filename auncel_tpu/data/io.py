@@ -25,6 +25,10 @@ def _vecs_read(fname: str, dtype, count: int = -1, offset_rows: int = 0):
     offset_bytes = offset_rows * row_items * 4
     items = -1 if count < 0 else count * row_items
     a = np.fromfile(fname, count=items, dtype=np.int32, offset=offset_bytes)
+    from auncel_tpu import native
+    out = native.vecs_strip_headers(a, d)
+    if out is not None:
+        return out.view(dtype)
     n = a.size // row_items
     a = a[: n * row_items].reshape(n, row_items)
     assert np.all(a[:, 0] == d), f"inconsistent dims in {fname}"

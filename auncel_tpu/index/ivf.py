@@ -171,17 +171,23 @@ class IVFFlatIndex(Index):
             sizes = np.bincount(assign, minlength=self.nlist).astype(np.int64)
         cap = _round_up(max(int(sizes.max()) if n else 1, 8), 8)
 
-        db = np.zeros((self.nlist, cap, self.d), np.float32)
-        vec_ids = np.full((self.nlist, cap), -1, np.int32)
         order = np.argsort(assign, kind="stable")
-        sorted_x = x[order]
-        sorted_ids = vid[order]
         starts = np.zeros(self.nlist + 1, np.int64)
         np.cumsum(sizes, out=starts[1:])
-        for l in range(self.nlist):
-            s, e = starts[l], starts[l + 1]
-            db[l, : e - s] = sorted_x[s:e]
-            vec_ids[l, : e - s] = sorted_ids[s:e]
+        from auncel_tpu import native
+        packed = native.pack_lists(x, vid, order, starts, self.nlist, cap) \
+            if n else None
+        if packed is not None:
+            db, vec_ids = packed
+        else:
+            db = np.zeros((self.nlist, cap, self.d), np.float32)
+            vec_ids = np.full((self.nlist, cap), -1, np.int32)
+            sorted_x = x[order]
+            sorted_ids = vid[order]
+            for l in range(self.nlist):
+                s, e = starts[l], starts[l + 1]
+                db[l, : e - s] = sorted_x[s:e]
+                vec_ids[l, : e - s] = sorted_ids[s:e]
 
         db_dev = jnp.asarray(db, self.storage_dtype)
         # Norms from the *stored* dtype so scan distances match exact_search.

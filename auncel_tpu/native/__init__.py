@@ -1,0 +1,100 @@
+"""ctypes bindings for the native host runtime (with automatic build and
+numpy fallbacks). See auncel_native.cpp for what lives here and why."""
+
+import ctypes
+import os
+import subprocess
+
+import numpy as np
+
+_DIR = os.path.dirname(os.path.abspath(__file__))
+_LIB_PATH = os.path.join(_DIR, "libauncel_native.so")
+_lib = None
+
+
+def _try_load():
+    global _lib
+    if _lib is not None:
+        return _lib
+    if not os.path.exists(_LIB_PATH):
+        try:
+            subprocess.run(["make", "-C", _DIR, "-s"], check=True,
+                           capture_output=True, timeout=120)
+        except Exception:
+            return None
+    try:
+        lib = ctypes.CDLL(_LIB_PATH)
+    except OSError:
+        return None
+    lib.vecs_strip_headers.restype = ctypes.c_int
+    lib.vecs_strip_headers.argtypes = [
+        ctypes.c_void_p, ctypes.c_int64, ctypes.c_int64, ctypes.c_void_p]
+    lib.kway_merge_topk.restype = None
+    lib.kway_merge_topk.argtypes = [
+        ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int64, ctypes.c_int64,
+        ctypes.c_int64, ctypes.c_int, ctypes.c_void_p, ctypes.c_void_p]
+    lib.pack_lists.restype = None
+    lib.pack_lists.argtypes = [ctypes.c_void_p] * 4 + [ctypes.c_int64] * 3 \
+        + [ctypes.c_void_p] * 2
+    _lib = lib
+    return lib
+
+
+def available() -> bool:
+    return _try_load() is not None
+
+
+def vecs_strip_headers(raw: np.ndarray, d: int) -> np.ndarray | None:
+    """raw: int32 [n*(d+1)] -> int32 [n, d]; None if native lib missing or
+    headers are inconsistent."""
+    lib = _try_load()
+    if lib is None:
+        return None
+    n = raw.size // (d + 1)
+    raw = np.ascontiguousarray(raw[: n * (d + 1)], np.int32)
+    out = np.empty((n, d), np.int32)
+    rc = lib.vecs_strip_headers(
+        raw.ctypes.data, n, d, out.ctypes.data)
+    return out if rc == 0 else None
+
+
+def kway_merge_topk(vals: np.ndarray, ids: np.ndarray,
+                    lower_is_better: bool):
+    """vals/ids: [S, B, k] sorted best-first -> ([B, k], [B, k]).
+    Falls back to numpy when the lib is absent or S > 64."""
+    S, B, k = vals.shape
+    lib = _try_load()
+    if lib is None or S > 64:
+        flat_v = np.transpose(vals, (1, 0, 2)).reshape(B, S * k)
+        flat_i = np.transpose(ids, (1, 0, 2)).reshape(B, S * k)
+        order = np.argsort(flat_v if lower_is_better else -flat_v, axis=1,
+                           kind="stable")[:, :k]
+        return (np.take_along_axis(flat_v, order, 1),
+                np.take_along_axis(flat_i, order, 1))
+    vals = np.ascontiguousarray(vals, np.float32)
+    ids = np.ascontiguousarray(ids, np.int64)
+    out_v = np.empty((B, k), np.float32)
+    out_i = np.empty((B, k), np.int64)
+    lib.kway_merge_topk(vals.ctypes.data, ids.ctypes.data, S, B, k,
+                        int(lower_is_better), out_v.ctypes.data,
+                        out_i.ctypes.data)
+    return out_v, out_i
+
+
+def pack_lists(x: np.ndarray, vid: np.ndarray, order: np.ndarray,
+               starts: np.ndarray, nlist: int, cap: int):
+    """Returns (db [nlist, cap, d] f32, ids [nlist, cap] i32) or None."""
+    lib = _try_load()
+    if lib is None:
+        return None
+    n, d = x.shape
+    x = np.ascontiguousarray(x, np.float32)
+    vid = np.ascontiguousarray(vid, np.int64)
+    order = np.ascontiguousarray(order, np.int64)
+    starts = np.ascontiguousarray(starts, np.int64)
+    db = np.zeros((nlist, cap, d), np.float32)
+    out_ids = np.full((nlist, cap), -1, np.int32)
+    lib.pack_lists(x.ctypes.data, vid.ctypes.data, order.ctypes.data,
+                   starts.ctypes.data, nlist, cap, d,
+                   db.ctypes.data, out_ids.ctypes.data)
+    return db, out_ids
