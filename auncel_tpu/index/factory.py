@@ -17,16 +17,49 @@ from auncel_tpu.index.ivf import IVFFlatIndex
 def index_factory(d: int, description: str,
                   metric: Metric = Metric.L2) -> Index:
     metric = Metric.parse(metric)
-    desc = description.strip()
+    parts = [p.strip() for p in description.strip().split(",")]
+
+    # Leading transform prefixes (AutoTune.cpp:760-800: PCA/PCAR/RR/L2norm).
+    transforms = []
+    cur_d = d
+    while parts:
+        p = parts[0]
+        m = re.fullmatch(r"PCA(R?)(\d+)", p)
+        if m:
+            from auncel_tpu.index.transform import PCAMatrix
+            transforms.append(PCAMatrix(cur_d, int(m.group(2)),
+                                        random_rotation=bool(m.group(1))))
+            cur_d = int(m.group(2))
+            parts.pop(0)
+            continue
+        if p == "L2norm":
+            from auncel_tpu.index.transform import NormalizationTransform
+            transforms.append(NormalizationTransform(cur_d))
+            parts.pop(0)
+            continue
+        if re.fullmatch(r"RR(\d+)?", p):
+            from auncel_tpu.index.transform import RandomRotationMatrix
+            transforms.append(RandomRotationMatrix(cur_d))
+            parts.pop(0)
+            continue
+        break
+
+    desc = ",".join(parts)
     if desc == "Flat":
-        return FlatIndex(d, metric)
-    m = re.fullmatch(r"IVF(\d+),(\w+)", desc)
-    if m:
+        index: Index = FlatIndex(cur_d, metric)
+    else:
+        m = re.fullmatch(r"IVF(\d+),(\w+)", desc)
+        if not m:
+            raise NotImplementedError(f"factory description {description!r}")
         nlist = int(m.group(1))
         cell = m.group(2)
-        if cell == "Flat":
-            return IVFFlatIndex(d, nlist, metric)
-        raise NotImplementedError(
-            f"IVF cell type {cell!r} not implemented yet "
-            f"(reference grammar: AutoTune.cpp:741-960)")
-    raise NotImplementedError(f"factory description {description!r}")
+        if cell != "Flat":
+            raise NotImplementedError(
+                f"IVF cell type {cell!r} not implemented yet "
+                f"(reference grammar: AutoTune.cpp:741-960)")
+        index = IVFFlatIndex(cur_d, nlist, metric)
+
+    if transforms:
+        from auncel_tpu.index.transform import IndexPreTransform
+        return IndexPreTransform(index, transforms)
+    return index

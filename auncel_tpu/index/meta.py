@@ -1,0 +1,170 @@
+"""Meta indexes: ID mapping, in-process sharding, replication.
+
+Capability parity with the reference's ``MetaIndexes``/``IndexShards``/
+``IndexReplicas`` (SURVEY.md §2 #20, ``IndexShards.h:20``): an IndexShards
+fans a query out to all sub-indexes and merges the top-k; IndexReplicas
+round-robins whole queries across identical replicas; IndexIDMap remaps
+sequential ids to user ids.
+
+TPU note: these are *host-side composition* utilities (the reference runs
+them on a thread pool). Device-mesh scale-out lives in
+``auncel_tpu.parallel.sharded``; these cover the single-process API surface
+(e.g. sharding across indexes with different configurations, or wrapping an
+index that lacks add_with_ids)."""
+
+import numpy as np
+
+from auncel_tpu.types import Metric
+from auncel_tpu.index.base import Index
+from auncel_tpu import native
+
+
+class IndexIDMap(Index):
+    """Remaps sequential ids to arbitrary user ids (MetaIndexes.h)."""
+
+    def __init__(self, sub: Index):
+        self.sub = sub
+        self.d = sub.d
+        self.metric = sub.metric
+        self._ids = np.zeros(0, np.int64)
+
+    @property
+    def is_trained(self):
+        return self.sub.is_trained
+
+    @is_trained.setter
+    def is_trained(self, v):  # pragma: no cover - keeps Index contract
+        pass
+
+    @property
+    def ntotal(self):
+        return self.sub.ntotal
+
+    def train(self, x):
+        self.sub.train(x)
+
+    def add(self, x, ids=None):
+        assert ids is not None, "IndexIDMap exists to carry user ids"
+        self._ids = np.concatenate([self._ids, np.asarray(ids, np.int64)])
+        self.sub.add(x)
+
+    def search(self, q, k):
+        vals, ids = self.sub.search(q, k)
+        mapped = np.where(ids >= 0, self._ids[np.maximum(ids, 0)], -1)
+        return vals, mapped
+
+    def reset(self):
+        self.sub.reset()
+        self._ids = np.zeros(0, np.int64)
+
+
+class IndexShards(Index):
+    """Fan out to every shard, merge top-k by value (IndexShards.h:20).
+    successive_ids: shard i's ids are offset by the preceding shards'
+    ntotal (the reference's flag of the same name)."""
+
+    def __init__(self, d: int, metric: Metric = Metric.L2,
+                 successive_ids: bool = True):
+        self.d = d
+        self.metric = Metric.parse(metric)
+        self.successive_ids = successive_ids
+        self.shards: list[Index] = []
+
+    @property
+    def is_trained(self):
+        return all(s.is_trained for s in self.shards)
+
+    @is_trained.setter
+    def is_trained(self, v):  # pragma: no cover
+        pass
+
+    @property
+    def ntotal(self):
+        return sum(s.ntotal for s in self.shards)
+
+    def add_shard(self, index: Index):
+        assert index.d == self.d and index.metric is self.metric
+        self.shards.append(index)
+
+    def train(self, x):
+        for s in self.shards:
+            s.train(x)
+
+    def add(self, x, ids=None):
+        """Round-robin rows across shards (like dist/split.cpp)."""
+        assert self.shards, "add_shard first"
+        n = x.shape[0]
+        base = self.ntotal
+        if ids is None:
+            ids = np.arange(base, base + n, dtype=np.int64)
+        for i, s in enumerate(self.shards):
+            sel = slice(i, None, len(self.shards))
+            if hasattr(s, "add") and s.__class__.__name__ == "FlatIndex":
+                s.add(x[sel])  # FlatIndex has no add_with_ids
+            else:
+                s.add(x[sel], ids=np.asarray(ids)[sel])
+
+    def search(self, q, k):
+        all_v, all_i = [], []
+        offset = 0
+        for i, s in enumerate(self.shards):
+            v, idx = s.search(q, k)
+            if self.successive_ids and s.__class__.__name__ == "FlatIndex":
+                idx = np.where(idx >= 0, idx * len(self.shards) + i, -1)
+            all_v.append(v)
+            all_i.append(idx)
+            offset += s.ntotal
+        vals = np.stack(all_v)
+        ids = np.stack(all_i).astype(np.int64)
+        return native.kway_merge_topk(vals, ids,
+                                      self.metric.lower_is_better)
+
+    def reset(self):
+        for s in self.shards:
+            s.reset()
+
+
+class IndexReplicas(Index):
+    """Round-robin queries across identical replicas (IndexReplicas.h).
+    On a single host this is a throughput construct; results from any
+    replica are equivalent."""
+
+    def __init__(self, d: int, metric: Metric = Metric.L2):
+        self.d = d
+        self.metric = Metric.parse(metric)
+        self.replicas: list[Index] = []
+        self._next = 0
+
+    @property
+    def is_trained(self):
+        return all(r.is_trained for r in self.replicas)
+
+    @is_trained.setter
+    def is_trained(self, v):  # pragma: no cover
+        pass
+
+    @property
+    def ntotal(self):
+        return self.replicas[0].ntotal if self.replicas else 0
+
+    def add_replica(self, index: Index):
+        assert index.d == self.d
+        self.replicas.append(index)
+
+    def train(self, x):
+        for r in self.replicas:
+            r.train(x)
+
+    def add(self, x, ids=None):
+        for r in self.replicas:
+            r.add(x, ids=ids) if ids is not None else r.add(x)
+
+    def search(self, q, k):
+        assert self.replicas
+        r = self.replicas[self._next % len(self.replicas)]
+        self._next += 1
+        return r.search(q, k)
+
+    def reset(self):
+        for r in self.replicas:
+            r.reset()

@@ -1,0 +1,140 @@
+"""Vector transforms + pre-transform index wrapper.
+
+Capability parity with the reference's ``VectorTransform``
+(SURVEY.md §2 #21: PCA, random rotation, L2 normalization; applied by an
+``IndexPreTransform`` before the wrapped index). Training uses device
+matmuls for the covariance; the eigendecomposition is a tiny [d, d] host
+solve (the reference calls LAPACK the same way).
+"""
+
+import numpy as np
+import jax.numpy as jnp
+
+from auncel_tpu.types import Metric
+from auncel_tpu.index.base import Index
+from auncel_tpu.ops.distance import pairwise_ip
+
+
+class VectorTransform:
+    d_in: int
+    d_out: int
+    is_trained: bool = True
+
+    def train(self, x: np.ndarray) -> None:
+        pass
+
+    def apply(self, x: np.ndarray) -> np.ndarray:
+        raise NotImplementedError
+
+
+class PCAMatrix(VectorTransform):
+    """PCA projection d_in -> d_out, optional whitening and random rotation
+    inside the PCA basis (reference PCAMatrix, VectorTransform.h)."""
+
+    def __init__(self, d_in: int, d_out: int, eigen_power: float = 0.0,
+                 random_rotation: bool = False, seed: int = 1234):
+        assert d_out <= d_in
+        self.d_in, self.d_out = d_in, d_out
+        self.eigen_power = eigen_power
+        self.random_rotation = random_rotation
+        self.seed = seed
+        self.is_trained = False
+        self.mean: np.ndarray | None = None
+        self.proj: np.ndarray | None = None  # [d_in, d_out]
+
+    def train(self, x: np.ndarray) -> None:
+        x = np.asarray(x, np.float32)
+        self.mean = x.mean(axis=0)
+        xc = jnp.asarray(x - self.mean)
+        cov = np.asarray(pairwise_ip(xc.T, xc.T)) / max(x.shape[0] - 1, 1)
+        w, v = np.linalg.eigh(cov.astype(np.float64))
+        order = np.argsort(-w)
+        w, v = w[order][: self.d_out], v[:, order][:, : self.d_out]
+        if self.eigen_power != 0.0:
+            v = v * (np.maximum(w, 1e-10) ** self.eigen_power)[None, :]
+        if self.random_rotation:
+            rng = np.random.RandomState(self.seed)
+            q, _ = np.linalg.qr(rng.randn(self.d_out, self.d_out))
+            v = v @ q
+        self.proj = v.astype(np.float32)
+        self.is_trained = True
+
+    def apply(self, x: np.ndarray) -> np.ndarray:
+        assert self.is_trained
+        return (np.asarray(x, np.float32) - self.mean) @ self.proj
+
+
+class RandomRotationMatrix(VectorTransform):
+    """Dense random orthonormal rotation (reference RandomRotationMatrix)."""
+
+    def __init__(self, d: int, seed: int = 1234):
+        self.d_in = self.d_out = d
+        rng = np.random.RandomState(seed)
+        q, _ = np.linalg.qr(rng.randn(d, d))
+        self.rot = q.astype(np.float32)
+
+    def apply(self, x: np.ndarray) -> np.ndarray:
+        return np.asarray(x, np.float32) @ self.rot
+
+
+class NormalizationTransform(VectorTransform):
+    """L2 normalization (reference NormalizationTransform; the IP datasets
+    are normalized exactly like this, eval/bound.cpp:243-248)."""
+
+    def __init__(self, d: int, norm: float = 2.0):
+        assert norm == 2.0, "reference supports L2 only"
+        self.d_in = self.d_out = d
+
+    def apply(self, x: np.ndarray) -> np.ndarray:
+        x = np.asarray(x, np.float32)
+        n = np.linalg.norm(x, axis=1, keepdims=True)
+        return x / np.maximum(n, 1e-20)
+
+
+class IndexPreTransform(Index):
+    """Apply a chain of transforms before the wrapped index
+    (reference IndexPreTransform)."""
+
+    def __init__(self, sub: Index, transforms: list[VectorTransform]):
+        self.sub = sub
+        self.transforms = transforms
+        self.metric = sub.metric
+        self.d = transforms[0].d_in if transforms else sub.d
+
+    @property
+    def is_trained(self):
+        return (all(t.is_trained for t in self.transforms)
+                and self.sub.is_trained)
+
+    @is_trained.setter
+    def is_trained(self, v):  # pragma: no cover
+        pass
+
+    @property
+    def ntotal(self):
+        return self.sub.ntotal
+
+    def _apply_chain(self, x):
+        for t in self.transforms:
+            x = t.apply(x)
+        return x
+
+    def train(self, x):
+        for t in self.transforms:
+            if not t.is_trained:
+                t.train(x)
+            x = t.apply(x)
+        self.sub.train(x)
+
+    def add(self, x, ids=None):
+        xt = self._apply_chain(x)
+        if ids is not None:
+            self.sub.add(xt, ids=ids)
+        else:
+            self.sub.add(xt)
+
+    def search(self, q, k):
+        return self.sub.search(self._apply_chain(q), k)
+
+    def reset(self):
+        self.sub.reset()
