@@ -55,31 +55,16 @@ def make_clustered_dataset(
             cluster_std * widen)
         return (pts * scale).astype(np.float32)
 
-    def draw_hard(n):
-        # Interpolate toward each cluster's NEAREST neighbor cluster: the
-        # query sits near a real Voronoi boundary between two populated
-        # cells (hard for IVF) without landing in empty space between far
-        # clusters (which no ANN index or error model can serve — real
-        # SIFT/DEEP queries are near the data manifold).
-        a_idx = rng.randint(0, n_clusters, size=n)
-        a = centers[a_idx]
-        # nearest-other-center per chosen cluster (blocked to bound memory)
-        nn_idx = np.empty(n, np.int64)
-        for s in range(0, n, 1024):
-            e = min(s + 1024, n)
-            dd = ((centers[a_idx[s:e], None, :] -
-                   centers[None, :, :]) ** 2).sum(-1)
-            dd[np.arange(e - s), a_idx[s:e]] = np.inf
-            nn_idx[s:e] = dd.argmin(1)
-        b = centers[nn_idx]
-        t = rng.uniform(0.25, 0.5, size=(n, 1)).astype(np.float32)
-        pts = a * (1 - t) + b * t + rng.randn(n, d).astype(
-            np.float32) * cluster_std
-        return (pts * scale).astype(np.float32)
-
     xb = draw(nb)
+    # Queries follow the corpus distribution (like real SIFT/DEEP query
+    # sets, which are held-out samples): "hard" queries are drawn wider —
+    # farther from their cluster core, hence nearer Voronoi boundaries —
+    # but still inside populated regions. Queries in empty space between
+    # clusters are NOT generated: no IVF index (or error model) serves
+    # those, and real benchmark queries don't look like that.
     n_hard = int(nq * hard_frac)
-    xq = np.concatenate([draw(nq - n_hard, widen=1.25), draw_hard(n_hard)])
+    xq = np.concatenate([draw(nq - n_hard, widen=1.0),
+                         draw(n_hard, widen=1.6)])
     rng.shuffle(xq)
     xt = draw(nt) if nt is not None else xb
     if metric is Metric.IP:

@@ -15,6 +15,8 @@ making every probe an MXU matmul. List-length skew is surfaced via
 ``packing_efficiency`` so callers can monitor waste.
 """
 
+import functools
+
 import numpy as np
 import jax
 import jax.numpy as jnp
@@ -28,6 +30,39 @@ from auncel_tpu.ops.distance import pairwise_l2sqr, pairwise_ip, sqnorms
 
 def _round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
+
+
+@functools.partial(jax.jit, static_argnames=("k", "metric", "block"))
+def _assign_topk(xd, centroids, cent_sq, k, metric, block):
+    """Top-k nearest centroids for every (device-resident) corpus row.
+    Device-side so the corpus is uploaded once (host->device through the
+    axon tunnel is the build-time bottleneck)."""
+    from auncel_tpu.ops.distance import pairwise_scores
+    from auncel_tpu.ops.topk import topk_scores
+    n = xd.shape[0]
+    nsteps = n // block
+    nlist = centroids.shape[0]
+    out = jnp.zeros((n, k), jnp.int32)
+
+    def body(i, out):
+        xb = jax.lax.dynamic_slice_in_dim(xd, i * block, block, 0)
+        s = pairwise_scores(xb, centroids, metric, y_sqnorms=cent_sq)
+        ids = jax.lax.broadcasted_iota(jnp.int32, (block, nlist), 1)
+        _, top = topk_scores(s, ids, k, metric)
+        return jax.lax.dynamic_update_slice_in_dim(out, top, i * block, 0)
+
+    return jax.lax.fori_loop(0, nsteps, body, out)
+
+
+@functools.partial(jax.jit, static_argnames=("nlist", "cap", "dtype"))
+def _scatter_pack(xd, list_idx, slot_idx, nlist, cap, dtype):
+    """Scatter device-resident rows into the padded [nlist, cap, d] layout
+    and compute stored-dtype norms, all on device."""
+    d = xd.shape[1]
+    db = jnp.zeros((nlist, cap, d), dtype)
+    db = db.at[list_idx, slot_idx].set(xd.astype(dtype))
+    db_sq = jnp.sum(jnp.square(db.astype(jnp.float32)), axis=-1)
+    return db, db_sq
 
 
 def compute_interdis(centroids: np.ndarray, metric: Metric) -> np.ndarray:
@@ -133,12 +168,25 @@ class IVFFlatIndex(Index):
         vid = (np.concatenate(idlists, 0) if idlists
                else np.zeros((0,), np.int64))
         n = x.shape[0]
-        if n and self.cap_quantile < 1.0 and self.nlist > 4:
-            from auncel_tpu.ops.knn import knn
-            choices = knn(x, self.centroids, 4, self.metric,
-                          q_block=65536).ids.astype(np.int64)
-        elif n:
-            choices = self.assign(x)[:, None]
+        xd = None
+        if n:
+            # One corpus upload; assignment and packing stay on device.
+            block = min(65536, n)
+            n_fit = (n // block) * block
+            xd = jnp.asarray(x)
+            n_choice = 4 if (self.cap_quantile < 1.0 and self.nlist > 4) \
+                else 1
+            n_choice = min(n_choice, self.nlist)
+            cents = jnp.asarray(self.centroids)
+            csq = sqnorms(cents)
+            ch = _assign_topk(xd[:n_fit], cents, csq, n_choice, self.metric,
+                              block)
+            parts = [np.asarray(ch)]
+            if n_fit < n:
+                tail = _assign_topk(xd[n_fit:], cents, csq, n_choice,
+                                    self.metric, n - n_fit)
+                parts.append(np.asarray(tail))
+            choices = np.concatenate(parts).astype(np.int64)
         else:
             choices = np.zeros((0, 1), np.int64)
         assign = choices[:, 0].copy() if n else np.zeros((0,), np.int64)
@@ -174,34 +222,28 @@ class IVFFlatIndex(Index):
         order = np.argsort(assign, kind="stable")
         starts = np.zeros(self.nlist + 1, np.int64)
         np.cumsum(sizes, out=starts[1:])
-        from auncel_tpu import native
-        packed = native.pack_lists(x, vid, order, starts, self.nlist, cap) \
-            if n else None
-        if packed is not None:
-            db, vec_ids = packed
+        # slot of each row within its list (cumcount via the sorted order)
+        slot = np.empty(n, np.int64)
+        slot[order] = np.arange(n, dtype=np.int64) - np.repeat(
+            starts[:-1], sizes)
+        vec_ids = np.full((self.nlist, cap), -1, np.int32)
+        vec_ids[assign, slot] = vid.astype(np.int32)
+        if n:
+            db_dev, db_sq = _scatter_pack(
+                xd, jnp.asarray(assign.astype(np.int32)),
+                jnp.asarray(slot.astype(np.int32)),
+                self.nlist, cap, self.storage_dtype)
         else:
-            db = np.zeros((self.nlist, cap, self.d), np.float32)
-            vec_ids = np.full((self.nlist, cap), -1, np.int32)
-            sorted_x = x[order]
-            sorted_ids = vid[order]
-            for l in range(self.nlist):
-                s, e = starts[l], starts[l + 1]
-                db[l, : e - s] = sorted_x[s:e]
-                vec_ids[l, : e - s] = sorted_ids[s:e]
-
-        db_dev = jnp.asarray(db, self.storage_dtype)
-        # Norms from the *stored* dtype so scan distances match exact_search.
-        db_sq = np.asarray(
-            jnp.sum(jnp.square(db_dev.astype(jnp.float32)), axis=-1))
-        db_sq = db_sq * (vec_ids >= 0)
+            db_dev = jnp.zeros((self.nlist, cap, self.d), self.storage_dtype)
+            db_sq = jnp.zeros((self.nlist, cap), jnp.float32)
         cents = jnp.asarray(self.centroids)
         self._arrays = IVFArrays(
             centroids=cents,
             cent_sq=sqnorms(cents),
             db=db_dev,
-            db_sq=jnp.asarray(db_sq, jnp.float32),
+            db_sq=db_sq,
             vec_ids=jnp.asarray(vec_ids),
-            list_sizes=jnp.asarray(sizes),
+            list_sizes=jnp.asarray(sizes.astype(np.int32)),
             interdis=jnp.asarray(self.interdis),
         )
 

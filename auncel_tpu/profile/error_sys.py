@@ -115,30 +115,45 @@ class ErrorSys:
     def set_hyper(self, multipler: float, std_m: float) -> None:
         self.multipler, self.std_m = float(multipler), float(std_m)
 
+    # Batch-size buckets: every search pads its batch up to one of these so
+    # a handful of compiled programs serve all sizes (compiles through the
+    # axon tunnel are minutes-scale and shape-keyed; padded rows carry a
+    # trivially-satisfied bound so they terminate after one wave).
+    BATCH_BUCKETS = (1, 16, 128, 1024)
+
+    def _bucket(self, size: int) -> int:
+        for b in self.BATCH_BUCKETS:
+            if size <= b:
+                return b
+        return size
+
     def search(self, start: int, search_size: int = -1):
         """Bounded search over queries[start : start+size]. Returns
         (D [size, max_topk], I [size, max_topk]) and records
         my_nprobe / n_scanned / t_recalls at absolute positions."""
         assert self.is_trained, "sys_train before search (profile.cpp:212)"
         size = self.num if search_size == -1 else search_size
-        q = self.queries[start:start + size]
-        acc = self.require_acc[start:start + size]
+        bsz = self._bucket(size)
+        q = np.zeros((bsz, self.index.d), np.float32)
+        q[:size] = self.queries[start:start + size]
+        acc = np.full(bsz, 1e-3, np.float32)  # padding: decide at wave 1
+        acc[:size] = self.require_acc[start:start + size]
         want_true = self.profile and self.gt_D is not None
+        gt_kth = np.zeros(bsz, np.float32)
         if want_true:
-            gt_kth = self.gt_D[start:start + size, self.query_topk - 1]
-        else:
-            gt_kth = np.zeros(size, np.float32)
+            gt_kth[:size] = self.gt_D[start:start + size, self.query_topk - 1]
         vals, ids, my_np, n_scanned, t_rec = bounded_search(
             self.index.arrays, self.traces, jnp.asarray(q),
             jnp.asarray(acc), jnp.float32(self.multipler),
             jnp.float32(self.std_m), jnp.asarray(gt_kth),
             self.query_topk, self.max_topk, self.index.metric,
             with_true_recall=want_true)
-        self.my_nprobe[start:start + size] = np.asarray(my_np)
-        self.n_scanned[start:start + size] = np.asarray(n_scanned)
+        self.my_nprobe[start:start + size] = np.asarray(my_np)[:size]
+        self.n_scanned[start:start + size] = np.asarray(n_scanned)[:size]
         if want_true:
-            self.t_recalls[start:start + size] = np.asarray(t_rec)
-        return np.asarray(vals), np.asarray(ids, np.int64)
+            self.t_recalls[start:start + size] = np.asarray(t_rec)[:size]
+        return (np.asarray(vals)[:size],
+                np.asarray(ids, np.int64)[:size])
 
     # -------------------------------------------------------- time budget
 
