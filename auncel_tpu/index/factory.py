@@ -53,11 +53,18 @@ def index_factory(d: int, description: str,
             raise NotImplementedError(f"factory description {description!r}")
         nlist = int(m.group(1))
         cell = m.group(2)
-        if cell != "Flat":
+        if cell == "Flat":
+            index = IVFFlatIndex(cur_d, nlist, metric)
+        elif cell == "SQ8":
+            index = IVFFlatIndex(cur_d, nlist, metric, storage="sq8")
+        elif cell in ("SQfp16", "SQbf16"):
+            # bf16 is the TPU-native half type; stands in for the
+            # reference's SQfp16 cell
+            index = IVFFlatIndex(cur_d, nlist, metric, storage="bf16")
+        else:
             raise NotImplementedError(
                 f"IVF cell type {cell!r} not implemented yet "
                 f"(reference grammar: AutoTune.cpp:741-960)")
-        index = IVFFlatIndex(cur_d, nlist, metric)
 
     if transforms:
         from auncel_tpu.index.transform import IndexPreTransform

@@ -34,13 +34,18 @@ def save_index(index: Index, path: str) -> None:
     if isinstance(index, IVFFlatIndex):
         header = dict(version=_FORMAT_VERSION, kind="IVFFlat", d=index.d,
                       metric=index.metric.value, nlist=index.nlist,
-                      trained=index.is_trained, ntotal=index.ntotal)
+                      trained=index.is_trained, ntotal=index.ntotal,
+                      storage=index.storage)
         payload = dict(header=json.dumps(header))
         if index.is_trained:
             payload["centroids"] = index.centroids
         if index.ntotal:
             a = index.arrays
-            payload["db"] = np.asarray(a.db, np.float32)
+            db = np.asarray(a.db)
+            if a.sq_scale is not None:  # store decoded values
+                db = (db.astype(np.float32) * np.asarray(a.sq_scale)
+                      + np.asarray(a.sq_bias))
+            payload["db"] = db.astype(np.float32)
             payload["vec_ids"] = np.asarray(a.vec_ids)
             payload["list_sizes"] = np.asarray(a.list_sizes)
         np.savez(path, **payload)
@@ -57,7 +62,8 @@ def load_index(path: str) -> Index:
             idx.add(z["xb"])
             return idx
         if header["kind"] == "IVFFlat":
-            idx = IVFFlatIndex(header["d"], header["nlist"], metric)
+            idx = IVFFlatIndex(header["d"], header["nlist"], metric,
+                               storage=header.get("storage", "f32"))
             if header["trained"]:
                 idx.set_centroids(z["centroids"])
             if header["ntotal"]:

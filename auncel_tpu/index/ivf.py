@@ -65,6 +65,17 @@ def _scatter_pack(xd, list_idx, slot_idx, nlist, cap, dtype):
     return db, db_sq
 
 
+@jax.jit
+def _sq_decode(codes, scale, bias):
+    return codes.astype(jnp.float32) * scale + bias
+
+
+@jax.jit
+def _sq_norms(db_codes, scale, bias):
+    dec = db_codes.astype(jnp.float32) * scale + bias
+    return jnp.sum(jnp.square(dec), axis=-1)
+
+
 def compute_interdis(centroids: np.ndarray, metric: Metric) -> np.ndarray:
     """All-pairs centroid distance matrix (reference ``fvec_inter_vecs`` /
     ``fvec_inter_vecs_IP``, IVF_pro.cpp:21-39, stored packed there, dense
@@ -91,8 +102,14 @@ class IVFFlatIndex(Index):
         storage_dtype=jnp.float32,
         kmeans_params: KmeansParams | None = None,
         cap_quantile: float = 0.99,
+        storage: str = "f32",
     ):
-        """``cap_quantile``: list capacity is the given quantile of list
+        """``storage``: "f32" (raw), "bf16", or "sq8" — per-dim affine int8
+        scalar quantization (the reference's IndexIVFScalarQuantizer
+        capability, SURVEY.md §2 #17): 4x less HBM traffic in the scan; all
+        distances computed on decoded values.
+
+        ``cap_quantile``: list capacity is the given quantile of list
         sizes (k-means list lengths are skewed; padding every list to the
         max wastes HBM and scan bandwidth). Vectors overflowing a capped
         list spill to their next-nearest centroid's list — they stay exactly
@@ -101,6 +118,9 @@ class IVFFlatIndex(Index):
         self.d = d
         self.nlist = nlist
         self.metric = Metric.parse(metric)
+        self.storage = storage
+        if storage == "bf16":
+            storage_dtype = jnp.bfloat16
         self.storage_dtype = storage_dtype
         self.kmeans_params = kmeans_params or KmeansParams()
         self.cap_quantile = cap_quantile
@@ -168,12 +188,27 @@ class IVFFlatIndex(Index):
         vid = (np.concatenate(idlists, 0) if idlists
                else np.zeros((0,), np.int64))
         n = x.shape[0]
-        xd = None
+        xd = codes_d = None
+        sq_scale = sq_bias = None
         if n:
             # One corpus upload; assignment and packing stay on device.
+            # SQ8: quantize on host, upload codes (4x smaller), decode on
+            # device — assignment and all distances use DECODED values so
+            # every path sees the same numbers.
             block = min(65536, n)
             n_fit = (n // block) * block
-            xd = jnp.asarray(x)
+            if self.storage == "sq8":
+                vmin = x.min(0)
+                scale = np.maximum((x.max(0) - vmin) / 255.0,
+                                   1e-10).astype(np.float32)
+                codes = np.clip(np.rint((x - vmin) / scale), 0,
+                                255).astype(np.uint8)
+                codes_d = jnp.asarray(codes)
+                sq_scale = jnp.asarray(scale)
+                sq_bias = jnp.asarray(vmin.astype(np.float32))
+                xd = _sq_decode(codes_d, sq_scale, sq_bias)
+            else:
+                xd = jnp.asarray(x)
             n_choice = 4 if (self.cap_quantile < 1.0 and self.nlist > 4) \
                 else 1
             n_choice = min(n_choice, self.nlist)
@@ -228,7 +263,13 @@ class IVFFlatIndex(Index):
             starts[:-1], sizes)
         vec_ids = np.full((self.nlist, cap), -1, np.int32)
         vec_ids[assign, slot] = vid.astype(np.int32)
-        if n:
+        if n and self.storage == "sq8":
+            li = jnp.asarray(assign.astype(np.int32))
+            si = jnp.asarray(slot.astype(np.int32))
+            db_dev, _ = _scatter_pack(codes_d, li, si, self.nlist, cap,
+                                      jnp.uint8)
+            db_sq = _sq_norms(db_dev, sq_scale, sq_bias)
+        elif n:
             db_dev, db_sq = _scatter_pack(
                 xd, jnp.asarray(assign.astype(np.int32)),
                 jnp.asarray(slot.astype(np.int32)),
@@ -245,6 +286,8 @@ class IVFFlatIndex(Index):
             vec_ids=jnp.asarray(vec_ids),
             list_sizes=jnp.asarray(sizes.astype(np.int32)),
             interdis=jnp.asarray(self.interdis),
+            sq_scale=sq_scale,
+            sq_bias=sq_bias,
         )
 
     @property

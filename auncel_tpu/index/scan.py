@@ -37,15 +37,24 @@ class IVFArrays(NamedTuple):
 
     Replaces the reference's ``InvertedLists`` pointer structure
     (``InvertedLists.h:31-101``) with padded dense HBM tensors.
+
+    Storage codecs: ``db`` holds float32 raw vectors, or uint8 SQ8 codes
+    (the reference's ScalarQuantizer capability, SURVEY.md §2 #17) with the
+    per-dimension affine decode ``x = code * sq_scale + sq_bias`` applied
+    in-scan — 4x less HBM traffic on the hot path. All distances (and
+    ``db_sq``) are computed on DECODED values, so the profile engine's
+    value-matching invariants hold unchanged.
     """
     centroids: jax.Array   # [nlist, d] float32
     cent_sq: jax.Array     # [nlist] float32
-    db: jax.Array          # [nlist, cap, d] storage dtype (f32 or bf16)
-    db_sq: jax.Array       # [nlist, cap] float32 (0 at padding)
+    db: jax.Array          # [nlist, cap, d] float32 raw or uint8 SQ8 codes
+    db_sq: jax.Array       # [nlist, cap] float32 decoded norms (0 at pad)
     vec_ids: jax.Array     # [nlist, cap] int32, -1 at padding
     list_sizes: jax.Array  # [nlist] int32
     interdis: jax.Array    # [nlist, nlist] float32; L2: sqdist, IP: angle
                            # (reference interdis_cem, IndexIVF.cpp:97-111)
+    sq_scale: jax.Array | None = None  # [d] float32 (SQ8 only)
+    sq_bias: jax.Array | None = None   # [d] float32 (SQ8 only)
 
     @property
     def nlist(self) -> int:
@@ -124,6 +133,9 @@ def scan_probe_range(
         sub = arrays.db[lists]            # [B, C, cap, d] gather
         sub_sq = arrays.db_sq[lists]      # [B, C, cap]
         sub_ids = arrays.vec_ids[lists]   # [B, C, cap]
+        if arrays.sq_scale is not None:   # SQ8 decode (fused by XLA)
+            sub = (sub.astype(jnp.float32) * arrays.sq_scale
+                   + arrays.sq_bias)
         dots = jnp.einsum(
             "bpcd,bd->bpc", sub, q.astype(sub.dtype),
             preferred_element_type=jnp.float32,

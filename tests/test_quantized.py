@@ -1,0 +1,84 @@
+"""SQ8 / bf16 storage codec tests (reference ScalarQuantizer capability,
+SURVEY.md §2 #17): recall close to f32, decoded-value consistency, and the
+full bounded-search path running on quantized storage."""
+
+import numpy as np
+import pytest
+
+from auncel_tpu.types import Metric
+from auncel_tpu.data.synthetic import make_clustered_dataset
+from auncel_tpu.index.flat import FlatIndex
+from auncel_tpu.index.ivf import IVFFlatIndex
+from auncel_tpu.index.factory import index_factory
+from auncel_tpu.profile.error_sys import ErrorSys
+
+
+@pytest.fixture(scope="module")
+def ds():
+    return make_clustered_dataset(nb=20000, nq=60, d=32, n_clusters=64,
+                                  seed=17)
+
+
+@pytest.fixture(scope="module")
+def gt(ds):
+    flat = FlatIndex(ds.d)
+    flat.add(ds.xb)
+    return flat.search(ds.xq, 10)
+
+
+def _recall(ids, gt_ids, k=10):
+    return np.mean([len(set(a) & set(b)) / k
+                    for a, b in zip(ids[:, :k].tolist(),
+                                    gt_ids[:, :k].tolist())])
+
+
+@pytest.mark.parametrize("storage", ["sq8", "bf16"])
+def test_quantized_full_scan_recall(ds, gt, storage):
+    idx = index_factory(ds.d, "IVF64,SQ8" if storage == "sq8"
+                        else "IVF64,SQbf16")
+    idx.train(ds.xt[:10000])
+    idx.add(ds.xb)
+    _, ids = idx.exact_search(ds.xq, 10)
+    assert _recall(ids, gt[1]) > 0.97  # quantization barely moves top-10
+
+
+def test_sq8_memory_is_uint8(ds):
+    idx = IVFFlatIndex(ds.d, 64, storage="sq8")
+    idx.train(ds.xt[:10000])
+    idx.add(ds.xb)
+    assert idx.arrays.db.dtype == np.uint8
+    assert idx.arrays.sq_scale.shape == (ds.d,)
+
+
+def test_sq8_partial_scan_value_consistency(ds):
+    """Distances from partial scans must match full-scan values exactly
+    (both computed on decoded codes) — the profile invariant."""
+    idx = IVFFlatIndex(ds.d, 64, storage="sq8")
+    idx.train(ds.xt[:10000])
+    idx.add(ds.xb)
+    v4, i4 = idx.search(ds.xq, 10, nprobe=4)
+    vf, iff = idx.exact_search(ds.xq, 10)
+    lut = {(q, int(i)): v for q in range(len(ds.xq))
+           for v, i in zip(vf[q], iff[q])}
+    for q in range(len(ds.xq)):
+        for v, i in zip(v4[q], i4[q]):
+            if (q, int(i)) in lut:
+                assert abs(lut[(q, int(i))] - v) <= 1e-5 * max(abs(v), 1.0)
+
+
+def test_bounded_search_on_sq8(ds):
+    idx = IVFFlatIndex(ds.d, 64, storage="sq8")
+    idx.train(ds.xt[:10000])
+    idx.add(ds.xb)
+    gt_D, gt_I = idx.exact_search(ds.xq, 50)
+    es = ErrorSys(idx, train_num=60, max_topk=50)
+    es.set_gt(gt_D, gt_I)
+    es.sys_train(40, ds.xq)
+    es.set_topk(10)
+    es.set_hyper(8.0, 1.0)
+    acc = np.full(60, 0.9, np.float32)
+    es.set_queries(20, ds.xq, acc)
+    D, I = es.search(40, 20)
+    thresh = gt_D[40:60, 9]
+    cnt = np.minimum((D[:, :10] <= thresh[:, None] + 1e-6).sum(1), 10)
+    assert cnt.min() / 10 >= 0.9
