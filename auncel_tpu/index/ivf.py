@@ -196,7 +196,12 @@ class IVFFlatIndex(Index):
             # device — assignment and all distances use DECODED values so
             # every path sees the same numbers.
             block = min(65536, n)
-            n_fit = (n // block) * block
+            # Pad to a block multiple on host: a ragged tail would compile a
+            # second program (expensive through the axon tunnel).
+            n_pad = _round_up(n, block)
+            if n_pad != n:
+                x = np.concatenate(
+                    [x, np.broadcast_to(x[:1], (n_pad - n, self.d))])
             if self.storage == "sq8":
                 vmin = x.min(0)
                 scale = np.maximum((x.max(0) - vmin) / 255.0,
@@ -214,14 +219,11 @@ class IVFFlatIndex(Index):
             n_choice = min(n_choice, self.nlist)
             cents = jnp.asarray(self.centroids)
             csq = sqnorms(cents)
-            ch = _assign_topk(xd[:n_fit], cents, csq, n_choice, self.metric,
-                              block)
-            parts = [np.asarray(ch)]
-            if n_fit < n:
-                tail = _assign_topk(xd[n_fit:], cents, csq, n_choice,
-                                    self.metric, n - n_fit)
-                parts.append(np.asarray(tail))
-            choices = np.concatenate(parts).astype(np.int64)
+            ch = _assign_topk(xd, cents, csq, n_choice, self.metric, block)
+            choices = np.asarray(ch)[:n].astype(np.int64)
+            xd = xd[:n]
+            if codes_d is not None:
+                codes_d = codes_d[:n]
         else:
             choices = np.zeros((0, 1), np.int64)
         assign = choices[:, 0].copy() if n else np.zeros((0,), np.int64)

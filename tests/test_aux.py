@@ -1,0 +1,68 @@
+"""Range search, ID selectors, remove_ids tests (reference
+AuxIndexStructures + IndexIVF::range_search capabilities)."""
+
+import numpy as np
+import pytest
+
+from auncel_tpu.data.synthetic import make_clustered_dataset
+from auncel_tpu.index.ivf import IVFFlatIndex
+from auncel_tpu.index.aux import (
+    range_search, remove_ids, IDSelectorRange, IDSelectorBatch)
+
+
+@pytest.fixture(scope="module")
+def built():
+    ds = make_clustered_dataset(nb=8000, nq=10, d=16, n_clusters=32, seed=5)
+    idx = IVFFlatIndex(ds.d, nlist=32)
+    idx.train(ds.xb[:4000])
+    idx.add(ds.xb)
+    return ds, idx
+
+
+def test_range_search_matches_bruteforce(built):
+    ds, idx = built
+    d2 = ((ds.xq[:, None, :] - ds.xb[None]) ** 2).sum(-1)
+    radius = float(np.quantile(d2.min(1), 0.5) * 4.0)
+    res = range_search(idx, ds.xq, radius, nprobe=32)  # full scan
+    for i in range(len(ds.xq)):
+        got = set(res.labels[res.lims[i]:res.lims[i + 1]].tolist())
+        want = set(np.where(d2[i] < radius)[0].tolist())
+        # tolerance band: distances within float error of the radius
+        border = set(np.where(np.abs(d2[i] - radius) < 1.0)[0].tolist())
+        assert got - border == want - border
+
+
+def test_range_search_partial_probe_is_subset(built):
+    ds, idx = built
+    d2 = ((ds.xq[:, None, :] - ds.xb[None]) ** 2).sum(-1)
+    radius = float(np.quantile(d2.min(1), 0.5) * 4.0)
+    full = range_search(idx, ds.xq, radius, nprobe=32)
+    part = range_search(idx, ds.xq, radius, nprobe=2)
+    for i in range(len(ds.xq)):
+        g_full = set(full.labels[full.lims[i]:full.lims[i + 1]].tolist())
+        g_part = set(part.labels[part.lims[i]:part.lims[i + 1]].tolist())
+        assert g_part <= g_full
+
+
+def test_id_selectors():
+    r = IDSelectorRange(10, 20)
+    np.testing.assert_array_equal(
+        r.is_member(np.asarray([5, 10, 19, 20])),
+        [False, True, True, False])
+    b = IDSelectorBatch([3, 7, 11])
+    np.testing.assert_array_equal(
+        b.is_member(np.asarray([3, 4, 7, 12])), [True, False, True, False])
+
+
+def test_remove_ids(built):
+    ds, _ = built
+    idx = IVFFlatIndex(ds.d, nlist=16)
+    idx.train(ds.xb[:4000])
+    idx.add(ds.xb[:1000])
+    removed = remove_ids(idx, IDSelectorRange(0, 100))
+    assert removed == 100
+    assert idx.ntotal == 900
+    _, ids = idx.exact_search(ds.xb[:5], 1)
+    assert np.all(ids[:, 0] >= 100)  # the removed rows are gone
+    _, ids2 = idx.exact_search(ds.xb[500:505], 1)
+    np.testing.assert_array_equal(ids2[:, 0], np.arange(500, 505))
