@@ -33,17 +33,18 @@ def make_clustered_dataset(
     nt: int | None = None,
     seed: int = 0,
     metric: Metric = Metric.L2,
-    cluster_std: float = 0.35,
+    cluster_std: float = 0.25,
     hard_frac: float = 0.5,
 ) -> Dataset:
-    """Overlapping Gaussian mixture in [0,1]^d, SIFT-like scale (x512).
+    """Gaussian mixture in [0,1]^d, SIFT-like scale (x512).
 
-    ``cluster_std`` is chosen so clusters overlap (intra/inter distance
-    ratio > 1): a query's true neighbors then spread across several IVF
-    cells and recall grows gradually with nprobe, like real SIFT/DEEP.
-    ``hard_frac`` of the queries are drawn near the midpoint of two cluster
-    centers — the near-Voronoi-boundary queries whose per-query difficulty
-    variance Auncel's bounded termination exists to exploit.
+    ``cluster_std=0.25`` is tuned (at d=128, nlist=nb/400) so the index
+    behaves like real SIFT/DEEP: easy queries resolve in their home cell
+    (recall@nprobe=1 ~ 0.9) while the hardest queries' true top-10 spread
+    over up to ~20% of nlist coarse ranks — a real difficulty gradient with
+    a bounded worst case. ``hard_frac`` of the queries are drawn wider
+    (farther from cluster cores, nearer Voronoi boundaries); their variance
+    is what Auncel's per-query bounded termination exploits.
     """
     rng = np.random.RandomState(seed)
     centers = rng.rand(n_clusters, d).astype(np.float32)
@@ -64,7 +65,7 @@ def make_clustered_dataset(
     # those, and real benchmark queries don't look like that.
     n_hard = int(nq * hard_frac)
     xq = np.concatenate([draw(nq - n_hard, widen=1.0),
-                         draw(n_hard, widen=1.6)])
+                         draw(n_hard, widen=1.5)])
     rng.shuffle(xq)
     xt = draw(nt) if nt is not None else xb
     if metric is Metric.IP:

@@ -158,7 +158,7 @@ def test_bound_guarantee_worst_case(trained_sys):
     es.set_queries(n_test, ds.xq, acc, alloc_size=400)
     # calibration margin, as the reference ships per-workload in
     # hyperparameter.txt (e.g. 9.3 for SIFT10M at eps=10%)
-    es.set_hyper(multipler=8.0, std_m=1.0)
+    es.set_hyper(multipler=12.0, std_m=1.0)
     D, I = es.search(200, n_test)
     thresh = gt_D[200:400, k - 1]
     cnt = (D[:, :k] <= thresh[:, None] + 1e-6).sum(1)
