@@ -55,17 +55,27 @@ class OperatingPoints:
         return None
 
 
+def recall_counts(D: np.ndarray, gt_D: np.ndarray, k: int,
+                  metric: Metric) -> np.ndarray:
+    """Distance-threshold intersection count per query (reference
+    ``inter_sec``, eval/bound.cpp:117-128). The slack is RELATIVE: the
+    reference's absolute 1e-6 silently fails at large distance scales when
+    the k-th GT distance is hit by a vector whose distance was computed by
+    a differently-shaped (equally exact) kernel."""
+    thresh = gt_D[:, k - 1]
+    slack = np.maximum(1e-6, 1e-5 * np.abs(thresh))
+    if metric is Metric.L2:
+        cnt = (D[:, :k] <= (thresh + slack)[:, None]).sum(1)
+    else:
+        cnt = (D[:, :k] >= (thresh - slack)[:, None]).sum(1)
+    return np.minimum(cnt, k)
+
+
 def worst_case_recall(D: np.ndarray, gt_D: np.ndarray, k: int,
                       metric: Metric) -> float:
     """min over queries of the distance-threshold intersection (the
-    worst-case IntersectionCriterion, faiss/AutoTune.cpp:93-101 +
-    eval/bound.cpp:117-128)."""
-    thresh = gt_D[:, k - 1]
-    if metric is Metric.L2:
-        cnt = (D[:, :k] <= thresh[:, None] + 1e-6).sum(1)
-    else:
-        cnt = (D[:, :k] >= thresh[:, None] - 1e-6).sum(1)
-    return float(np.min(np.minimum(cnt, k)) / k)
+    worst-case IntersectionCriterion, faiss/AutoTune.cpp:93-101)."""
+    return float(recall_counts(D, gt_D, k, metric).min() / k)
 
 
 class ParameterSpace:

@@ -307,24 +307,42 @@ class IVFFlatIndex(Index):
 
     def search(self, q: np.ndarray, k: int,
                nprobe: int | None = None):
+        import time as _time
+        from auncel_tpu.index.aux import ivf_stats
         nprobe = int(nprobe if nprobe is not None else self.nprobe)
         nprobe = min(nprobe, self.nlist)
         q = jnp.asarray(np.asarray(q, np.float32))
+        t0 = _time.perf_counter()
         vals, ids = ivf_search_fixed(self.arrays, q, k, nprobe, self.metric)
-        return np.asarray(vals), np.asarray(ids, np.int64)
+        out = np.asarray(vals), np.asarray(ids, np.int64)
+        # global counters (reference indexIVF_stats, IndexIVF.h:361-374)
+        ivf_stats.nq += q.shape[0]
+        ivf_stats.nlist_scanned += q.shape[0] * nprobe
+        ivf_stats.ndis += q.shape[0] * nprobe * self.arrays.cap
+        ivf_stats.search_time_ms += (_time.perf_counter() - t0) * 1e3
+        return out
 
     def exact_search(self, q: np.ndarray, k: int, batch: int = 1024):
         """Full scan (nprobe = nlist): exact results whose distance values
-        are bit-consistent with every partial scan — the profile trainer's
+        are consistent with the probe-scan path — the profile trainer's
         ground truth source (reference uses file GT; value-matching in
-        ``kscaling`` demands consistency, IVF_pro.cpp:72-82)."""
+        ``kscaling`` demands consistency, IVF_pro.cpp:72-82). Uses the
+        gather-free shared-block scan: total HBM traffic = |db| per batch."""
+        from auncel_tpu.index.scan import ivf_full_scan
         q = np.asarray(q, np.float32)
-        out_v, out_i = [], []
-        for q0 in range(0, q.shape[0], batch):
-            v, i = self.search(q[q0:q0 + batch], k, nprobe=self.nlist)
-            out_v.append(v)
-            out_i.append(i)
-        return np.concatenate(out_v, 0), np.concatenate(out_i, 0)
+        nq = q.shape[0]
+        batch = min(batch, max(nq, 1))
+        out_v = np.empty((nq, k), np.float32)
+        out_i = np.empty((nq, k), np.int64)
+        for q0 in range(0, nq, batch):
+            q1 = min(q0 + batch, nq)
+            qb = np.zeros((batch, self.d), np.float32)
+            qb[: q1 - q0] = q[q0:q1]
+            v, i = ivf_full_scan(self.arrays, jnp.asarray(qb), k,
+                                 self.metric)
+            out_v[q0:q1] = np.asarray(v)[: q1 - q0]
+            out_i[q0:q1] = np.asarray(i)[: q1 - q0]
+        return out_v, out_i
 
     def coarse_rank_np(self, q: np.ndarray):
         q = jnp.asarray(np.asarray(q, np.float32))

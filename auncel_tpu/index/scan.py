@@ -156,6 +156,56 @@ def scan_probe_range(
     return jax.lax.fori_loop(0, n_chunks, body, (vals, ids))
 
 
+@functools.partial(jax.jit, static_argnames=("k", "metric", "list_chunk"))
+def ivf_full_scan(
+    arrays: IVFArrays,
+    q: jax.Array,
+    k: int,
+    metric: Metric,
+    list_chunk: int = 8,
+):
+    """Exact full scan (nprobe = nlist) without per-query gathers: every
+    query probes every list, so each list block is read from HBM ONCE for
+    the whole batch and contracted on the MXU — total traffic = |db|, not
+    B x |db|. Distance arithmetic (same d-length MXU contraction in f32
+    HIGHEST) matches the probe-scan path within the profile trainer's
+    kscaling tolerance."""
+    from auncel_tpu.ops.distance import sqnorms
+    B = q.shape[0]
+    nlist, cap, d = arrays.db.shape
+    worst = worst_value(metric)
+    q_sq = sqnorms(q)
+    C = max(1, min(list_chunk, nlist))
+    n_chunks = nlist // C
+    assert nlist % C == 0, "list_chunk must divide nlist"
+
+    def body(ci, carry):
+        rvals, rids = carry
+        blk = jax.lax.dynamic_slice_in_dim(arrays.db, ci * C, C, 0)
+        blk_sq = jax.lax.dynamic_slice_in_dim(arrays.db_sq, ci * C, C, 0)
+        blk_ids = jax.lax.dynamic_slice_in_dim(arrays.vec_ids, ci * C, C, 0)
+        if arrays.sq_scale is not None:
+            blk = blk.astype(jnp.float32) * arrays.sq_scale + arrays.sq_bias
+        dots = jnp.einsum(
+            "pcd,bd->bpc", blk, q.astype(blk.dtype),
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST)
+        if metric is Metric.L2:
+            scores = q_sq[:, None, None] + blk_sq[None] - 2.0 * dots
+        else:
+            scores = dots
+        valid = (blk_ids >= 0)[None]
+        scores = jnp.where(valid, scores, worst).reshape(B, C * cap)
+        ids = jnp.broadcast_to(blk_ids[None], (B, C, cap)).reshape(
+            B, C * cap)
+        allv = jnp.concatenate([rvals, scores], axis=-1)
+        alli = jnp.concatenate([rids, ids], axis=-1)
+        return topk_scores(allv, alli, k, metric)
+
+    init = init_topk((B,), k, metric)
+    return jax.lax.fori_loop(0, n_chunks, body, init)
+
+
 @functools.partial(jax.jit, static_argnames=("k", "nprobe", "metric"))
 def ivf_search_fixed(
     arrays: IVFArrays,

@@ -239,10 +239,6 @@ class ErrorSys:
         return self.multipler
 
     def _min_recall(self, D: np.ndarray, start: int, size: int) -> float:
-        k = self.query_topk
-        thresh = self.gt_D[start:start + size, k - 1]
-        if self.index.metric is Metric.L2:
-            cnt = (D[:, :k] <= thresh[:, None] + 1e-6).sum(1)
-        else:
-            cnt = (D[:, :k] >= thresh[:, None] - 1e-6).sum(1)
-        return float(np.min(np.minimum(cnt, k)) / k)
+        from auncel_tpu.autotune import worst_case_recall
+        return worst_case_recall(D, self.gt_D[start:start + size],
+                                 self.query_topk, self.index.metric)

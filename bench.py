@@ -85,8 +85,9 @@ def main():
             D_out, I_out = es.search(N_TRAIN_Q, N_TEST_Q)
         dt = (time.perf_counter() - t0) / reps
         # Worst-case bound verification (eval/bound.cpp:404-414).
-        thresh = gt_D[N_TRAIN_Q:, K - 1]
-        cnt = np.minimum((D_out[:, :K] <= thresh[:, None] + 1e-6).sum(1), K)
+        from auncel_tpu.autotune import recall_counts
+        from auncel_tpu.types import Metric
+        cnt = recall_counts(D_out, gt_D[N_TRAIN_Q:], K, Metric.L2)
         return N_TEST_Q / dt, cnt.min() / K, cnt.mean() / K
 
     # The bound is the product; if the calibrated multiplier does not hold

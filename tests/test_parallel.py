@@ -63,8 +63,9 @@ def test_sharded_bounded_search_bound_composes(ds, sharded):
     gt_vals, gt_ids = flat.search(ds.xq, 50)
     acc = np.full(40, 0.9, np.float32)
     vals, ids, n_scanned = sharded.search_bounded(ds.xq, acc, query_k=10)
-    thresh = gt_vals[:, 9]
-    cnt = np.minimum((vals[:, :10] <= thresh[:, None] + 1e-6).sum(1), 10)
+    from auncel_tpu.autotune import recall_counts
+    from auncel_tpu.types import Metric
+    cnt = recall_counts(vals, gt_vals, 10, Metric.L2)
     assert cnt.min() / 10 >= 0.9
     assert n_scanned.shape == (4, 40)
     assert n_scanned.max() <= 32

@@ -160,9 +160,9 @@ def test_bound_guarantee_worst_case(trained_sys):
     # hyperparameter.txt (e.g. 9.3 for SIFT10M at eps=10%)
     es.set_hyper(multipler=12.0, std_m=1.0)
     D, I = es.search(200, n_test)
-    thresh = gt_D[200:400, k - 1]
-    cnt = (D[:, :k] <= thresh[:, None] + 1e-6).sum(1)
-    min_recall = np.min(np.minimum(cnt, k)) / k
+    from auncel_tpu.autotune import recall_counts
+    cnt = recall_counts(D, gt_D[200:400], k, Metric.L2)
+    min_recall = cnt.min() / k
     assert min_recall >= 1.0 - eps, f"bound violated: {min_recall}"
     # and it must not degenerate to always-full-scan
     assert np.mean(es.n_scanned[200:400]) < 64
@@ -246,7 +246,7 @@ def test_calibrate_meets_bound(trained_sys):
     m = es.calibrate(200, 100, target_bound=0.9)
     assert 1.0 <= m <= 64.0
     D, I = es.search(300, 100)
-    thresh = gt_D[300:400, 9]
-    cnt = (D[:, :10] <= thresh[:, None] + 1e-6).sum(1)
+    from auncel_tpu.autotune import recall_counts
+    cnt = recall_counts(D, gt_D[300:400], 10, Metric.L2)
     # calibrated on held-out 200-300; check generalization loosely on 300-400
-    assert np.min(np.minimum(cnt, 10)) / 10 >= 0.8
+    assert cnt.min() / 10 >= 0.8

@@ -79,6 +79,6 @@ def test_bounded_search_on_sq8(ds):
     acc = np.full(60, 0.9, np.float32)
     es.set_queries(20, ds.xq, acc)
     D, I = es.search(40, 20)
-    thresh = gt_D[40:60, 9]
-    cnt = np.minimum((D[:, :10] <= thresh[:, None] + 1e-6).sum(1), 10)
+    from auncel_tpu.autotune import recall_counts
+    cnt = recall_counts(D, gt_D[40:60], 10, Metric.L2)
     assert cnt.min() / 10 >= 0.9
