@@ -204,38 +204,55 @@ class ErrorSys:
         return len(a & b) / topk
 
     def calibrate(self, start: int, size: int, target_bound: float,
-                  max_multipler: float = 64.0, safety: float = 1.5) -> float:
-        """Auto-tune ``multipler`` on held-out queries: smallest value whose
-        *worst-case* recall@query_k meets the bound, times a ``safety``
-        margin (the worst case over a finite calibration sample
-        under-estimates the worst case over unseen queries; the reference's
-        hand-tuned hyperparameter.txt values carry the same kind of slack).
-        Uses distance-threshold intersection like eval/bound.cpp:117-128."""
+                  max_multipler: float = 64.0, safety: float = 1.5,
+                  std_m_grid: tuple = (0.2, 1.0, 4.0, 8.0, 12.0)) -> float:
+        """Auto-tune ``(multipler, std_m)`` on held-out queries — the two
+        knobs the reference hand-tunes per workload into hyperparameter.txt
+        (its shipped std_m values span 0.2..12.0!). For each std_m in the
+        grid, binary-search the smallest multipler whose *worst-case*
+        recall@query_k meets the bound on one half, validate on the other
+        half, and keep the combination with the lowest scan cost; a
+        ``safety`` margin covers the worst-case generalization gap of a
+        finite calibration sample."""
         assert self.gt_D is not None and self.gt_I is not None
         half = size // 2
-        lo, hi = 1.0, max_multipler
-        best = max_multipler
-        for _ in range(8):
-            mid = (lo + hi) / 2.0
-            self.multipler = mid
-            D, I = self.search(start, half)
-            minr = self._min_recall(D, start, half)
-            if minr >= target_bound:
-                best = mid
-                hi = mid
-            else:
-                lo = mid
-        # Escalate until the held-out half of the calibration set passes too
-        # (a cheap generalization check the reference's manual tuning does
-        # implicitly), then add the safety margin.
-        m = best
-        while m < max_multipler:
-            self.multipler = m
-            D, I = self.search(start + half, size - half)
-            if self._min_recall(D, start + half, size - half) >= target_bound:
-                break
-            m *= 1.5
-        self.multipler = min(m * safety, max_multipler)
+        best_cost = np.inf
+        best_pair = (max_multipler, 1.0)
+        for sm in std_m_grid:
+            self.std_m = float(sm)
+            lo, hi = 1.0, max_multipler
+            best = None
+            for _ in range(7):
+                mid = (lo + hi) / 2.0
+                self.multipler = mid
+                D, I = self.search(start, half)
+                if self._min_recall(D, start, half) >= target_bound:
+                    best = mid
+                    hi = mid
+                else:
+                    lo = mid
+            if best is None:
+                continue
+            # Escalate until the held-out half passes too (a cheap
+            # generalization check the reference's manual tuning does
+            # implicitly).
+            m = best
+            ok = False
+            while m <= max_multipler:
+                self.multipler = m
+                D, I = self.search(start + half, size - half)
+                if (self._min_recall(D, start + half, size - half)
+                        >= target_bound):
+                    ok = True
+                    break
+                m *= 1.5
+            if not ok:
+                continue
+            cost = float(self.n_scanned[start:start + size].mean())
+            if cost < best_cost:
+                best_cost = cost
+                best_pair = (min(m * safety, max_multipler), float(sm))
+        self.multipler, self.std_m = best_pair
         return self.multipler
 
     def _min_recall(self, D: np.ndarray, start: int, size: int) -> float:

@@ -46,16 +46,41 @@ T0 = time.time()
 
 
 def main():
+    import os
     import auncel_tpu as at
     from auncel_tpu.data import make_clustered_dataset
 
-    log(f"generating synthetic dataset {NB}x{D}")
-    ds = make_clustered_dataset(nb=NB, nq=N_TRAIN_Q + N_TEST_Q, d=D,
-                                n_clusters=4096, seed=42)
+    cache_dir = os.environ.get("BENCH_CACHE", ".bench_cache")
+    os.makedirs(cache_dir, exist_ok=True)
+    ds_cache = os.path.join(cache_dir, f"ds_{NB}_{D}_v3.npz")
+    cen_cache = os.path.join(cache_dir, f"centroids_{NB}_{D}_{NLIST}_v3.npy")
+
+    if os.path.exists(ds_cache):
+        log("loading cached dataset")
+        with np.load(ds_cache) as z:
+            xb, xq = z["xb"], z["xq"]
+    else:
+        log(f"generating synthetic dataset {NB}x{D}")
+        ds = make_clustered_dataset(nb=NB, nq=N_TRAIN_Q + N_TEST_Q, d=D,
+                                    n_clusters=1024, cluster_std=0.22,
+                                    query_mode="perturb", seed=42)
+        xb, xq = ds.xb, ds.xq
+        np.savez(ds_cache, xb=xb, xq=xq)
+
+    class _DS:
+        pass
+    ds = _DS()
+    ds.xb, ds.xq, ds.xt = xb, xq, xb
 
     log(f"building IVF{NLIST},Flat")
     idx = at.IVFFlatIndex(D, NLIST)
-    idx.train(ds.xt[: min(NB, 400_000)])
+    if os.path.exists(cen_cache):
+        idx.set_centroids(np.load(cen_cache))
+        log("loaded cached centroids")
+    else:
+        idx.train(ds.xt[: min(NB, 400_000)])
+        np.save(cen_cache, idx.centroids)
+        log("k-means trained")
     idx.add(ds.xb)
     _ = idx.arrays
     log(f"packed: cap={idx.arrays.cap} efficiency="
