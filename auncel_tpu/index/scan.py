@@ -109,23 +109,30 @@ def scan_probe_range(
     width: int,              # static number of probe slots to scan
     metric: Metric,
     probe_chunk: int | None = None,
+    merge_every: int = 8,
 ):
     """Scan probe slots [start, start+width) for every query in the batch.
 
-    Probes are processed ``probe_chunk`` at a time: one gather
-    [B, C, cap, d], one batched MXU contraction, one top-k merge per chunk.
+    Two-level chunking: gathers happen ``C`` probes at a time (bounded by
+    the gather-buffer memory budget), but the expensive exact top-k merge
+    runs only once per ``merge_every`` gathers — scores accumulate in a
+    [B, M*cap] buffer between merges. top-k selection, not bandwidth, is
+    the measured wall-clock bottleneck of the XLA scan at large batch.
     """
     k = vals.shape[-1]
     worst = worst_value(metric)
     B = q.shape[0]
     C = probe_chunk or pick_probe_chunk(B, arrays.cap, arrays.d, width)
-    n_chunks = -(-width // C)
+    M = min(merge_every * C, max(width, 1))      # probes per merge
+    M = max(M - M % C, C)                        # multiple of C
+    n_merges = -(-width // M)
+    gathers_per_merge = M // C
     nlist = arrays.nlist
+    cap = arrays.cap
 
-    def body(ci, carry):
-        rvals, rids = carry
-        ik0 = start + ci * C
-        iks = ik0 + jnp.arange(C, dtype=jnp.int32)          # [C]
+    def gather_scores(ik0):
+        """Scores/ids for C probes starting at slot ik0: [B, C*cap]."""
+        iks = ik0 + jnp.arange(C, dtype=jnp.int32)
         slot_ok = iks < start + width
         safe_iks = jnp.clip(iks, 0, nlist - 1)
         lists = jnp.take_along_axis(
@@ -146,14 +153,37 @@ def scan_probe_range(
             scores = dots
         active = ((iks[None, :, None] < limit[:, None, None]) &
                   slot_ok[None, :, None] & (sub_ids >= 0))
-        scores = jnp.where(active, scores, worst).reshape(B, C * arrays.cap)
-        sub_ids = jnp.where(active, sub_ids, -1).reshape(B, C * arrays.cap)
+        scores = jnp.where(active, scores, worst).reshape(B, C * cap)
+        sub_ids = jnp.where(active, sub_ids, -1).reshape(B, C * cap)
+        return scores, sub_ids
+
+    def merge_body(mi, carry):
+        rvals, rids = carry
+        base = start + mi * M
+
+        if gathers_per_merge == 1:
+            scores, sub_ids = gather_scores(base)
+        else:
+            buf_s = jnp.full((B, M * cap), worst, jnp.float32)
+            buf_i = jnp.full((B, M * cap), -1, jnp.int32)
+
+            def g_body(gi, bufs):
+                bs, bi = bufs
+                s, si = gather_scores(base + gi * C)
+                off = gi * C * cap
+                bs = jax.lax.dynamic_update_slice(bs, s, (0, off))
+                bi = jax.lax.dynamic_update_slice(bi, si, (0, off))
+                return bs, bi
+
+            scores, sub_ids = jax.lax.fori_loop(
+                0, gathers_per_merge, g_body, (buf_s, buf_i))
+
         allv = jnp.concatenate([rvals, scores], axis=-1)
         alli = jnp.concatenate([rids, sub_ids], axis=-1)
         return topk_scores(allv, alli, k, metric)
 
     start = jnp.asarray(start, jnp.int32)
-    return jax.lax.fori_loop(0, n_chunks, body, (vals, ids))
+    return jax.lax.fori_loop(0, n_merges, merge_body, (vals, ids))
 
 
 @functools.partial(jax.jit, static_argnames=("k", "metric", "list_chunk"))

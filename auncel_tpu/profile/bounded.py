@@ -106,6 +106,60 @@ def _simulate_cur_num(p: jax.Array, first_ok: jax.Array,
 
 
 @functools.partial(
+    jax.jit, static_argnames=("query_k", "max_topk", "metric"))
+def bounded_search_decide(
+    arrays: IVFArrays,
+    traces: TraceSet,
+    q: jax.Array,
+    require_acc: jax.Array,
+    multipler: jax.Array,
+    std_m: jax.Array,
+    query_k: int,
+    max_topk: int,
+    metric: Metric,
+):
+    """Phase A of the two-phase throughput path: run only the decision
+    waves (stages 1..nlist/8). Returns (vals, ids, my_nprobe, decided_at,
+    cids, q_sq) — phase B (finish_scan) completes each query's own probe
+    budget on right-sized query buckets, so one straggler no longer drags
+    the whole batch through masked full-width waves."""
+    return _bounded_waves(arrays, traces, q, require_acc, multipler, std_m,
+                          query_k, max_topk, metric, decide_only=True)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("start", "width", "metric"))
+def finish_scan(
+    arrays: IVFArrays,
+    q: jax.Array,
+    q_sq: jax.Array,
+    cids: jax.Array,
+    vals: jax.Array,
+    ids: jax.Array,
+    my_np: jax.Array,
+    start: int,
+    width: int,
+    metric: Metric,
+):
+    """Phase B: scan probe slots [start, start+width) with per-query limit
+    my_np (mask semantics identical to the reference's break at
+    stage >= my_nprobe)."""
+    return scan_probe_range(arrays, q, q_sq, cids, vals, ids, my_np,
+                            start, width, metric)
+
+
+def _bounded_waves(arrays, traces, q, require_acc, multipler, std_m,
+                   query_k, max_topk, metric, decide_only=False,
+                   gt_kth=None, with_true_recall=False):
+    """Shared wave-loop body for bounded_search / bounded_search_decide."""
+    return _bounded_impl(arrays, traces, q, require_acc, multipler, std_m,
+                         gt_kth if gt_kth is not None
+                         else jnp.zeros(q.shape[0], jnp.float32),
+                         query_k, max_topk, metric, with_true_recall,
+                         decide_only)
+
+
+@functools.partial(
     jax.jit,
     static_argnames=("query_k", "max_topk", "metric", "with_true_recall"))
 def bounded_search(
@@ -123,6 +177,13 @@ def bounded_search(
 ):
     """Returns (vals [B, max_topk], ids, my_nprobe [B], n_scanned [B],
     true_recall [B])."""
+    return _bounded_impl(arrays, traces, q, require_acc, multipler, std_m,
+                         gt_kth, query_k, max_topk, metric,
+                         with_true_recall, decide_only=False)
+
+
+def _bounded_impl(arrays, traces, q, require_acc, multipler, std_m, gt_kth,
+                  query_k, max_topk, metric, with_true_recall, decide_only):
     B = q.shape[0]
     nlist = arrays.nlist
     q_sq = sqnorms(q)
@@ -140,7 +201,10 @@ def bounded_search(
 
     state = (vals, ids, my_np, decided_at, stoped, pre_val)
     prev = 0
-    for wave_i, stage in enumerate(wave_boundaries(nlist)):
+    boundaries = wave_boundaries(nlist)
+    if decide_only:
+        boundaries = [b for b in boundaries if b <= nlist // 8]
+    for wave_i, stage in enumerate(boundaries):
         width = stage - prev
         is_decision = stage <= nlist // 8
         is_forced = stage >= nlist // 8  # forced decision (IndexIVF.cpp:619)
@@ -189,6 +253,8 @@ def bounded_search(
 
     vals, ids, my_np, decided_at, stoped, pre_val = state
     n_scanned = jnp.minimum(jnp.maximum(my_np, decided_at), nlist)
+    if decide_only:
+        return vals, ids, my_np, decided_at, cids, q_sq
 
     if with_true_recall:
         # Reference profile mode (IndexIVF.cpp:578-588,624-627): count heap

@@ -28,7 +28,8 @@ from auncel_tpu.profile import hyper
 from auncel_tpu.profile.trainer import train_profile, train_stages
 from auncel_tpu.profile.trace import (
     TraceSet, save_trace_set, load_trace_set)
-from auncel_tpu.profile.bounded import bounded_search, budgeted_search
+from auncel_tpu.profile.bounded import (
+    bounded_search, bounded_search_decide, finish_scan, budgeted_search)
 
 
 class ErrorSys:
@@ -127,12 +128,29 @@ class ErrorSys:
                 return b
         return size
 
-    def search(self, start: int, search_size: int = -1):
+    # Phase-B row buckets: query subsets are padded up to these row counts
+    # so the tail-scan programs compile for a handful of shapes only.
+    ROW_BUCKETS = (16, 128, 1024)
+
+    def search(self, start: int, search_size: int = -1,
+               two_phase: bool | None = None):
         """Bounded search over queries[start : start+size]. Returns
         (D [size, max_topk], I [size, max_topk]) and records
-        my_nprobe / n_scanned / t_recalls at absolute positions."""
+        my_nprobe / n_scanned / t_recalls at absolute positions.
+
+        Execution: phase A runs the decision waves (stages 1..nlist/8) for
+        the whole batch in one dispatch; phase B re-batches only the
+        queries whose decided budget exceeds nlist/8 into right-sized
+        probe-width buckets, so easy queries never pay for stragglers.
+        Single-phase (one dispatch, masked waves to nlist) is used for
+        tiny batches where the mid-search host sync would dominate.
+        """
         assert self.is_trained, "sys_train before search (profile.cpp:212)"
         size = self.num if search_size == -1 else search_size
+        nlist = self.index.nlist
+        cap_stage = nlist // 8
+        if two_phase is None:
+            two_phase = size > 8
         bsz = self._bucket(size)
         q = np.zeros((bsz, self.index.d), np.float32)
         q[:size] = self.queries[start:start + size]
@@ -142,18 +160,78 @@ class ErrorSys:
         gt_kth = np.zeros(bsz, np.float32)
         if want_true:
             gt_kth[:size] = self.gt_D[start:start + size, self.query_topk - 1]
-        vals, ids, my_np, n_scanned, t_rec = bounded_search(
-            self.index.arrays, self.traces, jnp.asarray(q),
-            jnp.asarray(acc), jnp.float32(self.multipler),
-            jnp.float32(self.std_m), jnp.asarray(gt_kth),
-            self.query_topk, self.max_topk, self.index.metric,
-            with_true_recall=want_true)
-        self.my_nprobe[start:start + size] = np.asarray(my_np)[:size]
-        self.n_scanned[start:start + size] = np.asarray(n_scanned)[:size]
-        if want_true:
-            self.t_recalls[start:start + size] = np.asarray(t_rec)[:size]
-        return (np.asarray(vals)[:size],
-                np.asarray(ids, np.int64)[:size])
+
+        if not two_phase:
+            vals, ids, my_np, n_scanned, t_rec = bounded_search(
+                self.index.arrays, self.traces, jnp.asarray(q),
+                jnp.asarray(acc), jnp.float32(self.multipler),
+                jnp.float32(self.std_m), jnp.asarray(gt_kth),
+                self.query_topk, self.max_topk, self.index.metric,
+                with_true_recall=want_true)
+            vals = np.asarray(vals)
+            ids = np.asarray(ids)
+            my_np = np.asarray(my_np)
+            n_scanned = np.asarray(n_scanned)
+            if want_true:
+                self.t_recalls[start:start + size] = np.asarray(t_rec)[:size]
+        else:
+            vals_d, ids_d, my_np_d, decided_d, cids_d, q_sq_d = \
+                bounded_search_decide(
+                    self.index.arrays, self.traces, jnp.asarray(q),
+                    jnp.asarray(acc), jnp.float32(self.multipler),
+                    jnp.float32(self.std_m), self.query_topk,
+                    self.max_topk, self.index.metric)
+            my_np = np.asarray(my_np_d)
+            decided = np.asarray(decided_d)
+            target = np.minimum(np.maximum(my_np, decided), nlist)
+            vals = np.array(vals_d)   # writable copies
+            ids = np.array(ids_d)
+            need = np.where(target > cap_stage)[0]
+            if need.size:
+                # bucket stragglers by probe width and by row count
+                widths = []
+                w = cap_stage * 2
+                while w <= nlist:
+                    widths.append(w)
+                    w *= 2
+                if widths[-1] != nlist:
+                    widths.append(nlist)
+                for w in widths:
+                    lo = cap_stage if w == widths[0] else widths[
+                        widths.index(w) - 1]
+                    rows = need[(target[need] > lo) & (target[need] <= w)]
+                    if rows.size == 0:
+                        continue
+                    rb = next(b for b in self.ROW_BUCKETS
+                              if rows.size <= b) if rows.size <= \
+                        self.ROW_BUCKETS[-1] else rows.size
+                    sel = np.zeros(rb, np.int64)
+                    sel[:rows.size] = rows
+                    fv, fi = finish_scan(
+                        self.index.arrays,
+                        jnp.asarray(q[sel]), q_sq_d[jnp.asarray(sel)],
+                        cids_d[jnp.asarray(sel)],
+                        vals_d[jnp.asarray(sel)], ids_d[jnp.asarray(sel)],
+                        my_np_d[jnp.asarray(sel)],
+                        cap_stage, w - cap_stage, self.index.metric)
+                    vals[rows] = np.asarray(fv)[:rows.size]
+                    ids[rows] = np.asarray(fi)[:rows.size]
+            n_scanned = target
+            if want_true:
+                from auncel_tpu.profile.bounded import TRUE_RECALL_SLACK
+                if self.index.metric is Metric.L2:
+                    cnt = (vals <= gt_kth[:, None] *
+                           TRUE_RECALL_SLACK).sum(1)
+                else:
+                    cnt = (vals >= gt_kth[:, None] *
+                           (2.0 - TRUE_RECALL_SLACK)).sum(1)
+                t_rec = np.where(my_np >= nlist, 1.0,
+                                 cnt / float(self.query_topk))
+                self.t_recalls[start:start + size] = t_rec[:size]
+
+        self.my_nprobe[start:start + size] = my_np[:size]
+        self.n_scanned[start:start + size] = n_scanned[:size]
+        return vals[:size], ids[:size].astype(np.int64)
 
     # -------------------------------------------------------- time budget
 

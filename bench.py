@@ -73,7 +73,10 @@ def main():
     ds.xb, ds.xq, ds.xt = xb, xq, xb
 
     log(f"building IVF{NLIST},Flat")
-    idx = at.IVFFlatIndex(D, NLIST)
+    # cap_quantile 0.9: ~1% of lists are k-means mega-cells (4-5x mean);
+    # capping at p90 + spilling overflow to next-nearest lists keeps the
+    # padded layout tight (scan bandwidth ~ cap).
+    idx = at.IVFFlatIndex(D, NLIST, cap_quantile=0.9)
     if os.path.exists(cen_cache):
         idx.set_centroids(np.load(cen_cache))
         log("loaded cached centroids")
