@@ -231,13 +231,19 @@ class IVFFlatIndex(Index):
         if self.cap_quantile < 1.0 and n and self.nlist > 4:
             cap = max(int(np.quantile(sizes, self.cap_quantile)),
                       -(-n // self.nlist))
-            # evict overflow to 2nd/3rd/4th-nearest lists with room
+            # evict overflow to 2nd/3rd/4th-nearest lists with room;
+            # spill the members FARTHEST from the centroid — they sit near
+            # the cell boundary, so their next-nearest list is a
+            # geometrically sensible home (closest members keep the cell's
+            # Voronoi semantics intact)
             room = cap - np.minimum(sizes, cap)
             order0 = np.argsort(assign, kind="stable")
             starts0 = np.zeros(self.nlist + 1, np.int64)
             np.cumsum(sizes, out=starts0[1:])
             for l in np.where(sizes > cap)[0]:
                 members = order0[starts0[l]:starts0[l + 1]]
+                d2c = ((x[members] - self.centroids[l]) ** 2).sum(1)
+                members = members[np.argsort(d2c)]
                 for v in members[cap:]:
                     placed = False
                     for alt in choices[v, 1:]:

@@ -41,6 +41,14 @@ class KmeansParams(NamedTuple):
     # kmeans++ D^2-sampled init is an upgrade over the reference's random
     # permutation init (Clustering.cpp:150-155): better-balanced clusters
     # mean less padding waste in the dense [nlist, cap, d] IVF layout.
+    balance_iters: int = 6
+    # In the last `balance_iters` Lloyd rounds, clusters starved below
+    # `starve_frac` x mean size are teleported as +/-eps splits of the
+    # largest clusters (a generalization of the reference's empty-cluster
+    # split). The padded dense layout's memory AND scan bandwidth scale
+    # with the max list size, so taming 4-5x mega-cells matters more here
+    # than the tiny quantization-error increase.
+    starve_frac: float = 0.25
 
 
 class KmeansResult(NamedTuple):
@@ -69,10 +77,11 @@ def _assign(x, centroids, c_sq, block):
 
 
 @functools.partial(jax.jit, static_argnames=("k", "spherical"))
-def _update(x, assign, k, spherical):
-    """Mean update + deterministic empty-cluster split (km_update_centroids
-    semantics, utils.cpp:1078: an empty cluster steals a perturbed copy of a
-    big cluster's centroid)."""
+def _update(x, assign, k, spherical, starve_threshold=0.0):
+    """Mean update + deterministic empty/starved-cluster split
+    (km_update_centroids semantics, utils.cpp:1078: an empty cluster steals
+    a perturbed copy of a big cluster's centroid; we optionally extend
+    "empty" to "starved" to balance list sizes for the padded layout)."""
     n, d = x.shape
     counts = jnp.zeros((k,), jnp.float32).at[assign].add(1.0)
     sums = jax.ops.segment_sum(x, assign, num_segments=k)
@@ -82,7 +91,7 @@ def _update(x, assign, k, spherical):
     # cluster's centroid with a +/- eps symmetric perturbation (eps = 1/1024,
     # alternating sign by dimension — reference utils.cpp:1118-1133).
     eps = 1.0 / 1024.0
-    is_empty = counts == 0
+    is_empty = counts <= starve_threshold
     donor_order = jnp.argsort(-counts)            # largest first
     empty_rank = jnp.cumsum(is_empty.astype(jnp.int32)) - 1  # rank among empties
     donor = donor_order[jnp.clip(empty_rank, 0, k - 1)]
@@ -171,7 +180,13 @@ def kmeans(
             c_sq = sqnorms(centroids)
             assign, dists = _assign(xd, centroids, c_sq, block)
             err_dev = jnp.sum(dists)  # fetched once after the loop:
-            centroids, _ = _update(xd, assign, k, spherical)
+            # balance in late-but-not-last rounds so every teleported
+            # centroid still gets Lloyd-refined afterwards
+            balancing = (params.niter - 1 - params.balance_iters <= it
+                         < params.niter - 1)
+            thr = (params.starve_frac * n_fit / k) if balancing else 0.0
+            centroids, _ = _update(xd, assign, k, spherical,
+                                   starve_threshold=jnp.float32(thr))
             if params.verbose:  # verbose forces a 40ms+ host sync per iter
                 print(f"  kmeans redo {redo} iter {it}: "
                       f"err={float(err_dev):.4g}")

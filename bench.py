@@ -53,7 +53,7 @@ def main():
     cache_dir = os.environ.get("BENCH_CACHE", ".bench_cache")
     os.makedirs(cache_dir, exist_ok=True)
     ds_cache = os.path.join(cache_dir, f"ds_{NB}_{D}_v3.npz")
-    cen_cache = os.path.join(cache_dir, f"centroids_{NB}_{D}_{NLIST}_v3.npy")
+    cen_cache = os.path.join(cache_dir, f"centroids_{NB}_{D}_{NLIST}_v4.npy")
 
     if os.path.exists(ds_cache):
         log("loading cached dataset")
@@ -73,10 +73,10 @@ def main():
     ds.xb, ds.xq, ds.xt = xb, xq, xb
 
     log(f"building IVF{NLIST},Flat")
-    # cap_quantile 0.9: ~1% of lists are k-means mega-cells (4-5x mean);
-    # capping at p90 + spilling overflow to next-nearest lists keeps the
-    # padded layout tight (scan bandwidth ~ cap).
-    idx = at.IVFFlatIndex(D, NLIST, cap_quantile=0.9)
+    # cap_quantile 0.97 + farthest-first spill: k-means mega-cells (3x mean
+    # even after balanced training) would otherwise set the pad width the
+    # whole scan pays for.
+    idx = at.IVFFlatIndex(D, NLIST, cap_quantile=0.97)
     if os.path.exists(cen_cache):
         idx.set_centroids(np.load(cen_cache))
         log("loaded cached centroids")
