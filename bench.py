@@ -73,10 +73,10 @@ def main():
     ds.xb, ds.xq, ds.xt = xb, xq, xb
 
     log(f"building IVF{NLIST},Flat")
-    # cap_quantile 0.97 + farthest-first spill: k-means mega-cells (3x mean
-    # even after balanced training) would otherwise set the pad width the
-    # whole scan pays for.
-    idx = at.IVFFlatIndex(D, NLIST, cap_quantile=0.97)
+    # No spill (cap = max list size): spilled boundary vectors measurably
+    # hurt the WORST-case recall tail that the bound is about; balanced
+    # k-means already tames the pad width (max ~3x mean).
+    idx = at.IVFFlatIndex(D, NLIST, cap_quantile=1.0)
     if os.path.exists(cen_cache):
         idx.set_centroids(np.load(cen_cache))
         log("loaded cached centroids")
