@@ -8,13 +8,26 @@ the metric scores there, and writes out only the [cap]-sized score rows —
 ~2x less HBM traffic per scanned byte and no giant transient buffer.
 
 Grid: one step per (query, probe-chunk). The scalar-prefetched
-``lists [B, n_slots]`` tells each step which list blocks to stream; DMA of
-chunk j+1 overlaps with compute on chunk j. Padding rows are masked with
-the DMA'd id row. Exact top-k selection stays outside (lax.top_k over the
-score tensor): selection is algorithmically independent of scanning.
+``lists [B, n_slots]`` tells each step which list blocks to stream; the DMA
+of chunk j+1 overlaps with compute on chunk j.
 
-Runs in interpret mode on CPU for CI (``interpret=True``); callers fall
-back to the XLA gather path when Pallas is unavailable.
+Norms are recomputed in-kernel (a [cap] VPU reduction is free next to the
+DMA) instead of DMA'ing the [cap] norm row: Mosaic cannot slice single rows
+out of (8,128)-tiled HBM arrays. Padding rows are all-zero, so zero norm ==
+padding; consequently the fast path cannot return an exact-zero stored
+vector (the XLA path keeps full semantics — zero vectors are pathological
+for both metrics: IP data is L2-normalized, L2 zero rows are a degenerate
+corpus). Exact top-k selection stays outside (lax.top_k over the score
+tensor): selection is algorithmically independent of scanning.
+
+Runs in interpret mode on CPU for CI (``interpret=True``).
+
+STATUS: correct (3e-07 rel err vs XLA on real TPU) but NOT yet fast — the
+measured effective bandwidth is ~10 GB/s vs the XLA gather path's 217 GB/s
+(per-step DMA latency is not being hidden; grid-step pipelining of
+dynamically-indexed HBM slices needs more work). The production scan path
+therefore remains the XLA gather (index/scan.py); this kernel is the
+starting point for the next optimization round.
 """
 
 import functools
@@ -26,35 +39,21 @@ from jax.experimental.pallas import tpu as pltpu
 
 from auncel_tpu.types import Metric
 
-CHUNK = 4  # probe slots per grid step
+CHUNK = 8  # probe slots per grid step
 
 
-def _kernel(lists_ref, db_ref, dbsq_ref, ids_ref, q_ref, out_ref,
-            vmem_db, vmem_sq, vmem_id, sems, *, cap, is_l2):
+def _kernel(lists_ref, db_ref, q_ref, out_ref, vmem_db, sems,
+            *, cap, is_l2):
     qi = pl.program_id(0)      # query index
     ci = pl.program_id(1)      # probe-chunk index
 
-    def copies(slot_in_chunk, buf):
+    def copy(slot_in_chunk, buf):
         lid = lists_ref[qi, ci * CHUNK + slot_in_chunk]
-        return (
-            pltpu.make_async_copy(db_ref.at[lid], vmem_db.at[buf],
-                                  sems.at[buf, 0]),
-            pltpu.make_async_copy(dbsq_ref.at[pl.ds(lid, 1)],
-                                  vmem_sq.at[buf], sems.at[buf, 1]),
-            pltpu.make_async_copy(ids_ref.at[pl.ds(lid, 1)],
-                                  vmem_id.at[buf], sems.at[buf, 2]),
-        )
+        return pltpu.make_async_copy(db_ref.at[lid], vmem_db.at[buf],
+                                     sems.at[buf])
 
-    def start(slot, buf):
-        for c in copies(slot, buf):
-            c.start()
-
-    def wait(slot, buf):
-        for c in copies(slot, buf):
-            c.wait()
-
-    start(0, 0)
-    qrow = q_ref[qi, :]
+    copy(0, 0).start()
+    qrow = q_ref[0, 0, :]  # this query's row, pipelined in by BlockSpec
     qsq = jnp.sum(qrow * qrow)
 
     def body(s, _):
@@ -62,20 +61,21 @@ def _kernel(lists_ref, db_ref, dbsq_ref, ids_ref, q_ref, out_ref,
 
         @pl.when(s + 1 < CHUNK)
         def _():
-            start(s + 1, (s + 1) % 2)
+            copy(s + 1, (s + 1) % 2).start()
 
-        wait(s, buf)
+        copy(s, buf).wait()
         blk = vmem_db[buf]                 # [cap, d]
         dots = jnp.dot(blk, qrow, preferred_element_type=jnp.float32,
                        precision=jax.lax.Precision.HIGHEST)
+        norms = jnp.sum(blk * blk, axis=-1)
         if is_l2:
-            scores = qsq + vmem_sq[buf, 0] - 2.0 * dots
+            scores = qsq + norms - 2.0 * dots
             bad = jnp.inf
         else:
             scores = dots
             bad = -jnp.inf
-        scores = jnp.where(vmem_id[buf, 0] >= 0, scores, bad)
-        out_ref[0, pl.ds(s * cap, cap)] = scores
+        scores = jnp.where(norms > 0.0, scores, bad)
+        out_ref[0, 0, s, :] = scores
         return 0
 
     jax.lax.fori_loop(0, CHUNK, body, 0)
@@ -85,9 +85,7 @@ def _kernel(lists_ref, db_ref, dbsq_ref, ids_ref, q_ref, out_ref,
     jax.jit,
     static_argnames=("n_slots", "metric", "interpret"))
 def scan_scores_pallas(
-    db: jax.Array,       # [nlist, cap, d] float32
-    db_sq: jax.Array,    # [nlist, cap]
-    vec_ids: jax.Array,  # [nlist, cap] int32
+    db: jax.Array,       # [nlist, cap, d] float32 (pad rows all-zero)
     q: jax.Array,        # [B, d]
     lists: jax.Array,    # [B, n_slots] int32: list id per (query, slot)
     n_slots: int,
@@ -109,20 +107,20 @@ def scan_scores_pallas(
             grid=grid,
             in_specs=[
                 pl.BlockSpec(memory_space=pltpu.ANY),    # db (stays HBM)
-                pl.BlockSpec(memory_space=pltpu.ANY),    # db_sq
-                pl.BlockSpec(memory_space=pltpu.ANY),    # vec_ids
-                pl.BlockSpec(memory_space=pltpu.VMEM),   # q (full)
+                # one query row per grid step — pipelined, no dynamic
+                # sublane indexing (which serializes on TPU)
+                pl.BlockSpec((1, 1, d), lambda qi, ci, lists: (qi, 0, 0)),
             ],
             out_specs=pl.BlockSpec(
-                (1, CHUNK * cap), lambda qi, ci, lists: (qi, ci)),
+                (1, 1, CHUNK, cap),
+                lambda qi, ci, lists: (qi, ci, 0, 0)),
             scratch_shapes=[
                 pltpu.VMEM((2, cap, d), jnp.float32),
-                pltpu.VMEM((2, 1, cap), jnp.float32),
-                pltpu.VMEM((2, 1, cap), jnp.int32),
-                pltpu.SemaphoreType.DMA((2, 3)),
+                pltpu.SemaphoreType.DMA((2,)),
             ],
         ),
-        out_shape=jax.ShapeDtypeStruct((B, n_slots * cap), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct(
+            (B, n_slots // CHUNK, CHUNK, cap), jnp.float32),
         interpret=interpret,
-    )(lists, db, db_sq, vec_ids, q)
-    return out
+    )(lists, db, q.reshape(B, 1, d))
+    return out.reshape(B, n_slots * cap)

@@ -15,12 +15,11 @@ def test_scan_scores_matches_reference(rng, metric):
     db = rng.randn(nlist, cap, d).astype(np.float32)
     ids = np.arange(nlist * cap, dtype=np.int32).reshape(nlist, cap)
     ids[:, -5:] = -1
-    db_sq = (db * db).sum(-1).astype(np.float32)
     q = rng.randn(B, d).astype(np.float32)
     lists = rng.randint(0, nlist, (B, W)).astype(np.int32)
+    db[ids < 0] = 0.0  # pad rows are zero (pack invariant)
     out = np.asarray(scan_scores_pallas(
-        jnp.asarray(db), jnp.asarray(db_sq), jnp.asarray(ids),
-        jnp.asarray(q), jnp.asarray(lists), W, metric,
+        jnp.asarray(db), jnp.asarray(q), jnp.asarray(lists), W, metric,
         interpret=True)).reshape(B, W, cap)
     for b in range(B):
         for s in range(W):
