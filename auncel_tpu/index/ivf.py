@@ -101,7 +101,7 @@ class IVFFlatIndex(Index):
         metric: Metric = Metric.L2,
         storage_dtype=jnp.float32,
         kmeans_params: KmeansParams | None = None,
-        cap_quantile: float = 0.99,
+        cap_quantile: float = 1.0,
         storage: str = "f32",
     ):
         """``storage``: "f32" (raw), "bf16", or "sq8" — per-dim affine int8
@@ -112,9 +112,12 @@ class IVFFlatIndex(Index):
         ``cap_quantile``: list capacity is the given quantile of list
         sizes (k-means list lengths are skewed; padding every list to the
         max wastes HBM and scan bandwidth). Vectors overflowing a capped
-        list spill to their next-nearest centroid's list — they stay exactly
-        searchable, merely reachable via a slightly different probe.
-        1.0 disables spilling (cap = max list size)."""
+        list spill (farthest-from-centroid first) to their next-nearest
+        list with room — still exactly searchable, but reachable via a
+        different probe, which measurably hurts the WORST-case recall tail
+        that per-query bounds are about. Default 1.0 = no spilling (safe);
+        lower only for memory-constrained deployments without worst-case
+        bounds."""
         self.d = d
         self.nlist = nlist
         self.metric = Metric.parse(metric)

@@ -73,10 +73,7 @@ def main():
     ds.xb, ds.xq, ds.xt = xb, xq, xb
 
     log(f"building IVF{NLIST},Flat")
-    # No spill (cap = max list size): spilled boundary vectors measurably
-    # hurt the WORST-case recall tail that the bound is about; balanced
-    # k-means already tames the pad width (max ~3x mean).
-    idx = at.IVFFlatIndex(D, NLIST, cap_quantile=1.0)
+    idx = at.IVFFlatIndex(D, NLIST)  # default: no spill (worst-case safe)
     if os.path.exists(cen_cache):
         idx.set_centroids(np.load(cen_cache))
         log("loaded cached centroids")
