@@ -61,6 +61,12 @@ def index_factory(d: int, description: str,
             # bf16 is the TPU-native half type; stands in for the
             # reference's SQfp16 cell
             index = IVFFlatIndex(cur_d, nlist, metric, storage="bf16")
+        elif re.fullmatch(r"PQ\d+", cell):
+            m_sub = int(cell[2:])
+            if cur_d % m_sub != 0:
+                raise ValueError(f"PQ{m_sub}: d={cur_d} not divisible")
+            index = IVFFlatIndex(cur_d, nlist, metric,
+                                 storage=f"pq{m_sub}")
         else:
             raise NotImplementedError(
                 f"IVF cell type {cell!r} not implemented yet "

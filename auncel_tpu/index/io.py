@@ -32,19 +32,25 @@ def save_index(index: Index, path: str) -> None:
         np.savez(path, header=json.dumps(header), xb=index.xb)
         return
     if isinstance(index, IVFFlatIndex):
+        # Quantized indexes are serialized as their DECODED values: search
+        # results round-trip exactly; PQ indexes reload as f32 storage
+        # (retraining codebooks on decoded data would not reproduce codes
+        # bit-for-bit). SQ8 re-quantizes to identical codes on load.
+        storage = index.storage
+        if storage.startswith("pq"):
+            storage = "f32"
         header = dict(version=_FORMAT_VERSION, kind="IVFFlat", d=index.d,
                       metric=index.metric.value, nlist=index.nlist,
                       trained=index.is_trained, ntotal=index.ntotal,
-                      storage=index.storage)
+                      storage=storage)
         payload = dict(header=json.dumps(header))
         if index.is_trained:
             payload["centroids"] = index.centroids
         if index.ntotal:
             a = index.arrays
             db = np.asarray(a.db)
-            if a.sq_scale is not None:  # store decoded values
-                db = (db.astype(np.float32) * np.asarray(a.sq_scale)
-                      + np.asarray(a.sq_bias))
+            if a.sq_scale is not None or a.pq_codebooks is not None:
+                db = np.asarray(a.decode_block(a.db))
             payload["db"] = db.astype(np.float32)
             payload["vec_ids"] = np.asarray(a.vec_ids)
             payload["list_sizes"] = np.asarray(a.list_sizes)

@@ -193,6 +193,7 @@ class IVFFlatIndex(Index):
         n = x.shape[0]
         xd = codes_d = None
         sq_scale = sq_bias = None
+        pq_books = None
         if n:
             # One corpus upload; assignment and packing stay on device.
             # SQ8: quantize on host, upload codes (4x smaller), decode on
@@ -215,6 +216,16 @@ class IVFFlatIndex(Index):
                 sq_scale = jnp.asarray(scale)
                 sq_bias = jnp.asarray(vmin.astype(np.float32))
                 xd = _sq_decode(codes_d, sq_scale, sq_bias)
+            elif self.storage.startswith("pq"):
+                from auncel_tpu.ops.pq import train_pq, encode_pq, decode_pq
+                M = int(self.storage[2:])
+                pq = train_pq(x[: min(n, 200_000)], M)
+                pq_books = pq.codebooks
+                xup = jnp.asarray(x)
+                codes_d = encode_pq(pq, xup)
+                del xup
+                # all geometry (assignment, norms, GT) uses reconstructions
+                xd = decode_pq(pq, codes_d)
             else:
                 xd = jnp.asarray(x)
             n_choice = 4 if (self.cap_quantile < 1.0 and self.nlist > 4) \
@@ -280,6 +291,17 @@ class IVFFlatIndex(Index):
             db_dev, _ = _scatter_pack(codes_d, li, si, self.nlist, cap,
                                       jnp.uint8)
             db_sq = _sq_norms(db_dev, sq_scale, sq_bias)
+        elif n and self.storage.startswith("pq"):
+            li = jnp.asarray(assign.astype(np.int32))
+            si = jnp.asarray(slot.astype(np.int32))
+            db_dev, _ = _scatter_pack(codes_d, li, si, self.nlist, cap,
+                                      jnp.uint8)
+            # decoded norms; zero at padding (pad codes decode to codeword 0
+            # of each subspace, so mask by vec_ids)
+            from auncel_tpu.ops.pq import decode_pq, PQCodebooks
+            dec = decode_pq(PQCodebooks(pq_books), db_dev)
+            db_sq = jnp.sum(jnp.square(dec), axis=-1)
+            db_sq = db_sq * (jnp.asarray(vec_ids) >= 0)
         elif n:
             db_dev, db_sq = _scatter_pack(
                 xd, jnp.asarray(assign.astype(np.int32)),
@@ -299,6 +321,7 @@ class IVFFlatIndex(Index):
             interdis=jnp.asarray(self.interdis),
             sq_scale=sq_scale,
             sq_bias=sq_bias,
+            pq_codebooks=pq_books,
         )
 
     @property

@@ -55,6 +55,7 @@ class IVFArrays(NamedTuple):
                            # (reference interdis_cem, IndexIVF.cpp:97-111)
     sq_scale: jax.Array | None = None  # [d] float32 (SQ8 only)
     sq_bias: jax.Array | None = None   # [d] float32 (SQ8 only)
+    pq_codebooks: jax.Array | None = None  # [M, 256, d/M] float32 (PQ only)
 
     @property
     def nlist(self) -> int:
@@ -63,6 +64,18 @@ class IVFArrays(NamedTuple):
     @property
     def cap(self) -> int:
         return self.db.shape[1]
+
+    def decode_block(self, sub: jax.Array) -> jax.Array:
+        """Stored block -> float32 vectors (identity for raw storage,
+        affine decode for SQ8, codebook reconstruction for PQ). All search
+        paths share this hook, so distances stay value-consistent across
+        partial scans, full scans, and GT generation."""
+        if self.sq_scale is not None:
+            return sub.astype(jnp.float32) * self.sq_scale + self.sq_bias
+        if self.pq_codebooks is not None:
+            from auncel_tpu.ops.pq import decode_pq, PQCodebooks
+            return decode_pq(PQCodebooks(self.pq_codebooks), sub)
+        return sub
 
     @property
     def d(self) -> int:
@@ -137,12 +150,10 @@ def scan_probe_range(
         safe_iks = jnp.clip(iks, 0, nlist - 1)
         lists = jnp.take_along_axis(
             probe_lists, jnp.broadcast_to(safe_iks[None, :], (B, C)), axis=1)
-        sub = arrays.db[lists]            # [B, C, cap, d] gather
+        sub = arrays.db[lists]            # [B, C, cap, d|M] gather
         sub_sq = arrays.db_sq[lists]      # [B, C, cap]
         sub_ids = arrays.vec_ids[lists]   # [B, C, cap]
-        if arrays.sq_scale is not None:   # SQ8 decode (fused by XLA)
-            sub = (sub.astype(jnp.float32) * arrays.sq_scale
-                   + arrays.sq_bias)
+        sub = arrays.decode_block(sub)    # codec hook (raw/SQ8/PQ)
         dots = jnp.einsum(
             "bpcd,bd->bpc", sub, q.astype(sub.dtype),
             preferred_element_type=jnp.float32,
@@ -214,8 +225,7 @@ def ivf_full_scan(
         blk = jax.lax.dynamic_slice_in_dim(arrays.db, ci * C, C, 0)
         blk_sq = jax.lax.dynamic_slice_in_dim(arrays.db_sq, ci * C, C, 0)
         blk_ids = jax.lax.dynamic_slice_in_dim(arrays.vec_ids, ci * C, C, 0)
-        if arrays.sq_scale is not None:
-            blk = blk.astype(jnp.float32) * arrays.sq_scale + arrays.sq_bias
+        blk = arrays.decode_block(blk)
         dots = jnp.einsum(
             "pcd,bd->bpc", blk, q.astype(blk.dtype),
             preferred_element_type=jnp.float32,

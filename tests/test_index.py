@@ -103,7 +103,7 @@ def test_factory():
     flat = index_factory(32, "Flat", Metric.IP)
     assert isinstance(flat, FlatIndex) and flat.metric is Metric.IP
     with pytest.raises(NotImplementedError):
-        index_factory(64, "IVF128,PQ16")
+        index_factory(64, "IVF128,HNSW32")
 
 
 def test_serialization_roundtrip(tmp_path, small_ds, built_index):

@@ -1,0 +1,79 @@
+"""Product-quantization tests (reference ProductQuantizer/IVFPQ capability,
+SURVEY.md §2 #16)."""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from auncel_tpu.types import Metric
+from auncel_tpu.data.synthetic import make_clustered_dataset
+from auncel_tpu.index.flat import FlatIndex
+from auncel_tpu.index.factory import index_factory
+from auncel_tpu.ops.pq import train_pq, encode_pq, decode_pq
+from auncel_tpu.profile.error_sys import ErrorSys
+from auncel_tpu.autotune import recall_counts
+
+
+@pytest.fixture(scope="module")
+def ds():
+    return make_clustered_dataset(nb=16000, nq=60, d=32, n_clusters=64,
+                                  seed=19)
+
+
+def test_pq_reconstruction_improves_with_M(ds):
+    errs = []
+    for M in (2, 8):
+        pq = train_pq(ds.xb[:6000], M, niter=8)
+        codes = encode_pq(pq, jnp.asarray(ds.xb[:500]))
+        rec = np.asarray(decode_pq(pq, codes))
+        errs.append(((rec - ds.xb[:500]) ** 2).sum(-1).mean())
+    assert errs[1] < errs[0]  # more subspaces -> lower distortion
+    # and reconstruction is far better than the trivial mean predictor
+    base = ((ds.xb[:500] - ds.xb[:6000].mean(0)) ** 2).sum(-1).mean()
+    assert errs[1] < 0.35 * base
+
+
+def test_ivfpq_recall(ds):
+    idx = index_factory(ds.d, "IVF64,PQ8")
+    idx.train(ds.xt[:8000])
+    idx.add(ds.xb)
+    assert idx.arrays.db.dtype == np.uint8
+    assert idx.arrays.db.shape[-1] == 8  # M codes per vector
+    flat = FlatIndex(ds.d)
+    flat.add(ds.xb)
+    _, gt_ids = flat.search(ds.xq, 10)
+    _, ids = idx.exact_search(ds.xq, 10)
+    hit = np.mean([len(set(a) & set(b)) / 10
+                   for a, b in zip(ids.tolist(), gt_ids.tolist())])
+    assert hit > 0.5  # PQ8 on 32d clustered data keeps most neighbors
+
+
+def test_ivfpq_partial_scan_value_consistency(ds):
+    idx = index_factory(ds.d, "IVF64,PQ8")
+    idx.train(ds.xt[:8000])
+    idx.add(ds.xb)
+    v4, i4 = idx.search(ds.xq, 10, nprobe=4)
+    vf, iff = idx.exact_search(ds.xq, 10)
+    lut = {(q, int(i)): v for q in range(len(ds.xq))
+           for v, i in zip(vf[q], iff[q])}
+    for q in range(len(ds.xq)):
+        for v, i in zip(v4[q], i4[q]):
+            if (q, int(i)) in lut:
+                assert abs(lut[(q, int(i))] - v) <= 1e-4 * max(abs(v), 1.0)
+
+
+def test_bounded_search_on_pq(ds):
+    idx = index_factory(ds.d, "IVF64,PQ8")
+    idx.train(ds.xt[:8000])
+    idx.add(ds.xb)
+    gt_D, gt_I = idx.exact_search(ds.xq, 50)  # PQ-space GT (consistent)
+    es = ErrorSys(idx, train_num=60, max_topk=50)
+    es.set_gt(gt_D, gt_I)
+    es.sys_train(40, ds.xq)
+    es.set_topk(10)
+    es.set_hyper(8.0, 1.0)
+    acc = np.full(60, 0.9, np.float32)
+    es.set_queries(20, ds.xq, acc)
+    D, I = es.search(40, 20)
+    cnt = recall_counts(D, gt_D[40:60], 10, Metric.L2)
+    assert cnt.min() / 10 >= 0.9
