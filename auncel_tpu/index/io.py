@@ -14,6 +14,7 @@ an improvement over the reference, which retrains profiles on every run
 """
 
 import json
+import os
 
 import numpy as np
 
@@ -57,6 +58,47 @@ def save_index(index: Index, path: str) -> None:
         np.savez(path, **payload)
         return
     raise NotImplementedError(f"cannot serialize {type(index).__name__}")
+
+
+def save_index_ondisk(index: IVFFlatIndex, dirpath: str) -> None:
+    """On-disk index directory (reference OnDiskInvertedLists capability,
+    SURVEY.md §2 #8): the packed list tensor is stored as a raw .npy that
+    loads back MEMORY-MAPPED, so a corpus larger than host RAM can be
+    served — the host pages list blocks from disk on demand while the
+    device upload streams through them."""
+    os.makedirs(dirpath, exist_ok=True)
+    a = index.arrays
+    db = np.asarray(a.db)
+    if a.sq_scale is not None or a.pq_codebooks is not None:
+        db = np.asarray(a.decode_block(a.db))
+    np.save(os.path.join(dirpath, "db.npy"),
+            np.ascontiguousarray(db, np.float32))
+    np.save(os.path.join(dirpath, "vec_ids.npy"), np.asarray(a.vec_ids))
+    np.save(os.path.join(dirpath, "list_sizes.npy"),
+            np.asarray(a.list_sizes))
+    np.save(os.path.join(dirpath, "centroids.npy"), index.centroids)
+    header = dict(version=_FORMAT_VERSION, kind="IVFFlatOnDisk", d=index.d,
+                  metric=index.metric.value, nlist=index.nlist,
+                  ntotal=index.ntotal)
+    with open(os.path.join(dirpath, "header.json"), "w") as f:
+        json.dump(header, f)
+
+
+def load_index_ondisk(dirpath: str) -> IVFFlatIndex:
+    """Memory-mapped load: host arrays stay on disk; the device transfer
+    streams pages as jax reads them."""
+    with open(os.path.join(dirpath, "header.json")) as f:
+        header = json.load(f)
+    assert header["kind"] == "IVFFlatOnDisk"
+    idx = IVFFlatIndex(header["d"], header["nlist"],
+                       Metric.parse(header["metric"]))
+    idx.set_centroids(np.load(os.path.join(dirpath, "centroids.npy")))
+    db = np.load(os.path.join(dirpath, "db.npy"), mmap_mode="r")
+    vec_ids = np.load(os.path.join(dirpath, "vec_ids.npy"), mmap_mode="r")
+    mask = vec_ids >= 0
+    idx.add(np.asarray(db[mask]), ids=np.asarray(vec_ids[mask],
+                                                 np.int64))
+    return idx
 
 
 def load_index(path: str) -> Index:

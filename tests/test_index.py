@@ -123,3 +123,14 @@ def test_add_with_custom_ids(small_ds):
     idx.add(small_ds.xb[:1000], ids=custom)
     _, ids = idx.exact_search(small_ds.xb[:5], 1)
     np.testing.assert_array_equal(ids[:, 0], custom[:5])
+
+
+def test_ondisk_roundtrip(tmp_path, small_ds, built_index):
+    from auncel_tpu.index.io import save_index_ondisk, load_index_ondisk
+    p = str(tmp_path / "ondisk")
+    save_index_ondisk(built_index, p)
+    loaded = load_index_ondisk(p)
+    v1, i1 = built_index.search(small_ds.xq[:6], 5, nprobe=8)
+    v2, i2 = loaded.search(small_ds.xq[:6], 5, nprobe=8)
+    np.testing.assert_allclose(v1, v2, rtol=1e-6)
+    assert np.array_equal(i1, i2)
