@@ -381,6 +381,30 @@ class IVFFlatIndex(Index):
         cdis, cids = coarse_rank(self.arrays, q, self.metric)
         return np.asarray(cdis), np.asarray(cids)
 
+    def update_vectors(self, ids: np.ndarray, x: np.ndarray) -> None:
+        """Replace the stored vectors for the given ids and repack
+        (reference IndexIVFFlat::update_vectors, IndexIVFFlat.cpp:190 —
+        there an in-place list surgery; here a rebuild of the packed
+        layout, which also re-routes each updated vector to its new
+        nearest list like the reference does)."""
+        ids = np.asarray(ids, np.int64)
+        x = np.asarray(x, np.float32)
+        assert ids.shape[0] == x.shape[0] and x.shape[1] == self.d
+        a = self.arrays
+        db = np.asarray(a.db)
+        if a.sq_scale is not None or a.pq_codebooks is not None:
+            db = np.asarray(a.decode_block(a.db))
+        stored_ids = np.asarray(a.vec_ids)
+        keep = stored_ids >= 0
+        flat_x = db[keep].astype(np.float32)
+        flat_ids = stored_ids[keep].astype(np.int64)
+        lut = {int(i): j for j, i in enumerate(ids)}
+        for j, vid in enumerate(flat_ids):
+            if int(vid) in lut:
+                flat_x[j] = x[lut[int(vid)]]
+        self.reset()
+        self.add(flat_x, ids=flat_ids)
+
     def reset(self) -> None:
         self._pending = []
         self._arrays = None

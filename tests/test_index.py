@@ -134,3 +134,14 @@ def test_ondisk_roundtrip(tmp_path, small_ds, built_index):
     v2, i2 = loaded.search(small_ds.xq[:6], 5, nprobe=8)
     np.testing.assert_allclose(v1, v2, rtol=1e-6)
     assert np.array_equal(i1, i2)
+
+
+def test_update_vectors(small_ds):
+    idx = IVFFlatIndex(small_ds.d, nlist=16)
+    idx.train(small_ds.xb[:4000])
+    idx.add(small_ds.xb[:1000])
+    # move vector 7 onto vector 500's position; it must now be 500's NN
+    idx.update_vectors(np.asarray([7]), small_ds.xb[500:501])
+    v, ids = idx.exact_search(small_ds.xb[500:501], 2)
+    assert set(ids[0].tolist()) == {7, 500}
+    np.testing.assert_allclose(v[0], [v[0][0], v[0][0]], atol=1e-3)
