@@ -345,8 +345,9 @@ class IVFFlatIndex(Index):
         nprobe = min(nprobe, self.nlist)
         q = jnp.asarray(np.asarray(q, np.float32))
         t0 = _time.perf_counter()
-        vals, ids = ivf_search_fixed(self.arrays, q, k, nprobe, self.metric)
-        out = np.asarray(vals), np.asarray(ids, np.int64)
+        res = ivf_search_fixed(self.arrays, q, k, nprobe, self.metric)
+        vals, ids = jax.device_get(res)  # one tunnel round-trip
+        out = vals, ids.astype(np.int64)
         # global counters (reference indexIVF_stats, IndexIVF.h:361-374)
         ivf_stats.nq += q.shape[0]
         ivf_stats.nlist_scanned += q.shape[0] * nprobe

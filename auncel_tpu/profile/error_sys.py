@@ -20,6 +20,7 @@ Differences by design:
 import time
 
 import numpy as np
+import jax
 import jax.numpy as jnp
 
 from auncel_tpu.types import Metric
@@ -162,18 +163,16 @@ class ErrorSys:
             gt_kth[:size] = self.gt_D[start:start + size, self.query_topk - 1]
 
         if not two_phase:
-            vals, ids, my_np, n_scanned, t_rec = bounded_search(
+            out = bounded_search(
                 self.index.arrays, self.traces, jnp.asarray(q),
                 jnp.asarray(acc), jnp.float32(self.multipler),
                 jnp.float32(self.std_m), jnp.asarray(gt_kth),
                 self.query_topk, self.max_topk, self.index.metric,
                 with_true_recall=want_true)
-            vals = np.asarray(vals)
-            ids = np.asarray(ids)
-            my_np = np.asarray(my_np)
-            n_scanned = np.asarray(n_scanned)
+            # ONE host round-trip (each fetch pays ~40 ms tunnel RTT)
+            vals, ids, my_np, n_scanned, t_rec = jax.device_get(out)
             if want_true:
-                self.t_recalls[start:start + size] = np.asarray(t_rec)[:size]
+                self.t_recalls[start:start + size] = t_rec[:size]
         else:
             vals_d, ids_d, my_np_d, decided_d, cids_d, q_sq_d = \
                 bounded_search_decide(
@@ -181,11 +180,12 @@ class ErrorSys:
                     jnp.asarray(acc), jnp.float32(self.multipler),
                     jnp.float32(self.std_m), self.query_topk,
                     self.max_topk, self.index.metric)
-            my_np = np.asarray(my_np_d)
-            decided = np.asarray(decided_d)
+            # one fetch for the host-side phase-B planning
+            my_np, decided = jax.device_get((my_np_d, decided_d))
             target = np.minimum(np.maximum(my_np, decided), nlist)
-            vals = np.array(vals_d)   # writable copies
-            ids = np.array(ids_d)
+            vals, ids = jax.device_get((vals_d, ids_d))
+            vals = np.array(vals)     # writable copies
+            ids = np.array(ids)
             need = np.where(target > cap_stage)[0]
             if need.size:
                 # bucket stragglers by probe width and by row count
@@ -263,12 +263,13 @@ class ErrorSys:
             self.calibrate_time()
         q = self.queries[start:start + size]
         budget = self.require_acc[start:start + size]
-        vals, ids, n_budget = budgeted_search(
+        out = budgeted_search(
             self.index.arrays, jnp.asarray(q), jnp.asarray(budget),
             jnp.float32(self.per_probe_ms), self.max_topk, self.index.metric)
-        self.my_nprobe[start:start + size] = np.asarray(n_budget)
-        self.n_scanned[start:start + size] = np.asarray(n_budget)
-        return np.asarray(vals), np.asarray(ids, np.int64)
+        vals, ids, n_budget = jax.device_get(out)
+        self.my_nprobe[start:start + size] = n_budget
+        self.n_scanned[start:start + size] = n_budget
+        return vals, ids.astype(np.int64)
 
     # ---------------------------------------------------------- utilities
 
