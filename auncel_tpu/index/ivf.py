@@ -103,6 +103,7 @@ class IVFFlatIndex(Index):
         kmeans_params: KmeansParams | None = None,
         cap_quantile: float = 1.0,
         storage: str = "f32",
+        pq_residual: bool = True,
     ):
         """``storage``: "f32" (raw), "bf16", or "sq8" — per-dim affine int8
         scalar quantization (the reference's IndexIVFScalarQuantizer
@@ -127,6 +128,7 @@ class IVFFlatIndex(Index):
         self.storage_dtype = storage_dtype
         self.kmeans_params = kmeans_params or KmeansParams()
         self.cap_quantile = cap_quantile
+        self.pq_residual = pq_residual
         self.is_trained = False
         self.nprobe = 1  # default for plain search() (IndexIVF.h default)
         self.centroids: np.ndarray | None = None
@@ -216,17 +218,9 @@ class IVFFlatIndex(Index):
                 sq_scale = jnp.asarray(scale)
                 sq_bias = jnp.asarray(vmin.astype(np.float32))
                 xd = _sq_decode(codes_d, sq_scale, sq_bias)
-            elif self.storage.startswith("pq"):
-                from auncel_tpu.ops.pq import train_pq, encode_pq, decode_pq
-                M = int(self.storage[2:])
-                pq = train_pq(x[: min(n, 200_000)], M)
-                pq_books = pq.codebooks
-                xup = jnp.asarray(x)
-                codes_d = encode_pq(pq, xup)
-                del xup
-                # all geometry (assignment, norms, GT) uses reconstructions
-                xd = decode_pq(pq, codes_d)
             else:
+                # raw f32/bf16 and PQ (PQ assigns on raw vectors like the
+                # reference, then encodes after spill resolution below)
                 xd = jnp.asarray(x)
             n_choice = 4 if (self.cap_quantile < 1.0 and self.nlist > 4) \
                 else 1
@@ -292,14 +286,27 @@ class IVFFlatIndex(Index):
                                       jnp.uint8)
             db_sq = _sq_norms(db_dev, sq_scale, sq_bias)
         elif n and self.storage.startswith("pq"):
+            from auncel_tpu.ops.pq import train_pq, encode_pq, decode_pq
+            M = int(self.storage[2:])
             li = jnp.asarray(assign.astype(np.int32))
             si = jnp.asarray(slot.astype(np.int32))
+            nt = min(n, 200_000)
+            if self.pq_residual:
+                # residual encoding (reference IVFPQ by_residual default):
+                # codes approximate x - centroid[assigned list]
+                target = xd - jnp.asarray(self.centroids)[li]
+                sample = x[:nt] - self.centroids[assign[:nt]]
+            else:
+                target = xd
+                sample = x[:nt]
+            pq = train_pq(sample, M)
+            pq_books = pq.codebooks
+            codes_d = encode_pq(pq, target)
             db_dev, _ = _scatter_pack(codes_d, li, si, self.nlist, cap,
                                       jnp.uint8)
             # decoded norms; zero at padding (pad codes decode to codeword 0
             # of each subspace, so mask by vec_ids)
-            from auncel_tpu.ops.pq import decode_pq, PQCodebooks
-            dec = decode_pq(PQCodebooks(pq_books), db_dev)
+            dec = decode_pq(pq, db_dev)
             db_sq = jnp.sum(jnp.square(dec), axis=-1)
             db_sq = db_sq * (jnp.asarray(vec_ids) >= 0)
         elif n:
@@ -322,6 +329,8 @@ class IVFFlatIndex(Index):
             sq_scale=sq_scale,
             sq_bias=sq_bias,
             pq_codebooks=pq_books,
+            pq_residual=(() if (pq_books is not None and self.pq_residual)
+                         else None),
         )
 
     @property

@@ -56,6 +56,11 @@ class IVFArrays(NamedTuple):
     sq_scale: jax.Array | None = None  # [d] float32 (SQ8 only)
     sq_bias: jax.Array | None = None   # [d] float32 (SQ8 only)
     pq_codebooks: jax.Array | None = None  # [M, 256, d/M] float32 (PQ only)
+    # () when PQ codes encode residuals x - centroid[list] (the reference
+    # IVFPQ by_residual default), None otherwise. An empty tuple is an
+    # empty pytree: the flag stays STATIC under jit (a bool field would
+    # become a traced leaf and break trace-time branching).
+    pq_residual: tuple | None = None
 
     @property
     def nlist(self) -> int:
@@ -154,14 +159,35 @@ def scan_probe_range(
         sub_sq = arrays.db_sq[lists]      # [B, C, cap]
         sub_ids = arrays.vec_ids[lists]   # [B, C, cap]
         sub = arrays.decode_block(sub)    # codec hook (raw/SQ8/PQ)
-        dots = jnp.einsum(
-            "bpcd,bd->bpc", sub, q.astype(sub.dtype),
-            preferred_element_type=jnp.float32,
-            precision=jax.lax.Precision.HIGHEST)
-        if metric is Metric.L2:
-            scores = q_sq[:, None, None] + sub_sq - 2.0 * dots
+        if arrays.pq_residual is not None:
+            # residual PQ: stored r approximates x - c_list, so
+            # L2 = ||(q - c_l) - r||^2, IP = q.c_l + q.r
+            cl = arrays.centroids[lists]              # [B, C, d]
+            if metric is Metric.L2:
+                qc = q[:, None, :] - cl
+                dots = jnp.einsum(
+                    "bpcd,bpd->bpc", sub, qc,
+                    preferred_element_type=jnp.float32,
+                    precision=jax.lax.Precision.HIGHEST)
+                scores = (jnp.sum(jnp.square(qc), -1)[:, :, None]
+                          + sub_sq - 2.0 * dots)
+            else:
+                qcl = jnp.einsum("bpd,bd->bp", cl, q,
+                                 preferred_element_type=jnp.float32,
+                                 precision=jax.lax.Precision.HIGHEST)
+                qr = jnp.einsum("bpcd,bd->bpc", sub, q,
+                                preferred_element_type=jnp.float32,
+                                precision=jax.lax.Precision.HIGHEST)
+                scores = qcl[:, :, None] + qr
         else:
-            scores = dots
+            dots = jnp.einsum(
+                "bpcd,bd->bpc", sub, q.astype(sub.dtype),
+                preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.HIGHEST)
+            if metric is Metric.L2:
+                scores = q_sq[:, None, None] + sub_sq - 2.0 * dots
+            else:
+                scores = dots
         active = ((iks[None, :, None] < limit[:, None, None]) &
                   slot_ok[None, :, None] & (sub_ids >= 0))
         scores = jnp.where(active, scores, worst).reshape(B, C * cap)
@@ -226,14 +252,33 @@ def ivf_full_scan(
         blk_sq = jax.lax.dynamic_slice_in_dim(arrays.db_sq, ci * C, C, 0)
         blk_ids = jax.lax.dynamic_slice_in_dim(arrays.vec_ids, ci * C, C, 0)
         blk = arrays.decode_block(blk)
-        dots = jnp.einsum(
-            "pcd,bd->bpc", blk, q.astype(blk.dtype),
-            preferred_element_type=jnp.float32,
-            precision=jax.lax.Precision.HIGHEST)
-        if metric is Metric.L2:
-            scores = q_sq[:, None, None] + blk_sq[None] - 2.0 * dots
+        if arrays.pq_residual is not None:
+            cl = jax.lax.dynamic_slice_in_dim(arrays.centroids, ci * C, C, 0)
+            if metric is Metric.L2:
+                qc = q[:, None, :] - cl[None]             # [B, C, d]
+                dots = jnp.einsum(
+                    "pcd,bpd->bpc", blk, qc,
+                    preferred_element_type=jnp.float32,
+                    precision=jax.lax.Precision.HIGHEST)
+                scores = (jnp.sum(jnp.square(qc), -1)[:, :, None]
+                          + blk_sq[None] - 2.0 * dots)
+            else:
+                qcl = jnp.einsum("pd,bd->bp", cl, q,
+                                 preferred_element_type=jnp.float32,
+                                 precision=jax.lax.Precision.HIGHEST)
+                qr = jnp.einsum("pcd,bd->bpc", blk, q,
+                                preferred_element_type=jnp.float32,
+                                precision=jax.lax.Precision.HIGHEST)
+                scores = qcl[:, :, None] + qr
         else:
-            scores = dots
+            dots = jnp.einsum(
+                "pcd,bd->bpc", blk, q.astype(blk.dtype),
+                preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.HIGHEST)
+            if metric is Metric.L2:
+                scores = q_sq[:, None, None] + blk_sq[None] - 2.0 * dots
+            else:
+                scores = dots
         valid = (blk_ids >= 0)[None]
         scores = jnp.where(valid, scores, worst).reshape(B, C * cap)
         ids = jnp.broadcast_to(blk_ids[None], (B, C, cap)).reshape(

@@ -77,3 +77,22 @@ def test_bounded_search_on_pq(ds):
     D, I = es.search(40, 20)
     cnt = recall_counts(D, gt_D[40:60], 10, Metric.L2)
     assert cnt.min() / 10 >= 0.9
+
+
+def test_residual_pq_beats_plain_pq(ds):
+    from auncel_tpu.index.ivf import IVFFlatIndex
+    flat = FlatIndex(ds.d)
+    flat.add(ds.xb)
+    _, gt_ids = flat.search(ds.xq, 10)
+
+    def recall(residual):
+        idx = IVFFlatIndex(ds.d, 64, storage="pq4", pq_residual=residual)
+        idx.train(ds.xt[:8000])
+        idx.add(ds.xb)
+        _, ids = idx.exact_search(ds.xq, 10)
+        return np.mean([len(set(a) & set(b)) / 10
+                        for a, b in zip(ids.tolist(), gt_ids.tolist())])
+
+    r_res, r_plain = recall(True), recall(False)
+    # residual coding quantizes a much smaller range -> better recall
+    assert r_res > r_plain
