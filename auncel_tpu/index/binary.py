@@ -1,0 +1,189 @@
+"""Binary indexes (Hamming space).
+
+Capability parity with the reference's binary family (SURVEY.md §2 #19:
+``IndexBinaryFlat``/``IndexBinaryIVF`` + ``hamming.cpp``): vectors are
+bitstrings stored packed (uint8, d bits = d/8 bytes), searched by Hamming
+distance.
+
+TPU recast: instead of XOR+popcount scalar loops, Hamming distance is an
+MXU matmul via the 0/1 identity
+
+    hamming(a, b) = popcount(a) + popcount(b) - 2 * <bits(a), bits(b)>
+
+so the compute path unpacks codes to {0,1} int8 planes once at add time and
+every search is one integer matmul + rank-1 corrections. Storage keeps the
+packed uint8 codes for API/serialization parity; the unpacked plane is the
+device-resident working set (8x bytes for ~100x throughput vs scalar
+popcount loops — the classic TPU memory-for-MXU trade).
+"""
+
+import functools
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from auncel_tpu.index.base import Index
+from auncel_tpu.types import Metric
+
+
+def pack_bits(bits: np.ndarray) -> np.ndarray:
+    """{0,1} [n, d] -> packed uint8 [n, d/8] (little-endian bit order,
+    matching np.unpackbits(bitorder='little'))."""
+    return np.packbits(bits.astype(np.uint8), axis=1, bitorder="little")
+
+
+def unpack_bits(codes: np.ndarray, d: int) -> np.ndarray:
+    return np.unpackbits(codes, axis=1, count=d, bitorder="little")
+
+
+@functools.partial(jax.jit, static_argnames=("k",))
+def _hamming_topk(qbits, dbbits, db_pop, k):
+    """qbits [nq, d] {0,1} f32/bf16; dbbits [nb, d]; returns top-k smallest
+    Hamming distances."""
+    dots = jax.lax.dot_general(
+        qbits, dbbits, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    q_pop = jnp.sum(qbits, axis=1, dtype=jnp.float32)
+    ham = q_pop[:, None] + db_pop[None, :] - 2.0 * dots
+    negv, idx = jax.lax.top_k(-ham, k)
+    return -negv, idx
+
+
+class BinaryFlatIndex(Index):
+    """Exact Hamming k-NN (reference IndexBinaryFlat)."""
+
+    def __init__(self, d: int):
+        assert d % 8 == 0, "binary dimension must be a multiple of 8 bits"
+        self.d = d                       # dimension in BITS
+        self.metric = Metric.L2          # Hamming: smaller is better
+        self.is_trained = True
+        self._codes = np.zeros((0, d // 8), np.uint8)
+        self._bits = None
+
+    @property
+    def ntotal(self) -> int:
+        return self._codes.shape[0]
+
+    @property
+    def codes(self) -> np.ndarray:
+        return self._codes
+
+    def train(self, x) -> None:
+        pass
+
+    def add(self, codes: np.ndarray, ids=None) -> None:
+        assert ids is None, "BinaryFlat stores sequential ids"
+        codes = np.asarray(codes, np.uint8)
+        assert codes.shape[1] == self.d // 8
+        self._codes = np.concatenate([self._codes, codes], 0)
+        self._bits = None
+
+    def _device_bits(self):
+        if self._bits is None:
+            bits = unpack_bits(self._codes, self.d)
+            b = jnp.asarray(bits, jnp.bfloat16)
+            self._bits = (b, jnp.sum(b.astype(jnp.float32), axis=1))
+        return self._bits
+
+    def search(self, q_codes: np.ndarray, k: int):
+        """q_codes: packed uint8 [nq, d/8]. Returns (hamming distances
+        [nq, k] int32, ids [nq, k])."""
+        dbbits, db_pop = self._device_bits()
+        qbits = jnp.asarray(unpack_bits(np.asarray(q_codes, np.uint8),
+                                        self.d), jnp.bfloat16)
+        vals, idx = jax.device_get(
+            _hamming_topk(qbits, dbbits, db_pop, min(k, self.ntotal)))
+        vals = np.rint(vals).astype(np.int32)
+        if vals.shape[1] < k:  # pad like the float indexes
+            pad = k - vals.shape[1]
+            vals = np.pad(vals, ((0, 0), (0, pad)),
+                          constant_values=np.iinfo(np.int32).max)
+            idx = np.pad(idx, ((0, 0), (0, pad)), constant_values=-1)
+        return vals, idx.astype(np.int64)
+
+    def reset(self) -> None:
+        self._codes = np.zeros((0, self.d // 8), np.uint8)
+        self._bits = None
+
+
+class BinaryIVFIndex(Index):
+    """IVF over Hamming space (reference IndexBinaryIVF): binary centroids
+    from thresholded k-means on the unpacked bit planes; probe the nprobe
+    nearest cells, scan their members exactly."""
+
+    def __init__(self, d: int, nlist: int):
+        assert d % 8 == 0
+        self.d = d
+        self.nlist = nlist
+        self.metric = Metric.L2
+        self.is_trained = False
+        self.nprobe = 1
+        self.centroid_bits: np.ndarray | None = None  # {0,1} [nlist, d]
+        self._codes = np.zeros((0, d // 8), np.uint8)
+        self._dev = None
+
+    @property
+    def ntotal(self) -> int:
+        return self._codes.shape[0]
+
+    def train(self, codes: np.ndarray) -> None:
+        from auncel_tpu.ops.kmeans import kmeans, KmeansParams
+        bits = unpack_bits(np.asarray(codes, np.uint8), self.d)
+        res = kmeans(bits.astype(np.float32), self.nlist,
+                     KmeansParams(niter=10))
+        # majority-vote binarization (reference trains float then rounds)
+        self.centroid_bits = (res.centroids > 0.5).astype(np.uint8)
+        self.is_trained = True
+
+    def add(self, codes: np.ndarray, ids=None) -> None:
+        assert self.is_trained and ids is None
+        codes = np.asarray(codes, np.uint8)
+        self._codes = np.concatenate([self._codes, codes], 0)
+        self._dev = None
+
+    def _build(self):
+        if self._dev is not None:
+            return self._dev
+        bits = unpack_bits(self._codes, self.d)
+        cb = jnp.asarray(self.centroid_bits, jnp.bfloat16)
+        xb = jnp.asarray(bits, jnp.bfloat16)
+        cpop = jnp.sum(cb.astype(jnp.float32), 1)
+        _, assign = jax.device_get(_hamming_topk(xb, cb, cpop, 1))
+        assign = assign[:, 0]
+        order = np.argsort(assign, kind="stable")
+        sizes = np.bincount(assign, minlength=self.nlist)
+        starts = np.zeros(self.nlist + 1, np.int64)
+        np.cumsum(sizes, out=starts[1:])
+        self._dev = (bits, assign, order, starts, cb, cpop)
+        return self._dev
+
+    def search(self, q_codes: np.ndarray, k: int,
+               nprobe: int | None = None):
+        bits, assign, order, starts, cb, cpop = self._build()
+        nprobe = min(nprobe or self.nprobe, self.nlist)
+        qbits_np = unpack_bits(np.asarray(q_codes, np.uint8), self.d)
+        qb = jnp.asarray(qbits_np, jnp.bfloat16)
+        _, probes = jax.device_get(_hamming_topk(qb, cb, cpop, nprobe))
+        nq = qb.shape[0]
+        out_v = np.full((nq, k), np.iinfo(np.int32).max, np.int32)
+        out_i = np.full((nq, k), -1, np.int64)
+        # per-query candidate scan (host gather + one device matmul each;
+        # fine for the binary family's modest corpus sizes)
+        for qi in range(nq):
+            cand = np.concatenate(
+                [order[starts[l]:starts[l + 1]] for l in probes[qi]])
+            if cand.size == 0:
+                continue
+            cb_bits = jnp.asarray(bits[cand], jnp.bfloat16)
+            pop = jnp.sum(cb_bits.astype(jnp.float32), 1)
+            vals, idx = jax.device_get(_hamming_topk(
+                qb[qi:qi + 1], cb_bits, pop, min(k, cand.size)))
+            kk = vals.shape[1]
+            out_v[qi, :kk] = np.rint(vals[0]).astype(np.int32)
+            out_i[qi, :kk] = cand[idx[0]]
+        return out_v, out_i
+
+    def reset(self) -> None:
+        self._codes = np.zeros((0, self.d // 8), np.uint8)
+        self._dev = None
