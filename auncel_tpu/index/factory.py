@@ -32,6 +32,12 @@ def index_factory(d: int, description: str,
             cur_d = int(m.group(2))
             parts.pop(0)
             continue
+        m = re.fullmatch(r"OPQ(\d+)", p)
+        if m:
+            from auncel_tpu.index.transform import OPQMatrix
+            transforms.append(OPQMatrix(cur_d, int(m.group(1))))
+            parts.pop(0)
+            continue
         if p == "L2norm":
             from auncel_tpu.index.transform import NormalizationTransform
             transforms.append(NormalizationTransform(cur_d))
@@ -57,6 +63,8 @@ def index_factory(d: int, description: str,
             index = IVFFlatIndex(cur_d, nlist, metric)
         elif cell == "SQ8":
             index = IVFFlatIndex(cur_d, nlist, metric, storage="sq8")
+        elif cell == "SQ4":
+            index = IVFFlatIndex(cur_d, nlist, metric, storage="sq4")
         elif cell in ("SQfp16", "SQbf16"):
             # bf16 is the TPU-native half type; stands in for the
             # reference's SQfp16 cell

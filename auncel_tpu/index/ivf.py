@@ -208,16 +208,24 @@ class IVFFlatIndex(Index):
             if n_pad != n:
                 x = np.concatenate(
                     [x, np.broadcast_to(x[:1], (n_pad - n, self.d))])
-            if self.storage == "sq8":
+            if self.storage in ("sq8", "sq4"):
+                levels = 255.0 if self.storage == "sq8" else 15.0
                 vmin = x.min(0)
-                scale = np.maximum((x.max(0) - vmin) / 255.0,
+                scale = np.maximum((x.max(0) - vmin) / levels,
                                    1e-10).astype(np.float32)
                 codes = np.clip(np.rint((x - vmin) / scale), 0,
-                                255).astype(np.uint8)
-                codes_d = jnp.asarray(codes)
+                                levels).astype(np.uint8)
                 sq_scale = jnp.asarray(scale)
                 sq_bias = jnp.asarray(vmin.astype(np.float32))
-                xd = _sq_decode(codes_d, sq_scale, sq_bias)
+                if self.storage == "sq4":
+                    assert self.d % 2 == 0, "SQ4 needs an even dimension"
+                    packed = (codes[:, 0::2] | (codes[:, 1::2] << 4))
+                    codes_d = jnp.asarray(packed)
+                else:
+                    codes_d = jnp.asarray(codes)
+                # decoded values drive assignment/geometry for consistency
+                xd = (jnp.asarray(codes).astype(jnp.float32) * sq_scale
+                      + sq_bias)
             else:
                 # raw f32/bf16 and PQ (PQ assigns on raw vectors like the
                 # reference, then encodes after spill resolution below)
@@ -279,12 +287,20 @@ class IVFFlatIndex(Index):
             starts[:-1], sizes)
         vec_ids = np.full((self.nlist, cap), -1, np.int32)
         vec_ids[assign, slot] = vid.astype(np.int32)
-        if n and self.storage == "sq8":
+        if n and self.storage in ("sq8", "sq4"):
             li = jnp.asarray(assign.astype(np.int32))
             si = jnp.asarray(slot.astype(np.int32))
             db_dev, _ = _scatter_pack(codes_d, li, si, self.nlist, cap,
                                       jnp.uint8)
-            db_sq = _sq_norms(db_dev, sq_scale, sq_bias)
+            if self.storage == "sq4":
+                lo = (db_dev & 0xF).astype(jnp.float32)
+                hi = (db_dev >> 4).astype(jnp.float32)
+                dec = jnp.stack([lo, hi], -1).reshape(
+                    db_dev.shape[:-1] + (self.d,)) * sq_scale + sq_bias
+                db_sq = jnp.sum(jnp.square(dec), -1)
+                db_sq = db_sq * (jnp.asarray(vec_ids) >= 0)
+            else:
+                db_sq = _sq_norms(db_dev, sq_scale, sq_bias)
         elif n and self.storage.startswith("pq"):
             from auncel_tpu.ops.pq import train_pq, encode_pq, decode_pq
             M = int(self.storage[2:])

@@ -72,10 +72,16 @@ class IVFArrays(NamedTuple):
 
     def decode_block(self, sub: jax.Array) -> jax.Array:
         """Stored block -> float32 vectors (identity for raw storage,
-        affine decode for SQ8, codebook reconstruction for PQ). All search
-        paths share this hook, so distances stay value-consistent across
-        partial scans, full scans, and GT generation."""
+        affine decode for SQ8/SQ4, codebook reconstruction for PQ). All
+        search paths share this hook, so distances stay value-consistent
+        across partial scans, full scans, and GT generation."""
         if self.sq_scale is not None:
+            if sub.shape[-1] * 2 == self.d:   # SQ4: two dims per byte
+                lo = (sub & 0xF).astype(jnp.float32)
+                hi = (sub >> 4).astype(jnp.float32)
+                vals = jnp.stack([lo, hi], axis=-1).reshape(
+                    sub.shape[:-1] + (self.d,))
+                return vals * self.sq_scale + self.sq_bias
             return sub.astype(jnp.float32) * self.sq_scale + self.sq_bias
         if self.pq_codebooks is not None:
             from auncel_tpu.ops.pq import decode_pq, PQCodebooks

@@ -64,6 +64,44 @@ class PCAMatrix(VectorTransform):
         return (np.asarray(x, np.float32) - self.mean) @ self.proj
 
 
+class OPQMatrix(VectorTransform):
+    """OPQ rotation (reference OPQMatrix, VectorTransform.h): learn an
+    orthonormal R minimizing the PQ reconstruction error of R x, by
+    alternating PQ training on the rotated data with the orthogonal
+    Procrustes update R = U V^T from SVD(X^T X_hat) (OPQ-NP). The SVD is a
+    tiny [d, d] host solve; the PQ inner loop runs on device."""
+
+    def __init__(self, d: int, M: int, niter: int = 8, seed: int = 1234):
+        assert d % M == 0
+        self.d_in = self.d_out = d
+        self.M = M
+        self.niter = niter
+        self.seed = seed
+        self.is_trained = False
+        self.rot: np.ndarray | None = None
+
+    def train(self, x: np.ndarray) -> None:
+        from auncel_tpu.ops.pq import train_pq, encode_pq, decode_pq
+        import jax.numpy as jnp
+        x = np.asarray(x, np.float32)[:100_000]
+        rng = np.random.RandomState(self.seed)
+        q, _ = np.linalg.qr(rng.randn(self.d_in, self.d_in))
+        R = q.astype(np.float32)
+        for _ in range(self.niter):
+            y = x @ R
+            pq = train_pq(y, self.M, niter=6, seed=self.seed)
+            rec = np.asarray(decode_pq(pq, encode_pq(pq, jnp.asarray(y))))
+            u, _, vt = np.linalg.svd(x.T.astype(np.float64)
+                                     @ rec.astype(np.float64))
+            R = (u @ vt).astype(np.float32)
+        self.rot = R
+        self.is_trained = True
+
+    def apply(self, x: np.ndarray) -> np.ndarray:
+        assert self.is_trained
+        return np.asarray(x, np.float32) @ self.rot
+
+
 class RandomRotationMatrix(VectorTransform):
     """Dense random orthonormal rotation (reference RandomRotationMatrix)."""
 

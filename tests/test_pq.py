@@ -96,3 +96,37 @@ def test_residual_pq_beats_plain_pq(ds):
     r_res, r_plain = recall(True), recall(False)
     # residual coding quantizes a much smaller range -> better recall
     assert r_res > r_plain
+
+
+def test_opq_reduces_pq_distortion(rng):
+    """OPQ must beat plain PQ on dimension-correlated data (its raison
+    d'etre): build data where adjacent dims are strongly correlated so the
+    default subspace split is bad, and check the learned rotation lowers
+    reconstruction error."""
+    import jax.numpy as jnp
+    from auncel_tpu.index.transform import OPQMatrix
+    n, d, M = 4000, 16, 4
+    z = rng.randn(n, d // 2).astype(np.float32)
+    x = np.concatenate([z, z * 0.9 + 0.1 * rng.randn(n, d // 2)], 1)
+
+    def pq_err(y):
+        pq = train_pq(y[:3000], M, niter=6)
+        rec = np.asarray(decode_pq(pq, encode_pq(pq, jnp.asarray(y))))
+        return ((rec - y) ** 2).sum(-1).mean()
+
+    base = pq_err(x)
+    opq = OPQMatrix(d, M, niter=5)
+    opq.train(x)
+    rotated = pq_err(opq.apply(x))
+    assert rotated < base
+
+
+def test_factory_opq_chain(ds):
+    from auncel_tpu.index.transform import IndexPreTransform
+    from auncel_tpu.index.factory import index_factory
+    idx = index_factory(ds.d, "OPQ4,IVF32,PQ4")
+    assert isinstance(idx, IndexPreTransform)
+    idx.train(ds.xb[:4000])
+    idx.add(ds.xb[:2000])
+    v, i = idx.search(ds.xq[:5], 3)
+    assert v.shape == (5, 3)

@@ -82,3 +82,21 @@ def test_bounded_search_on_sq8(ds):
     from auncel_tpu.autotune import recall_counts
     cnt = recall_counts(D, gt_D[40:60], 10, Metric.L2)
     assert cnt.min() / 10 >= 0.9
+
+
+def test_sq4_recall_and_consistency(ds, gt):
+    idx = index_factory(ds.d, "IVF64,SQ4")
+    idx.train(ds.xt[:10000])
+    idx.add(ds.xb)
+    assert idx.arrays.db.shape[-1] == ds.d // 2  # nibble-packed
+    _, ids = idx.exact_search(ds.xq, 10)
+    assert _recall(ids, gt[1]) > 0.7  # 4-bit: coarse (16 levels) but usable
+    # partial vs full scan value consistency on decoded values
+    v4, i4 = idx.search(ds.xq, 10, nprobe=4)
+    vf, iff = idx.exact_search(ds.xq, 10)
+    lut = {(q, int(i)): v for q in range(len(ds.xq))
+           for v, i in zip(vf[q], iff[q])}
+    for q in range(len(ds.xq)):
+        for v, i in zip(v4[q], i4[q]):
+            if (q, int(i)) in lut:
+                assert abs(lut[(q, int(i))] - v) <= 1e-4 * max(abs(v), 1.0)
