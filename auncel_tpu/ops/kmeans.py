@@ -138,6 +138,29 @@ def _kmeanspp_init(x, key, k):
     return cents
 
 
+class Kmeans:
+    """Convenience wrapper mirroring the reference Python API
+    (``python/faiss.py`` Kmeans class, SURVEY.md §2 #28): train + assign."""
+
+    def __init__(self, d: int, k: int, niter: int = 25, seed: int = 1234,
+                 spherical: bool = False, verbose: bool = False):
+        self.d, self.k = d, k
+        self.params = KmeansParams(niter=niter, seed=seed,
+                                   spherical=spherical, verbose=verbose)
+        self.centroids: np.ndarray | None = None
+        self.obj: float | None = None
+
+    def train(self, x) -> float:
+        res = kmeans(x, self.k, self.params)
+        self.centroids = res.centroids
+        self.obj = res.error
+        return res.error
+
+    def assign(self, x) -> np.ndarray:
+        from auncel_tpu.ops.knn import knn
+        return knn(x, self.centroids, 1, Metric.L2).ids[:, 0]
+
+
 def kmeans(
     x,
     k: int,

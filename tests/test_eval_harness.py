@@ -77,3 +77,11 @@ def test_autotune_worst_case_baseline():
     # frontier sanity: the full-scan point exists and has perf 1.0
     pts = ps.ops.optimal()
     assert pts[-1].perf >= 0.999
+
+
+def test_dist_bench_scaling(tmp_path):
+    from auncel_tpu.eval_harness import dist_bench
+    rows = dist_bench.run(db="synth10K", shard_counts=(1, 4), nq=24,
+                          nlist=32, max_topk=20, log_dir=str(tmp_path))
+    assert len(rows) == 2
+    assert (tmp_path / "Dist_scaling.log").exists()

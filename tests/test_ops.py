@@ -96,3 +96,13 @@ def test_kmeans_no_empty_clusters(rng):
     assign = d.argmin(1)
     sizes = np.bincount(assign, minlength=64)
     assert (sizes == 0).sum() <= 2  # empty-split keeps clusters populated
+
+
+def test_kmeans_convenience_class(rng):
+    from auncel_tpu.ops.kmeans import Kmeans
+    x = rng.randn(2000, 8).astype(np.float32)
+    km = Kmeans(8, 16, niter=5)
+    err = km.train(x)
+    assert np.isfinite(err) and km.centroids.shape == (16, 8)
+    a = km.assign(x[:100])
+    assert a.shape == (100,) and a.max() < 16
