@@ -94,17 +94,19 @@ class IVFArrays(NamedTuple):
 
 
 def coarse_rank(arrays: IVFArrays, q: jax.Array, metric: Metric,
-                q_sq: jax.Array | None = None):
-    """Rank ALL centroids per query (the reference always ranks the full
+                q_sq: jax.Array | None = None, rank_k: int | None = None):
+    """Rank centroids per query (the reference always ranks the full
     centroid set in tune mode: ``quantizer->search(n, x, nlist, ...)``,
-    IndexIVF.cpp:355-365). Returns (cdis [B, nlist], cids [B, nlist]),
-    best-first."""
+    IndexIVF.cpp:355-365). Returns (cdis [B, rank_k], cids [B, rank_k]),
+    best-first. ``rank_k < nlist`` skips the tail of the full sort — the
+    decision phase only consumes the first nlist/8 probe slots plus the
+    boundary window, and an exact top-k prefix equals the full ranking's
+    prefix."""
     from auncel_tpu.ops.distance import pairwise_scores
     scores = pairwise_scores(q, arrays.centroids, metric,
                              y_sqnorms=arrays.cent_sq, x_sqnorms=q_sq)
-    nlist = arrays.nlist
     all_ids = jax.lax.broadcasted_iota(jnp.int32, scores.shape, 1)
-    return topk_scores(scores, all_ids, nlist, metric)
+    return topk_scores(scores, all_ids, rank_k or arrays.nlist, metric)
 
 
 def pick_probe_chunk(batch: int, cap: int, d: int, width: int,
@@ -154,11 +156,13 @@ def scan_probe_range(
     nlist = arrays.nlist
     cap = arrays.cap
 
+    n_slots_avail = probe_lists.shape[1]  # may be a ranking prefix
+
     def gather_scores(ik0):
         """Scores/ids for C probes starting at slot ik0: [B, C*cap]."""
         iks = ik0 + jnp.arange(C, dtype=jnp.int32)
         slot_ok = iks < start + width
-        safe_iks = jnp.clip(iks, 0, nlist - 1)
+        safe_iks = jnp.clip(iks, 0, n_slots_avail - 1)
         lists = jnp.take_along_axis(
             probe_lists, jnp.broadcast_to(safe_iks[None, :], (B, C)), axis=1)
         sub = arrays.db[lists]            # [B, C, cap, d|M] gather

@@ -133,7 +133,6 @@ def finish_scan(
     arrays: IVFArrays,
     q: jax.Array,
     q_sq: jax.Array,
-    cids: jax.Array,
     vals: jax.Array,
     ids: jax.Array,
     my_np: jax.Array,
@@ -143,7 +142,10 @@ def finish_scan(
 ):
     """Phase B: scan probe slots [start, start+width) with per-query limit
     my_np (mask semantics identical to the reference's break at
-    stage >= my_nprobe)."""
+    stage >= my_nprobe). Re-ranks the full centroid set for this straggler
+    subset (phase A only ranked the decision prefix); exact top-k prefixes
+    agree, so the already-scanned slots line up."""
+    cdis, cids = coarse_rank(arrays, q, metric, q_sq=q_sq)
     return scan_probe_range(arrays, q, q_sq, cids, vals, ids, my_np,
                             start, width, metric)
 
@@ -184,10 +186,16 @@ def bounded_search(
 
 def _bounded_impl(arrays, traces, q, require_acc, multipler, std_m, gt_kth,
                   query_k, max_topk, metric, with_true_recall, decide_only):
+    from auncel_tpu.profile.geometry import n_boundaries
     B = q.shape[0]
     nlist = arrays.nlist
     q_sq = sqnorms(q)
-    cdis, cids = coarse_rank(arrays, q, metric, q_sq=q_sq)
+    # Decide-only needs the ranking prefix only: nlist/8 probe slots + the
+    # boundary window; the full nlist-wide sort is deferred to the phase-B
+    # straggler subset (ErrorSys computes it for those rows alone).
+    rank_k = min(nlist, n_boundaries(nlist) + 1) if decide_only else nlist
+    rank_k = max(rank_k, min(nlist, nlist // 8))
+    cdis, cids = coarse_rank(arrays, q, metric, q_sq=q_sq, rank_k=rank_k)
     dtb = boundary_distances(cdis, cids, arrays.interdis, metric)
     vals, ids = init_topk((B,), max_topk, metric)
 

@@ -210,7 +210,6 @@ class ErrorSys:
                     fv, fi = finish_scan(
                         self.index.arrays,
                         jnp.asarray(q[sel]), q_sq_d[jnp.asarray(sel)],
-                        cids_d[jnp.asarray(sel)],
                         vals_d[jnp.asarray(sel)], ids_d[jnp.asarray(sel)],
                         my_np_d[jnp.asarray(sel)],
                         cap_stage, w - cap_stage, self.index.metric)

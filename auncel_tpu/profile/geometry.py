@@ -58,12 +58,13 @@ def boundary_distances(
     Returns dtb [B, n_boundaries]; dtb[:, j] is the boundary between home
     (rank 0) and the rank-(j+1) centroid.
     """
-    nlist = cdis.shape[1]
+    nlist = interdis.shape[0]
     m = n_boundaries(nlist)
-    # With tiny nlist the margin window exceeds the centroid count (the
-    # reference would read out of bounds there); use what exists and pad the
-    # rest with +inf boundaries, which contribute 0 angle by the skip rule.
-    m_eff = min(m, nlist - 1)
+    # With tiny nlist (or a prefix-only coarse ranking) the margin window
+    # exceeds the available ranked centroids (the reference would read out
+    # of bounds there); use what exists and pad the rest with +inf
+    # boundaries, which contribute 0 angle by the skip rule.
+    m_eff = min(m, nlist - 1, cdis.shape[1] - 1)
     if metric is Metric.IP:
         cd = safe_arccos(cdis[:, : m_eff + 1])
     else:
