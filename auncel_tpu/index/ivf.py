@@ -105,10 +105,15 @@ class IVFFlatIndex(Index):
         storage: str = "f32",
         pq_residual: bool = True,
     ):
-        """``storage``: "f32" (raw), "bf16", or "sq8" — per-dim affine int8
-        scalar quantization (the reference's IndexIVFScalarQuantizer
-        capability, SURVEY.md §2 #17): 4x less HBM traffic in the scan; all
-        distances computed on decoded values.
+        """``storage``: "f32" (raw), "bf16", "sq8"/"sq4" (per-dim affine
+        scalar quantization, the reference's IndexIVFScalarQuantizer
+        capability, SURVEY.md §2 #17), or "pqM" (product quantization,
+        #16). All distances are computed on decoded values. Caveat measured
+        on the 1M benchmark: bf16's ~0.4% rounding noise can dominate
+        neighbor ordering when clusters are tight relative to coordinate
+        magnitudes — worst-case recall degrades far more than mean recall.
+        Compressed storage trades recall for bandwidth; f32 is the
+        bound-safe default.
 
         ``cap_quantile``: list capacity is the given quantile of list
         sizes (k-means list lengths are skewed; padding every list to the
