@@ -188,7 +188,9 @@ class ErrorSys:
             ids = np.array(ids)
             need = np.where(target > cap_stage)[0]
             if need.size:
-                # bucket stragglers by probe width and by row count
+                # bucket stragglers by probe width and by row count; launch
+                # every bucket's scan asynchronously and fetch ALL results
+                # in one device_get (each fetch costs a ~40ms tunnel RTT)
                 widths = []
                 w = cap_stage * 2
                 while w <= nlist:
@@ -196,6 +198,7 @@ class ErrorSys:
                     w *= 2
                 if widths[-1] != nlist:
                     widths.append(nlist)
+                pending = []
                 for w in widths:
                     lo = cap_stage if w == widths[0] else widths[
                         widths.index(w) - 1]
@@ -213,8 +216,11 @@ class ErrorSys:
                         vals_d[jnp.asarray(sel)], ids_d[jnp.asarray(sel)],
                         my_np_d[jnp.asarray(sel)],
                         cap_stage, w - cap_stage, self.index.metric)
-                    vals[rows] = np.asarray(fv)[:rows.size]
-                    ids[rows] = np.asarray(fi)[:rows.size]
+                    pending.append((rows, fv, fi))
+                fetched = jax.device_get([(fv, fi) for _, fv, fi in pending])
+                for (rows, _, _), (fv, fi) in zip(pending, fetched):
+                    vals[rows] = fv[:rows.size]
+                    ids[rows] = fi[:rows.size]
             n_scanned = target
             if want_true:
                 from auncel_tpu.profile.bounded import TRUE_RECALL_SLACK
