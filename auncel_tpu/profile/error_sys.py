@@ -180,10 +180,11 @@ class ErrorSys:
                     jnp.asarray(acc), jnp.float32(self.multipler),
                     jnp.float32(self.std_m), self.query_topk,
                     self.max_topk, self.index.metric)
-            # one fetch for the host-side phase-B planning
-            my_np, decided = jax.device_get((my_np_d, decided_d))
+            # ONE fetch for phase-B planning AND the base results (a
+            # second fetch later would cost another ~40ms tunnel RTT)
+            my_np, decided, vals, ids = jax.device_get(
+                (my_np_d, decided_d, vals_d, ids_d))
             target = np.minimum(np.maximum(my_np, decided), nlist)
-            vals, ids = jax.device_get((vals_d, ids_d))
             vals = np.array(vals)     # writable copies
             ids = np.array(ids)
             need = np.where(target > cap_stage)[0]
