@@ -149,8 +149,10 @@ def scan_probe_range(
     worst = worst_value(metric)
     B = q.shape[0]
     C = probe_chunk or pick_probe_chunk(B, arrays.cap, arrays.d, width)
-    M = min(merge_every * C, max(width, 1))      # probes per merge
-    M = max(M - M % C, C)                        # multiple of C
+    # probes per merge: cover the whole (small) wave in ONE merge when it
+    # fits the merge window — each exact top-k over [B, M*cap] costs tens
+    # of ms at batch 1024, so fewer merges beat smaller ones
+    M = min(merge_every * C, -(-max(width, 1) // C) * C)
     n_merges = -(-width // M)
     gathers_per_merge = M // C
     nlist = arrays.nlist
