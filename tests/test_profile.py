@@ -250,3 +250,21 @@ def test_calibrate_meets_bound(trained_sys):
     cnt = recall_counts(D, gt_D[300:400], 10, Metric.L2)
     # calibrated on held-out 200-300; check generalization loosely on 300-400
     assert cnt.min() / 10 >= 0.8
+
+
+def test_two_phase_equals_single_phase(trained_sys):
+    """The two-phase bucketed execution is an optimization, not a
+    semantics change: results and probe counts must match the single-phase
+    masked-wave engine exactly."""
+    ds, idx, es, gt_D, gt_I = trained_sys
+    es.set_topk(10)
+    es.set_hyper(6.0, 1.0)
+    acc = np.full(400, 0.9, np.float32)
+    es.set_queries(100, ds.xq, acc, alloc_size=400)
+    D1, I1 = es.search(200, 100, two_phase=False)
+    n1 = es.n_scanned[200:300].copy()
+    D2, I2 = es.search(200, 100, two_phase=True)
+    n2 = es.n_scanned[200:300].copy()
+    np.testing.assert_array_equal(I1, I2)
+    np.testing.assert_array_equal(D1, D2)
+    np.testing.assert_array_equal(n1, n2)
