@@ -268,3 +268,26 @@ def test_two_phase_equals_single_phase(trained_sys):
     np.testing.assert_array_equal(I1, I2)
     np.testing.assert_array_equal(D1, D2)
     np.testing.assert_array_equal(n1, n2)
+
+
+def test_bounded_search_ip_metric():
+    """End-to-end bounded search under inner product (the reference's
+    TEXT10M path: L2-normalized vectors, arccos angle space throughout)."""
+    from auncel_tpu.autotune import recall_counts
+    ds = make_clustered_dataset(nb=20000, nq=200, d=32, n_clusters=64,
+                                seed=29, metric=Metric.IP)
+    idx = IVFFlatIndex(ds.d, nlist=64, metric=Metric.IP)
+    idx.train(ds.xt[:10000])
+    idx.add(ds.xb)
+    gt_D, gt_I = idx.exact_search(ds.xq, 50)
+    es = ErrorSys(idx, train_num=200, max_topk=50)
+    es.set_gt(gt_D, gt_I)
+    es.sys_train(100, ds.xq)
+    es.set_topk(10)
+    es.set_hyper(8.0, 1.0)
+    acc = np.full(200, 0.9, np.float32)
+    es.set_queries(100, ds.xq, acc)
+    D, I = es.search(100, 100)
+    cnt = recall_counts(D, gt_D[100:200], 10, Metric.IP)
+    assert cnt.min() / 10 >= 0.9
+    assert es.n_scanned[100:200].mean() < 64  # early termination happens
