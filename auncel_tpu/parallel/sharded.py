@@ -142,6 +142,57 @@ class ShardedIVF:
             ))
         self.traces = _shard_leading(_stack_pytrees(padded), self.mesh)
 
+    # -------------------------------------------------------- persistence
+
+    def save(self, dirpath: str) -> None:
+        """Persist per-shard indexes + profiles (the reference's workers
+        cache their trained shard indexes on disk; profiles it retrains —
+        we persist both)."""
+        import os
+        import json
+        from auncel_tpu.index.io import save_index
+        from auncel_tpu.profile.trace import TraceSet, save_trace_set
+        os.makedirs(dirpath, exist_ok=True)
+        meta = dict(d=self.d, nlist=self.nlist, n_shards=self.n_shards,
+                    metric=self.metric.value, multipler=self.multipler,
+                    std_m=self.std_m,
+                    max_topk=getattr(self, "max_topk", None))
+        with open(os.path.join(dirpath, "meta.json"), "w") as f:
+            json.dump(meta, f)
+        for i, idx in enumerate(self.shards):
+            save_index(idx, os.path.join(dirpath, f"shard{i}.npz"))
+        if self.traces is not None:
+            t = jax.device_get(self.traces)
+            np.savez(os.path.join(dirpath, "traces.npz"),
+                     phi=t.phi, u=t.u, std=t.std, n_bins=t.n_bins)
+
+    @classmethod
+    def load(cls, dirpath: str, mesh: Mesh | None = None) -> "ShardedIVF":
+        import os
+        import json
+        from auncel_tpu.index.io import load_index
+        from auncel_tpu.profile.trace import TraceSet
+        with open(os.path.join(dirpath, "meta.json")) as f:
+            meta = json.load(f)
+        s = cls(meta["d"], meta["nlist"], meta["n_shards"],
+                Metric.parse(meta["metric"]), mesh=mesh)
+        s.multipler = meta["multipler"]
+        s.std_m = meta["std_m"]
+        if meta.get("max_topk"):
+            s.max_topk = meta["max_topk"]
+        s.shards = [load_index(os.path.join(dirpath, f"shard{i}.npz"))
+                    for i in range(meta["n_shards"])]
+        s._stack()
+        tp = os.path.join(dirpath, "traces.npz")
+        if os.path.exists(tp):
+            with np.load(tp) as z:
+                stacked = TraceSet(jnp.asarray(z["phi"]),
+                                   jnp.asarray(z["u"]),
+                                   jnp.asarray(z["std"]),
+                                   jnp.asarray(z["n_bins"]))
+            s.traces = _shard_leading(stacked, s.mesh)
+        return s
+
     # ------------------------------------------------------------- search
 
     def search(self, q: np.ndarray, k: int, nprobe: int):

@@ -86,3 +86,16 @@ def test_dp_kmeans_matches_quality(ds):
     rand_c = ds.xb[rng.permutation(8000)[:32]]
     d_rand = ((ds.xb[:8000, None, :] - rand_c[None]) ** 2).sum(-1).min(1).sum()
     assert err < 0.9 * d_rand
+
+
+def test_sharded_save_load(tmp_path, ds, sharded):
+    if sharded.traces is None:
+        sharded.train_profiles(ds.xq[:20], max_topk=50)
+    sharded.multipler = 8.0
+    p = str(tmp_path / "sharded")
+    sharded.save(p)
+    loaded = ShardedIVF.load(p, mesh=make_mesh(4))
+    acc = np.full(40, 0.9, np.float32)
+    v1, i1, _ = sharded.search_bounded(ds.xq, acc, query_k=10)
+    v2, i2, _ = loaded.search_bounded(ds.xq, acc, query_k=10)
+    np.testing.assert_array_equal(i1, i2)
