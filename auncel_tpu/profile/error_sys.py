@@ -267,15 +267,19 @@ class ErrorSys:
         size = self.num if search_size == -1 else search_size
         if self.per_probe_ms is None:
             self.calibrate_time()
-        q = self.queries[start:start + size]
-        budget = self.require_acc[start:start + size]
+        # bucket-pad like search(): one compiled program per bucket size
+        bsz = self._bucket(size)
+        q = np.zeros((bsz, self.index.d), np.float32)
+        q[:size] = self.queries[start:start + size]
+        budget = np.full(bsz, 1e-6, np.float32)  # pad: minimal probes
+        budget[:size] = self.require_acc[start:start + size]
         out = budgeted_search(
             self.index.arrays, jnp.asarray(q), jnp.asarray(budget),
             jnp.float32(self.per_probe_ms), self.max_topk, self.index.metric)
         vals, ids, n_budget = jax.device_get(out)
-        self.my_nprobe[start:start + size] = n_budget
-        self.n_scanned[start:start + size] = n_budget
-        return vals, ids.astype(np.int64)
+        self.my_nprobe[start:start + size] = n_budget[:size]
+        self.n_scanned[start:start + size] = n_budget[:size]
+        return vals[:size], ids[:size].astype(np.int64)
 
     # ---------------------------------------------------------- utilities
 
