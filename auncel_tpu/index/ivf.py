@@ -140,6 +140,8 @@ class IVFFlatIndex(Index):
         self.interdis: np.ndarray | None = None
         self._pending: list[tuple[np.ndarray, np.ndarray]] = []
         self._arrays: IVFArrays | None = None
+        self._multirow = None
+        self._multirow_row_cap: int | None = None
         self._ntotal = 0
 
     # ------------------------------------------------------------- train
@@ -176,6 +178,7 @@ class IVFFlatIndex(Index):
         self._pending.append((x, ids))
         self._ntotal += x.shape[0]
         self._arrays = None  # repack lazily
+        self._multirow = None
 
     def assign(self, x: np.ndarray) -> np.ndarray:
         """Nearest-centroid assignment. For IP indexes the reference's
@@ -358,7 +361,28 @@ class IVFFlatIndex(Index):
     def arrays(self) -> IVFArrays:
         if self._arrays is None:
             self._pack()
+            if self._multirow_row_cap is not None:
+                from auncel_tpu.index.multirow import build_multirow
+                self._multirow = build_multirow(self._arrays,
+                                                self._multirow_row_cap)
         return self._arrays
+
+    def enable_multirow(self, row_cap: int | None = None):
+        """Build (and keep in sync across repacks) the multi-row scan
+        layout; the bounded engine then scans tight rows instead of
+        padded mega-lists (~cap / row_cap less gather traffic on skewed
+        lists). Distance values are bitwise-identical to the padded
+        layout, so profiles / GT need no re-plumbing."""
+        from auncel_tpu.index.multirow import build_multirow
+        self._multirow_row_cap = row_cap if row_cap is not None else 256
+        self._multirow = build_multirow(self.arrays, self._multirow_row_cap)
+        return self._multirow
+
+    @property
+    def multirow(self):
+        if self._multirow is None and self._multirow_row_cap is not None:
+            _ = self.arrays  # repack rebuilds the row layout too
+        return self._multirow
 
     @property
     def packing_efficiency(self) -> float:
@@ -439,4 +463,5 @@ class IVFFlatIndex(Index):
     def reset(self) -> None:
         self._pending = []
         self._arrays = None
+        self._multirow = None
         self._ntotal = 0

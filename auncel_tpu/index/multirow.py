@@ -46,49 +46,80 @@ class MultiRowArrays(NamedTuple):
         return self.row_table.shape[1]
 
 
+@functools.partial(jax.jit, static_argnames=("row_cap",))
+def _gather_rows(arrays: IVFArrays, src_list: jax.Array, src_off: jax.Array,
+                 row_cap: int):
+    """Device-side row repack: one flat gather per tensor. Slot values are
+    COPIED from the padded layout (db, db_sq, vec_ids all gathered, never
+    recomputed), so every distance term is bitwise-identical to the padded
+    path — the profile trainer's kscaling value-match (1e-5 rel,
+    IVF_pro.cpp:72-82) sees the same numbers through either layout."""
+    nlist, cap = arrays.vec_ids.shape
+    idx = src_list[:, None] * cap + src_off[:, None] + jnp.arange(
+        row_cap, dtype=jnp.int32)[None, :]              # [n_rows, row_cap]
+    in_list = (src_off[:, None] + jnp.arange(row_cap, dtype=jnp.int32)
+               < cap) & (src_list[:, None] >= 0)
+    idx = jnp.clip(idx, 0, nlist * cap - 1)
+    db = arrays.db.reshape(nlist * cap, -1)[idx]
+    db_sq = jnp.where(in_list, arrays.db_sq.reshape(-1)[idx], 0.0)
+    vec_ids = jnp.where(in_list, arrays.vec_ids.reshape(-1)[idx], -1)
+    return db, db_sq, vec_ids
+
+
 def build_multirow(arrays: IVFArrays, row_cap: int | None = None,
                    ) -> MultiRowArrays:
-    """Re-pack a padded IVFArrays into the multi-row layout. Host-side
-    (offline); raw f32 storage only for now."""
-    assert arrays.sq_scale is None and arrays.pq_codebooks is None, \
-        "multirow currently supports raw storage"
-    db = np.asarray(arrays.db)
-    ids = np.asarray(arrays.vec_ids)
-    sizes = np.asarray(arrays.list_sizes)
-    nlist, cap, d = db.shape
+    """Re-pack a padded IVFArrays into the multi-row layout.
+
+    Host side computes only the (tiny) addressing tables from list sizes;
+    the corpus itself is re-packed ON DEVICE with one flat gather — no
+    device->host round trip of the database. Supports every storage codec
+    that decodes per-slot (raw f32/bf16, SQ8/SQ4); residual PQ is excluded
+    because its scan needs the owning LIST's centroid per block, which rows
+    do not carry.
+
+    ``row_cap`` defaults to 256 (or the padded cap if smaller): small rows
+    keep per-list padding waste under one row (<= row_cap - 1 slots), which
+    is what buys back the ~3x padded-layout scan traffic on skewed lists.
+    """
+    assert arrays.pq_residual is None and arrays.pq_codebooks is None, \
+        "multirow does not support PQ storage (needs per-list centroids)"
+    sizes = np.asarray(arrays.list_sizes).astype(np.int64)
+    nlist, cap = int(arrays.vec_ids.shape[0]), int(arrays.vec_ids.shape[1])
     if row_cap is None:
-        row_cap = max(8, int(np.median(sizes[sizes > 0])) if
-                      (sizes > 0).any() else 8)
-        row_cap = ((row_cap + 127) // 128) * 128 or 128
-    rows_per = np.maximum(1, -(-sizes // row_cap))
+        row_cap = min(cap, 256)
+    row_cap = min(row_cap, cap)
+    rows_per = np.maximum(1, -(-sizes // row_cap)).astype(np.int64)
     n_rows = int(rows_per.sum())
+    n_rows_pad = ((n_rows + 7) // 8) * 8  # ivf_full_scan chunks by 8
     max_rows = int(rows_per.max())
 
-    row_db = np.zeros((n_rows, row_cap, d), np.float32)
-    row_ids = np.full((n_rows, row_cap), -1, np.int32)
+    src_list = np.full(n_rows_pad, -1, np.int32)
+    src_off = np.zeros(n_rows_pad, np.int32)
     row_table = np.full((nlist, max_rows), -1, np.int32)
     r = 0
     for l in range(nlist):
-        sz = int(sizes[l])
         for j in range(int(rows_per[l])):
-            lo = j * row_cap
-            hi = min(lo + row_cap, max(sz, 0))
-            if hi > lo:
-                row_db[r, : hi - lo] = db[l, lo:hi]
-                row_ids[r, : hi - lo] = ids[l, lo:hi]
+            src_list[r] = l
+            src_off[r] = j * row_cap
             row_table[l, j] = r
             r += 1
 
-    row_db_d = jnp.asarray(row_db)
+    db, db_sq, vec_ids = _gather_rows(
+        arrays, jnp.asarray(src_list), jnp.asarray(src_off), row_cap)
+    row_sizes = np.zeros(n_rows_pad, np.int64)
+    real = src_list >= 0
+    row_sizes[real] = np.minimum(
+        np.maximum(sizes[src_list[real]] - src_off[real], 0), row_cap)
     rows = IVFArrays(
-        centroids=arrays.centroids,      # unused by row scans
+        centroids=arrays.centroids,   # list-level (coarse ranking only)
         cent_sq=arrays.cent_sq,
-        db=row_db_d,
-        db_sq=jnp.sum(jnp.square(row_db_d), axis=-1) *
-        (jnp.asarray(row_ids) >= 0),
-        vec_ids=jnp.asarray(row_ids),
-        list_sizes=jnp.asarray((row_ids >= 0).sum(1).astype(np.int32)),
+        db=db,
+        db_sq=db_sq,
+        vec_ids=vec_ids,
+        list_sizes=jnp.asarray(row_sizes.astype(np.int32)),
         interdis=arrays.interdis,
+        sq_scale=arrays.sq_scale,
+        sq_bias=arrays.sq_bias,
     )
     return MultiRowArrays(rows, jnp.asarray(row_table),
                           jnp.asarray(rows_per.astype(np.int32)))

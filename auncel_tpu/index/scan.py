@@ -131,13 +131,20 @@ def scan_probe_range(
     vals: jax.Array,         # [B, k] running top-k values
     ids: jax.Array,          # [B, k] running top-k ids
     limit: jax.Array,        # [B] int32 per-query probe budget
-    start,                   # int or scalar: first probe slot
+    start,                   # int, scalar, or [B]: first probe slot
     width: int,              # static number of probe slots to scan
     metric: Metric,
     probe_chunk: int | None = None,
     merge_every: int = 8,
 ):
     """Scan probe slots [start, start+width) for every query in the batch.
+
+    ``start`` may be a per-query [B] array: each query then scans ITS OWN
+    slot range [start[b], start[b]+width), still masked by ``limit``. The
+    multirow wave engine (profile/bounded_mr.py) uses this to advance each
+    query's ragged row frontier with zero overlap bandwidth — a query never
+    gathers a slot it has already scanned or will never need below its
+    frontier.
 
     Two-level chunking: gathers happen ``C`` probes at a time (bounded by
     the gather-buffer memory budget), but the expensive exact top-k merge
@@ -160,13 +167,14 @@ def scan_probe_range(
 
     n_slots_avail = probe_lists.shape[1]  # may be a ranking prefix
 
+    start = jnp.broadcast_to(jnp.asarray(start, jnp.int32), (B,))
+
     def gather_scores(ik0):
-        """Scores/ids for C probes starting at slot ik0: [B, C*cap]."""
-        iks = ik0 + jnp.arange(C, dtype=jnp.int32)
-        slot_ok = iks < start + width
+        """Scores/ids for C probes starting at slot ik0 [B]: [B, C*cap]."""
+        iks = ik0[:, None] + jnp.arange(C, dtype=jnp.int32)[None, :]  # [B,C]
+        slot_ok = iks < (start + width)[:, None]
         safe_iks = jnp.clip(iks, 0, n_slots_avail - 1)
-        lists = jnp.take_along_axis(
-            probe_lists, jnp.broadcast_to(safe_iks[None, :], (B, C)), axis=1)
+        lists = jnp.take_along_axis(probe_lists, safe_iks, axis=1)
         sub = arrays.db[lists]            # [B, C, cap, d|M] gather
         sub_sq = arrays.db_sq[lists]      # [B, C, cap]
         sub_ids = arrays.vec_ids[lists]   # [B, C, cap]
@@ -200,8 +208,8 @@ def scan_probe_range(
                 scores = q_sq[:, None, None] + sub_sq - 2.0 * dots
             else:
                 scores = dots
-        active = ((iks[None, :, None] < limit[:, None, None]) &
-                  slot_ok[None, :, None] & (sub_ids >= 0))
+        active = ((iks[:, :, None] < limit[:, None, None]) &
+                  slot_ok[:, :, None] & (sub_ids >= 0))
         scores = jnp.where(active, scores, worst).reshape(B, C * cap)
         sub_ids = jnp.where(active, sub_ids, -1).reshape(B, C * cap)
         return scores, sub_ids
@@ -231,7 +239,6 @@ def scan_probe_range(
         alli = jnp.concatenate([rids, sub_ids], axis=-1)
         return topk_scores(allv, alli, k, metric)
 
-    start = jnp.asarray(start, jnp.int32)
     return jax.lax.fori_loop(0, n_merges, merge_body, (vals, ids))
 
 

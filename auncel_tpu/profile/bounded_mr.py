@@ -1,0 +1,325 @@
+"""Bounded wave search over the multi-row list layout.
+
+Same decision semantics as ``profile/bounded.py`` (the TPU recast of the
+reference's ``tune`` branch, IndexIVF.cpp:497-673), but the scan walks the
+multi-row layout (``index/multirow.py``): each probed LIST is scanned as its
+1..max_rows tightly-packed ROWS, so the per-probe gather moves ~row_cap
+bytes of real data instead of ``cap`` (~3x the mean list size on skewed
+k-means cells) bytes of mostly padding.
+
+Execution model:
+
+  * Wave boundaries stay the reference's power-of-two LIST stages. Profile
+    semantics (trace index, phi window, stagnation, forced cap) are
+    untouched — they are all list-unit.
+  * Each query advances a private ROW FRONTIER. A wave scans ``width`` row
+    slots starting at each query's own frontier (``scan_probe_range`` with
+    a per-query ``start``), so no query ever re-gathers a slot and decided
+    queries never gather beyond their own budget — wave width is paid in
+    rows of real vectors, not in padded list capacity. This is also the
+    decision-phase compaction the padded engine lacked.
+  * Because row counts per list are ragged, a stage is planned as one main
+    wave plus enough CATCH-UP waves to cover the worst-case row total
+    (``plan_mr_waves``); ``lax.cond`` skips catch-ups nobody needs at
+    runtime. A query whose rows outrun the main wave completes at a
+    catch-up wave of the SAME stage and takes its decision there — same
+    stage, same trace, same phi window as the padded engine, just a later
+    microstep. Only its stagnation counter advances more slowly
+    (bound-conservative: stagnation can only force recall=1 LATER).
+  * Distance values are bitwise-identical to the padded layout (multirow
+    gathers db/db_sq from it), so profiles trained through the padded
+    trainer drive this engine without re-training, and GT from
+    ``exact_search`` stays value-consistent.
+"""
+
+import functools
+from typing import NamedTuple
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from auncel_tpu.types import Metric
+from auncel_tpu.index.scan import coarse_rank, scan_probe_range
+from auncel_tpu.index.multirow import MultiRowArrays, expand_probes
+from auncel_tpu.ops.distance import sqnorms
+from auncel_tpu.ops.topk import init_topk
+from auncel_tpu.profile.geometry import (
+    boundary_distances, sum_angle, n_boundaries)
+from auncel_tpu.profile.trace import TraceSet, trace_lookup
+from auncel_tpu.profile.bounded import (
+    FULL_OK_SLACK, STAGNATION_FACTOR, TRUE_RECALL_SLACK,
+    wave_boundaries, stage_to_trace, _simulate_cur_num)
+
+
+class MRPlan(NamedTuple):
+    """Static wave schedule (host-planned, hashable -> jit static arg).
+
+    waves: ((stage, width_rows, decide, is_main), ...) — is_main marks the
+    first wave of each stage group (stagnation advances list-units there).
+    S: ranked list slots expanded. out_slots: row slots expanded (worst
+    case over any query, so expansion never truncates).
+    """
+    waves: tuple
+    S: int
+    out_slots: int
+
+
+def plan_mr_waves(rows_per_list: np.ndarray, nlist: int, decide_only: bool,
+                  slack: float = 1.35, min_width: int = 8) -> MRPlan:
+    """Plan the wave schedule from the (host-known) per-list row counts.
+
+    Width per stage ~ slack * mean rows/list * stage-delta; catch-up waves
+    per stage until the group's TOTAL width covers the worst possible row
+    INCREMENT of that stage (sum of the stage-delta largest per-list row
+    counts). Per-group coverage is the load-bearing guarantee: frontier
+    advancement is capped at each wave's goal (min(goal, frontier+width)),
+    so width left over from an earlier stage is NOT carried forward —
+    coverage must hold stage by stage. Inductively every query then
+    COMPLETES each stage at that stage's group, and the forced decision at
+    nlist/8 (IndexIVF.cpp:619) always has a complete top-k behind it.
+    """
+    rpl = np.asarray(rows_per_list, np.int64)
+    desc = np.sort(rpl)[::-1]
+    sum_top = np.concatenate([[0], np.cumsum(desc)])
+    mean_rpl = float(rpl.mean()) if rpl.size else 1.0
+    cap_stage = max(nlist // 8, 1)
+    bounds = wave_boundaries(nlist)
+    if decide_only:
+        bounds = [b for b in bounds if b <= cap_stage]
+    S = cap_stage if decide_only else nlist
+    out_slots = int(sum_top[min(S, nlist)])
+    waves = []
+    prev = 0
+    for s in bounds:
+        delta = s - prev
+        W = max(min_width, int(np.ceil(delta * mean_rpl * slack)))
+        worst = int(sum_top[min(delta, len(desc))])  # worst stage increment
+        n = max(1, -(-worst // W))
+        decide = s <= cap_stage
+        for j in range(n):
+            waves.append((s, W, decide, j == 0))
+        prev = s
+    return MRPlan(tuple(waves), S, out_slots)
+
+
+def plan_finish_waves(rows_per_list: np.ndarray, nlist: int, w: int,
+                      n_waves: int = 8) -> tuple:
+    """Static wave widths for the phase-B tail scan of a straggler bucket
+    whose targets are <= w lists: equal widths whose sum covers the worst
+    row INCREMENT beyond the phase-A frontier (phase A completed the first
+    nlist/8 ranked lists, so at most the w - nlist/8 largest lists' rows
+    remain)."""
+    rpl = np.asarray(rows_per_list, np.int64)
+    desc = np.sort(rpl)[::-1]
+    cap_stage = max(nlist // 8, 1)
+    span = max(int(desc[: min(max(w - cap_stage, 1), len(desc))].sum()), 1)
+    W = -(-span // n_waves)
+    return tuple([W] * n_waves)
+
+
+def _goal_rows(offsets: jax.Array, g: jax.Array) -> jax.Array:
+    """offsets [B, S] cumulative rows per ranked-list prefix; g [B] in
+    [1, S] -> rows covering each query's first g ranked lists."""
+    return jnp.take_along_axis(offsets, (g - 1)[:, None], axis=1)[:, 0]
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("query_k", "max_topk", "metric", "plan",
+                     "with_true_recall"))
+def bounded_search_mr(
+    arrays,                  # IVFArrays (list-level: centroids/interdis)
+    mr: MultiRowArrays,
+    traces: TraceSet,
+    q: jax.Array,            # [B, d]
+    require_acc: jax.Array,  # [B]
+    multipler: jax.Array,
+    std_m: jax.Array,
+    gt_kth: jax.Array,       # [B] (profile mode) or zeros
+    query_k: int,
+    max_topk: int,
+    metric: Metric,
+    plan: MRPlan,
+    with_true_recall: bool = False,
+):
+    """Single-phase bounded search over rows. Returns (vals, ids,
+    my_nprobe [list units], n_scanned [list units], true_recall)."""
+    return _mr_impl(arrays, mr, traces, q, require_acc, multipler, std_m,
+                    gt_kth, query_k, max_topk, metric, plan,
+                    with_true_recall, decide_only=False)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("query_k", "max_topk", "metric", "plan"))
+def bounded_search_decide_mr(
+    arrays,
+    mr: MultiRowArrays,
+    traces: TraceSet,
+    q: jax.Array,
+    require_acc: jax.Array,
+    multipler: jax.Array,
+    std_m: jax.Array,
+    query_k: int,
+    max_topk: int,
+    metric: Metric,
+    plan: MRPlan,
+):
+    """Phase A (decision waves only). Returns (vals, ids, my_nprobe,
+    decided_at, row_frontier, q_sq); phase B = finish_scan_mr."""
+    z = jnp.zeros(q.shape[0], jnp.float32)
+    return _mr_impl(arrays, mr, traces, q, require_acc, multipler, std_m,
+                    z, query_k, max_topk, metric, plan,
+                    with_true_recall=False, decide_only=True)
+
+
+def _mr_impl(arrays, mr, traces, q, require_acc, multipler, std_m, gt_kth,
+             query_k, max_topk, metric, plan, with_true_recall, decide_only):
+    B = q.shape[0]
+    nlist = arrays.nlist
+    cap_stage = max(nlist // 8, 1)
+    q_sq = sqnorms(q)
+    rank_k = min(nlist, max(plan.S, n_boundaries(nlist) + 1))
+    cdis, cids = coarse_rank(arrays, q, metric, q_sq=q_sq, rank_k=rank_k)
+    dtb = boundary_distances(cdis, cids, arrays.interdis, metric)
+    row_slots, offsets = expand_probes(mr, cids, plan.S, plan.out_slots)
+    safe_rows = jnp.maximum(row_slots, 0)
+    vals, ids = init_topk((B,), max_topk, metric)
+
+    my_np = jnp.zeros((B,), jnp.int32)
+    decided_at = jnp.zeros((B,), jnp.int32)
+    stoped = jnp.zeros((B,), jnp.int32)
+    pre_val = jnp.zeros((B,), jnp.float32)
+    last_stage = jnp.zeros((B,), jnp.int32)  # last COMPLETE boundary stage
+    frontier = jnp.zeros((B,), jnp.int32)
+    stops = jnp.floor(require_acc * STAGNATION_FACTOR).astype(jnp.int32)
+    kf = float(query_k)
+    mrange = jnp.arange(1, query_k + 1, dtype=jnp.float32)[None, :]
+
+    def cur_goal(my_np, stage):
+        """Row target right now: decided -> own budget, else this stage."""
+        g = jnp.where(my_np > 0, jnp.minimum(my_np, plan.S),
+                      min(stage, plan.S))
+        return _goal_rows(offsets, jnp.maximum(g, 1))
+
+    state = (vals, ids, my_np, decided_at, stoped, pre_val, last_stage,
+             frontier)
+    for (stage, width, decide, is_main) in plan.waves:
+        is_forced = stage >= cap_stage
+
+        def run_wave(st, stage=stage, width=width, decide=decide,
+                     is_forced=is_forced):
+            (vals, ids, my_np, decided_at, stoped, pre_val, last_stage,
+             frontier) = st
+            goal = cur_goal(my_np, stage)
+            vals, ids = scan_probe_range(
+                mr.rows, q, q_sq, safe_rows, vals, ids, goal, frontier,
+                width, metric)
+            frontier = jnp.minimum(goal, frontier + width)
+            if not decide:
+                return (vals, ids, my_np, decided_at, stoped, pre_val,
+                        last_stage, frontier)
+
+            # Exactly `stage` complete lists behind the top-k for these:
+            complete = frontier >= offsets[:, min(stage, plan.S) - 1]
+            ind = stage_to_trace(stage, nlist)
+            tval = vals
+            if metric is Metric.IP:
+                tval = jnp.arccos(jnp.clip(vals, -1.0, 1.0))
+            phi = sum_angle(tval[:, :query_k], dtb, (1 << ind) - 1)
+            U = trace_lookup(traces, ind, phi, std_m)
+            p = (mrange * U) <= kf
+            first_ok = kf * U[:, query_k - 1] <= kf * FULL_OK_SLACK
+            pre_num = _simulate_cur_num(p, first_ok, query_k)
+            recall = pre_num.astype(jnp.float32) / kf
+
+            # Stagnation (IndexIVF.cpp:570-601). Advances by the per-query
+            # list gap since the last COMPLETE boundary: the worst top-k
+            # value is monotone, so "unchanged across the gap" means
+            # unchanged at every list inside it — exactly the padded
+            # engine's count whether completion lands on a main wave or a
+            # catch-up wave of the same stage.
+            max_val = vals[:, max_topk - 1]
+            seen = last_stage > 0
+            cmp_ok = complete & seen
+            stoped = jnp.where(cmp_ok & (max_val == pre_val),
+                               stoped + (stage - last_stage),
+                               jnp.where(cmp_ok, 0, stoped))
+            # the padded engine applies the override from the second
+            # boundary on (wave_i > 0); `seen` is the same gate here
+            recall = jnp.where((stoped >= stops) & seen, 1.0, recall)
+            pre_val = jnp.where(complete, max_val, pre_val)
+            last_stage = jnp.where(complete, stage, last_stage)
+
+            sat = complete & (recall >= require_acc) & (my_np == 0)
+            if is_forced:
+                sat = sat | (complete & (my_np == 0))
+            new_np = jnp.floor(stage * multipler).astype(jnp.int32)
+            eff = sat & (new_np > 0)
+            my_np = jnp.where(eff, new_np, my_np)
+            decided_at = jnp.where(eff, stage, decided_at)
+            return (vals, ids, my_np, decided_at, stoped, pre_val,
+                    last_stage, frontier)
+
+        # Skip waves nobody needs: an undecided query always has rows left
+        # before its next decision boundary (>= 1 row per list), so
+        # frontier < goal covers the decision requirement too.
+        need = jnp.any(state[7] < cur_goal(state[2], stage))
+        state = jax.lax.cond(need, run_wave, lambda s: s, state)
+
+    (vals, ids, my_np, decided_at, stoped, pre_val, last_stage,
+     frontier) = state
+    if decide_only:
+        return vals, ids, my_np, decided_at, frontier, q_sq
+
+    n_scanned = jnp.minimum(jnp.maximum(my_np, decided_at), nlist)
+    if with_true_recall:
+        if metric is Metric.L2:
+            cnt = jnp.sum(vals <= gt_kth[:, None] * TRUE_RECALL_SLACK,
+                          axis=1)
+        else:
+            cnt = jnp.sum(vals >= gt_kth[:, None] * (2.0 - TRUE_RECALL_SLACK),
+                          axis=1)
+        true_recall = cnt.astype(jnp.float32) / kf
+        true_recall = jnp.where(my_np >= nlist, 1.0, true_recall)
+    else:
+        true_recall = jnp.zeros((B,), jnp.float32)
+    return vals, ids, my_np, n_scanned, true_recall
+
+
+@functools.partial(
+    jax.jit, static_argnames=("w", "out_slots", "widths", "metric"))
+def finish_scan_mr(
+    arrays,
+    mr: MultiRowArrays,
+    q: jax.Array,
+    q_sq: jax.Array,
+    vals: jax.Array,
+    ids: jax.Array,
+    my_np: jax.Array,        # [B] decided list budgets (<= w by bucketing)
+    frontier: jax.Array,     # [B] rows already scanned in phase A
+    w: int,                  # static list-count ceiling of this bucket
+    out_slots: int,          # static worst-case rows for w lists
+    widths: tuple,           # static per-wave row widths (plan_finish_waves)
+    metric: Metric,
+):
+    """Phase B: complete each straggler's own row budget. Re-ranks the full
+    centroid set for this subset (exact top-k prefixes agree with phase
+    A's prefix ranking, so frontiers line up); each wave advances per-query
+    frontiers, ``lax.cond``-skipped once everyone is done."""
+    cdis, cids = coarse_rank(arrays, q, metric, q_sq=q_sq)
+    row_slots, offsets = expand_probes(mr, cids, w, out_slots)
+    safe_rows = jnp.maximum(row_slots, 0)
+    g = jnp.clip(my_np, 1, w)
+    goal = _goal_rows(offsets, g)
+
+    state = (vals, ids, frontier)
+    for width in widths:
+        def run(st, width=width):
+            v, i, f = st
+            v, i = scan_probe_range(
+                mr.rows, q, q_sq, safe_rows, v, i, goal, f, width, metric)
+            return v, i, jnp.minimum(goal, f + width)
+        need = jnp.any(state[2] < goal)
+        state = jax.lax.cond(need, run, lambda s: s, state)
+    return state

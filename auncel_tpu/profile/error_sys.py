@@ -31,6 +31,9 @@ from auncel_tpu.profile.trace import (
     TraceSet, save_trace_set, load_trace_set)
 from auncel_tpu.profile.bounded import (
     bounded_search, bounded_search_decide, finish_scan, budgeted_search)
+from auncel_tpu.profile.bounded_mr import (
+    bounded_search_mr, bounded_search_decide_mr, finish_scan_mr,
+    plan_mr_waves, plan_finish_waves)
 
 
 class ErrorSys:
@@ -133,6 +136,36 @@ class ErrorSys:
     # so the tail-scan programs compile for a handful of shapes only.
     ROW_BUCKETS = (16, 128, 1024)
 
+    # ------------------------------------------------- multirow plumbing
+
+    def _mr(self):
+        """The index's multi-row layout (or None), with the host-side wave
+        plans cached per layout instance."""
+        mr = self.index.multirow
+        if mr is None:
+            return None
+        if getattr(self, "_mr_key", None) != id(mr):
+            self._mr_key = id(mr)
+            self._mr_rpl = np.asarray(mr.rows_per_list)
+            self._mr_plans = {}
+        return mr
+
+    def _mr_plan(self, decide_only: bool):
+        key = ("waves", decide_only)
+        if key not in self._mr_plans:
+            self._mr_plans[key] = plan_mr_waves(
+                self._mr_rpl, self.index.nlist, decide_only)
+        return self._mr_plans[key]
+
+    def _mr_finish(self, w: int):
+        key = ("finish", w)
+        if key not in self._mr_plans:
+            desc = np.sort(self._mr_rpl)[::-1]
+            out_slots = int(desc[: min(w, desc.size)].sum())
+            widths = plan_finish_waves(self._mr_rpl, self.index.nlist, w)
+            self._mr_plans[key] = (out_slots, widths)
+        return self._mr_plans[key]
+
     def search(self, start: int, search_size: int = -1,
                two_phase: bool | None = None):
         """Bounded search over queries[start : start+size]. Returns
@@ -162,24 +195,43 @@ class ErrorSys:
         if want_true:
             gt_kth[:size] = self.gt_D[start:start + size, self.query_topk - 1]
 
+        mr = self._mr()
         if not two_phase:
-            out = bounded_search(
-                self.index.arrays, self.traces, jnp.asarray(q),
-                jnp.asarray(acc), jnp.float32(self.multipler),
-                jnp.float32(self.std_m), jnp.asarray(gt_kth),
-                self.query_topk, self.max_topk, self.index.metric,
-                with_true_recall=want_true)
+            if mr is not None:
+                out = bounded_search_mr(
+                    self.index.arrays, mr, self.traces, jnp.asarray(q),
+                    jnp.asarray(acc), jnp.float32(self.multipler),
+                    jnp.float32(self.std_m), jnp.asarray(gt_kth),
+                    self.query_topk, self.max_topk, self.index.metric,
+                    self._mr_plan(decide_only=False),
+                    with_true_recall=want_true)
+            else:
+                out = bounded_search(
+                    self.index.arrays, self.traces, jnp.asarray(q),
+                    jnp.asarray(acc), jnp.float32(self.multipler),
+                    jnp.float32(self.std_m), jnp.asarray(gt_kth),
+                    self.query_topk, self.max_topk, self.index.metric,
+                    with_true_recall=want_true)
             # ONE host round-trip (each fetch pays ~40 ms tunnel RTT)
             vals, ids, my_np, n_scanned, t_rec = jax.device_get(out)
             if want_true:
                 self.t_recalls[start:start + size] = t_rec[:size]
         else:
-            vals_d, ids_d, my_np_d, decided_d, cids_d, q_sq_d = \
-                bounded_search_decide(
-                    self.index.arrays, self.traces, jnp.asarray(q),
-                    jnp.asarray(acc), jnp.float32(self.multipler),
-                    jnp.float32(self.std_m), self.query_topk,
-                    self.max_topk, self.index.metric)
+            if mr is not None:
+                vals_d, ids_d, my_np_d, decided_d, frontier_d, q_sq_d = \
+                    bounded_search_decide_mr(
+                        self.index.arrays, mr, self.traces, jnp.asarray(q),
+                        jnp.asarray(acc), jnp.float32(self.multipler),
+                        jnp.float32(self.std_m), self.query_topk,
+                        self.max_topk, self.index.metric,
+                        self._mr_plan(decide_only=True))
+            else:
+                vals_d, ids_d, my_np_d, decided_d, cids_d, q_sq_d = \
+                    bounded_search_decide(
+                        self.index.arrays, self.traces, jnp.asarray(q),
+                        jnp.asarray(acc), jnp.float32(self.multipler),
+                        jnp.float32(self.std_m), self.query_topk,
+                        self.max_topk, self.index.metric)
             # ONE fetch for phase-B planning AND the base results (a
             # second fetch later would cost another ~40ms tunnel RTT)
             my_np, decided, vals, ids = jax.device_get(
@@ -211,12 +263,24 @@ class ErrorSys:
                         self.ROW_BUCKETS[-1] else rows.size
                     sel = np.zeros(rb, np.int64)
                     sel[:rows.size] = rows
-                    fv, fi = finish_scan(
-                        self.index.arrays,
-                        jnp.asarray(q[sel]), q_sq_d[jnp.asarray(sel)],
-                        vals_d[jnp.asarray(sel)], ids_d[jnp.asarray(sel)],
-                        my_np_d[jnp.asarray(sel)],
-                        cap_stage, w - cap_stage, self.index.metric)
+                    if mr is not None:
+                        out_slots, wave_ws = self._mr_finish(w)
+                        fv, fi, _ = finish_scan_mr(
+                            self.index.arrays, mr,
+                            jnp.asarray(q[sel]), q_sq_d[jnp.asarray(sel)],
+                            vals_d[jnp.asarray(sel)],
+                            ids_d[jnp.asarray(sel)],
+                            my_np_d[jnp.asarray(sel)],
+                            frontier_d[jnp.asarray(sel)],
+                            w, out_slots, wave_ws, self.index.metric)
+                    else:
+                        fv, fi = finish_scan(
+                            self.index.arrays,
+                            jnp.asarray(q[sel]), q_sq_d[jnp.asarray(sel)],
+                            vals_d[jnp.asarray(sel)],
+                            ids_d[jnp.asarray(sel)],
+                            my_np_d[jnp.asarray(sel)],
+                            cap_stage, w - cap_stage, self.index.metric)
                     pending.append((rows, fv, fi))
                 fetched = jax.device_get([(fv, fi) for _, fv, fi in pending])
                 for (rows, _, _), (fv, fi) in zip(pending, fetched):

@@ -85,6 +85,10 @@ def main():
     _ = idx.arrays
     log(f"packed: cap={idx.arrays.cap} efficiency="
         f"{idx.packing_efficiency:.2f}")
+    mr = idx.enable_multirow()  # production layout: tight rows, ~3x less
+    n_rows, row_cap = mr.rows.db.shape[0], mr.rows.db.shape[1]
+    log(f"multirow: {n_rows} rows x {row_cap} "
+        f"(row efficiency {NB / (n_rows * row_cap):.2f})")
 
     log("computing ground truth (full scan, value-consistent)")
     gt_D, gt_I = idx.exact_search(ds.xq, MAX_TOPK, batch=N_TRAIN_Q)

@@ -1,0 +1,129 @@
+"""Multirow bounded engine: exactness vs the padded engine, two-phase
+equality, and conservativeness under forced catch-up (tiny-width) plans."""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+import auncel_tpu as at
+from auncel_tpu.types import Metric
+from auncel_tpu.index.ivf import IVFFlatIndex
+from auncel_tpu.profile.bounded import bounded_search
+from auncel_tpu.profile.bounded_mr import bounded_search_mr, plan_mr_waves
+
+
+@pytest.fixture(scope="module")
+def trained():
+    """Skewed index + trained profile + queries (the regime multirow is
+    for: mega-cells forcing cap >> mean list size)."""
+    rng = np.random.RandomState(7)
+    d, nlist, nb = 32, 32, 30000
+    centers = rng.rand(nlist, d).astype(np.float32) * 10
+    pops = 1.0 / np.arange(1, nlist + 1)
+    pops /= pops.sum()
+    which = rng.choice(nlist, size=nb, p=pops)
+    xb = (centers[which] + 0.5 * rng.randn(nb, d)).astype(np.float32)
+    n_train, n_test, max_topk = 200, 60, 40
+    xq = (centers[rng.choice(nlist, n_train + n_test)]
+          + 0.7 * rng.randn(n_train + n_test, d)).astype(np.float32)
+    idx = IVFFlatIndex(d, nlist)
+    idx.set_centroids(centers)
+    idx.add(xb)
+    gt_D, gt_I = idx.exact_search(xq, max_topk)
+    es = at.ErrorSys(idx, train_num=n_train + n_test, max_topk=max_topk)
+    es.set_gt(gt_D, gt_I)
+    es.sys_train(n_train, xq)
+    es.set_topk(10)
+    acc = np.full(n_train + n_test, 0.9, np.float32)
+    es.set_queries(n_test, xq, acc)
+    es.set_hyper(2.0, 1.0)
+    return idx, es, xq, gt_D, n_train, n_test
+
+
+def _run_padded(idx, es, q, acc):
+    out = bounded_search(
+        idx.arrays, es.traces, jnp.asarray(q), jnp.asarray(acc),
+        jnp.float32(es.multipler), jnp.float32(es.std_m),
+        jnp.zeros(q.shape[0], jnp.float32), es.query_topk, es.max_topk,
+        idx.metric)
+    return [np.asarray(x) for x in out]
+
+
+def _run_mr(idx, es, q, acc, plan=None):
+    mr = idx.multirow
+    if plan is None:
+        plan = plan_mr_waves(np.asarray(mr.rows_per_list), idx.nlist,
+                             decide_only=False)
+    out = bounded_search_mr(
+        idx.arrays, mr, es.traces, jnp.asarray(q), jnp.asarray(acc),
+        jnp.float32(es.multipler), jnp.float32(es.std_m),
+        jnp.zeros(q.shape[0], jnp.float32), es.query_topk, es.max_topk,
+        idx.metric, plan)
+    return [np.asarray(x) for x in out]
+
+
+def test_mr_single_phase_matches_padded(trained):
+    idx, es, xq, gt_D, n_train, n_test = trained
+    idx.enable_multirow(row_cap=128)
+    q = xq[n_train:n_train + n_test]
+    acc = np.full(n_test, 0.9, np.float32)
+    v1, i1, np1, ns1, _ = _run_padded(idx, es, q, acc)
+    v2, i2, np2, ns2, _ = _run_mr(idx, es, q, acc)
+    # same decisions (list units), bitwise-same distances, same results
+    np.testing.assert_array_equal(np1, np2)
+    np.testing.assert_array_equal(ns1, ns2)
+    np.testing.assert_array_equal(v1, v2)
+    np.testing.assert_array_equal(i1, i2)
+
+
+def test_mr_tiny_widths_still_exact(trained):
+    """A starved plan (min width, no slack) fragments every stage into
+    catch-up waves — yet decisions stay EXACTLY the padded engine's:
+    per-group worst-case coverage guarantees stage completion, completion
+    lands on a catch-up wave of the SAME stage, and the stagnation counter
+    advances by the per-query list gap, so nothing drifts."""
+    idx, es, xq, gt_D, n_train, n_test = trained
+    idx.enable_multirow(row_cap=128)
+    mr = idx.multirow
+    q = xq[n_train:n_train + n_test]
+    acc = np.full(n_test, 0.9, np.float32)
+    starved = plan_mr_waves(np.asarray(mr.rows_per_list), idx.nlist,
+                            decide_only=False, slack=0.4, min_width=1)
+    # the plan really does get fragmented into catch-up waves
+    assert len(starved.waves) > len(plan_mr_waves(
+        np.asarray(mr.rows_per_list), idx.nlist, False).waves)
+    v1, i1, np1, ns1, _ = _run_padded(idx, es, q, acc)
+    v2, i2, np2, ns2, _ = _run_mr(idx, es, q, acc, plan=starved)
+    assert (np2 > 0).all()             # forced decision always fires
+    np.testing.assert_array_equal(np1, np2)
+    np.testing.assert_array_equal(ns1, ns2)
+    np.testing.assert_array_equal(v1, v2)
+    np.testing.assert_array_equal(i1, i2)
+
+
+def test_mr_errsys_two_phase_equals_single_phase(trained):
+    idx, es, xq, gt_D, n_train, n_test = trained
+    idx.enable_multirow(row_cap=128)
+    D1, I1 = es.search(n_train, n_test, two_phase=False)
+    np1 = es.my_nprobe[n_train:n_train + n_test].copy()
+    D2, I2 = es.search(n_train, n_test, two_phase=True)
+    np2 = es.my_nprobe[n_train:n_train + n_test].copy()
+    np.testing.assert_array_equal(np1, np2)
+    np.testing.assert_array_equal(D1, D2)
+    np.testing.assert_array_equal(I1, I2)
+
+
+def test_mr_errsys_matches_padded_engine(trained):
+    """ErrorSys produces identical results with and without the multirow
+    layout enabled (default plans, both two-phase)."""
+    idx, es, xq, gt_D, n_train, n_test = trained
+    idx._multirow = None               # force padded path
+    idx._multirow_row_cap = None
+    D1, I1 = es.search(n_train, n_test)
+    np1 = es.my_nprobe[n_train:n_train + n_test].copy()
+    idx.enable_multirow(row_cap=128)
+    D2, I2 = es.search(n_train, n_test)
+    np2 = es.my_nprobe[n_train:n_train + n_test].copy()
+    np.testing.assert_array_equal(np1, np2)
+    np.testing.assert_array_equal(D1, D2)
+    np.testing.assert_array_equal(I1, I2)

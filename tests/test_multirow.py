@@ -41,12 +41,11 @@ def test_multirow_matches_padded_layout(skewed):
         v2, i2 = multirow_search_fixed(mr, q, 10, nprobe, out_slots,
                                        Metric.L2)
         np.testing.assert_array_equal(np.asarray(i1), np.asarray(i2))
-        # values agree to f32 reduction-order noise (different gather
-        # shapes group the MXU contraction differently); when multirow
-        # becomes the production path, GT must flow through it too, like
-        # every other codec
-        np.testing.assert_allclose(np.asarray(v1), np.asarray(v2),
-                                   rtol=1e-4)
+        # db/db_sq/vec_ids are GATHERED from the padded layout (never
+        # recomputed) and the einsum reduces over d in both layouts, so
+        # distance values are bitwise-identical — the kscaling value-match
+        # invariant holds through either layout with no GT re-plumbing
+        np.testing.assert_array_equal(np.asarray(v1), np.asarray(v2))
 
 
 def test_multirow_reduces_padding(skewed):
