@@ -99,17 +99,28 @@ class IndexShards(Index):
             ids = np.arange(base, base + n, dtype=np.int64)
         for i, s in enumerate(self.shards):
             sel = slice(i, None, len(self.shards))
-            if hasattr(s, "add") and s.__class__.__name__ == "FlatIndex":
-                s.add(x[sel])  # FlatIndex has no add_with_ids
+            if self._position_keyed(s):
+                s.add(x[sel])  # e.g. FlatIndex: ids are storage positions
             else:
                 s.add(x[sel], ids=np.asarray(ids)[sel])
+
+    @staticmethod
+    def _position_keyed(s) -> bool:
+        """Capability probe instead of class-name dispatch: a shard whose
+        ``add`` cannot take explicit ids returns storage-position ids that
+        IndexShards must translate back to global ids."""
+        import inspect
+        try:
+            return "ids" not in inspect.signature(s.add).parameters
+        except (TypeError, ValueError):
+            return False
 
     def search(self, q, k):
         all_v, all_i = [], []
         offset = 0
         for i, s in enumerate(self.shards):
             v, idx = s.search(q, k)
-            if self.successive_ids and s.__class__.__name__ == "FlatIndex":
+            if self.successive_ids and self._position_keyed(s):
                 idx = np.where(idx >= 0, idx * len(self.shards) + i, -1)
             all_v.append(v)
             all_i.append(idx)

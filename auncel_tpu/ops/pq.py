@@ -9,9 +9,11 @@ subspaces partition the dimensions), so on TPU the scan path simply
 *decodes in-VMEM* and reuses the dense distance kernel — no per-element
 LUT gathers, the MXU does the work on reconstructions.
 
-Non-residual encoding (the reference's IVFPQ defaults to residual encoding;
-that variant needs the per-probe centroid shift threaded into the scan and
-is queued).
+Residual encoding (the reference's IVFPQ ``by_residual`` default) is
+implemented in the IVF layer: codes approximate ``x - centroid[list]`` and
+the scan threads the per-probe centroid shift through the distance
+(``index/ivf.py`` storage="pqM" with ``pq_residual=True``,
+``index/scan.py`` pq_residual branches).
 """
 
 from typing import NamedTuple

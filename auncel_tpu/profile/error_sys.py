@@ -401,7 +401,11 @@ class ErrorSys:
                 m *= 1.5
             if not ok:
                 continue
-            cost = float(self.n_scanned[start:start + size].mean())
+            # Cost of THIS (m, std_m) pair: only the holdout half was just
+            # searched at the final m — the train half's n_scanned still
+            # holds whatever multipler the binary search last wrote there,
+            # so averaging over both halves would mix states.
+            cost = float(self.n_scanned[start + half:start + size].mean())
             if cost < best_cost:
                 best_cost = cost
                 best_pair = (min(m * safety, max_multipler), float(sm))
