@@ -15,6 +15,10 @@ from auncel_tpu.ops.knn import knn
 
 
 class FlatIndex(Index):
+    # ids are storage positions; callers that remap ids (IndexShards,
+    # IndexIDMap) translate instead of passing explicit ids
+    position_keyed_ids = True
+
     def __init__(self, d: int, metric: Metric = Metric.L2):
         self.d = d
         self.metric = Metric.parse(metric)

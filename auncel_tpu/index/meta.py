@@ -106,14 +106,10 @@ class IndexShards(Index):
 
     @staticmethod
     def _position_keyed(s) -> bool:
-        """Capability probe instead of class-name dispatch: a shard whose
-        ``add`` cannot take explicit ids returns storage-position ids that
-        IndexShards must translate back to global ids."""
-        import inspect
-        try:
-            return "ids" not in inspect.signature(s.add).parameters
-        except (TypeError, ValueError):
-            return False
+        """Capability flag instead of class-name dispatch: a shard that
+        stores sequential position ids (FlatIndex) needs IndexShards to
+        translate its results back to global ids."""
+        return bool(getattr(s, "position_keyed_ids", False))
 
     def search(self, q, k):
         all_v, all_i = [], []
