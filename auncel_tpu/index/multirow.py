@@ -40,6 +40,8 @@ class MultiRowArrays(NamedTuple):
     rows: IVFArrays        # row-granular index state ("lists" == rows)
     row_table: jax.Array   # [nlist, max_rows] int32 row ids, -1 padded
     rows_per_list: jax.Array  # [nlist] int32
+    row_base: jax.Array    # [nlist] int32: first row id of each list
+                           # (rows of a list are consecutive)
 
     @property
     def max_rows(self) -> int:
@@ -122,29 +124,45 @@ def build_multirow(arrays: IVFArrays, row_cap: int | None = None,
         sq_bias=arrays.sq_bias,
     )
     return MultiRowArrays(rows, jnp.asarray(row_table),
-                          jnp.asarray(rows_per.astype(np.int32)))
+                          jnp.asarray(rows_per.astype(np.int32)),
+                          jnp.asarray(row_table[:, 0].astype(np.int32)))
 
 
 def expand_probes(mr: MultiRowArrays, cids: jax.Array, n_slots: int,
                   out_slots: int):
     """Map ranked LIST slots [B, n_slots] to ranked ROW slots
-    [B, out_slots] (+ per-query row counts per list prefix, for mapping
-    list-unit budgets to row units). Rows beyond a query's real expansion
-    are -1 (masked by the scan's id test after a clamp)."""
+    [B, out_slots] (+ per-query cumulative row counts per list prefix, for
+    mapping list-unit budgets to row units). Rows beyond a query's real
+    expansion are -1 (masked by the scan's id test after a clamp).
+
+    Gather formulation (no scatters): a list's rows are CONSECUTIVE row
+    ids (build_multirow assigns row r = row_base[l] + j), so output slot p
+    belongs to ranked list s = searchsorted(offsets, p) at within-list row
+    j = p - starts[s], i.e. row id = row_base[cids[s]] + j.
+    """
     B = cids.shape[0]
-    rpl = mr.rows_per_list[cids[:, :n_slots]]          # [B, S]
-    offsets = jnp.cumsum(rpl, axis=1)                  # rows used after slot
+    sel = cids[:, :n_slots]
+    rpl = mr.rows_per_list[sel]                        # [B, S]
+    offsets = jnp.cumsum(rpl, axis=1)                  # rows after slot s
+    p = jnp.arange(out_slots, dtype=jnp.int32)[None, :]
+    # "which list does row-slot p belong to" = #(offsets <= p). Two
+    # lowerings — NEVER searchsorted's default method='scan', which
+    # serializes on TPU: a vectorized counting reduction ([B, S, P]
+    # compare + sum) when the compare tensor is small, else the sort-based
+    # searchsorted (O((S+P) log) per query, no giant intermediate).
+    if n_slots * out_slots <= (1 << 20):
+        s = jnp.sum(offsets[:, :, None] <= p[:, None, :],
+                    axis=1, dtype=jnp.int32)           # [B, P] list slot
+    else:
+        s = jax.vmap(lambda off, pp: jnp.searchsorted(
+            off, pp, side="right", method="sort"))(
+            offsets, jnp.broadcast_to(p, (B, out_slots))).astype(jnp.int32)
+    in_range = s < n_slots
+    s_c = jnp.minimum(s, n_slots - 1)
     starts = offsets - rpl
-    # scatter each list's rows into the row-slot axis
-    out = jnp.full((B, out_slots), -1, jnp.int32)
-    max_rows = mr.max_rows
-    table = mr.row_table[cids[:, :n_slots]]            # [B, S, max_rows]
-    for j in range(max_rows):                          # small static loop
-        pos = starts + j                               # [B, S]
-        valid = (j < rpl) & (pos < out_slots)
-        pos_c = jnp.clip(pos, 0, out_slots - 1)
-        vals = jnp.where(valid, table[:, :, j], -1)
-        out = jax.vmap(lambda o, p, v: o.at[p].max(v))(out, pos_c, vals)
+    j = p - jnp.take_along_axis(starts, s_c, axis=1)
+    base = mr.row_base[jnp.take_along_axis(sel, s_c, axis=1)]
+    out = jnp.where(in_range, base + j, -1).astype(jnp.int32)
     return out, offsets
 
 

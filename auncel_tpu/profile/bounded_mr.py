@@ -66,7 +66,9 @@ class MRPlan(NamedTuple):
 
 
 def plan_mr_waves(rows_per_list: np.ndarray, nlist: int, decide_only: bool,
-                  slack: float = 1.35, min_width: int = 8) -> MRPlan:
+                  slack: float = 1.35, min_width: int = 8,
+                  min_stage: int = 0, max_stage: int | None = None,
+                  exact_cover: bool = False) -> MRPlan:
     """Plan the wave schedule from the (host-known) per-list row counts.
 
     Width per stage ~ slack * mean rows/list * stage-delta; catch-up waves
@@ -78,6 +80,11 @@ def plan_mr_waves(rows_per_list: np.ndarray, nlist: int, decide_only: bool,
     coverage must hold stage by stage. Inductively every query then
     COMPLETES each stage at that stage's group, and the forced decision at
     nlist/8 (IndexIVF.cpp:619) always has a complete top-k behind it.
+
+    ``min_stage``/``max_stage`` carve out a stage window — the decide phase
+    can run stages (min_stage, max_stage] for a re-batched subset whose
+    state (frontier at offsets[min_stage-1], stagnation counters) was
+    carried over from the prefix run (ErrorSys's mid-decide re-batching).
     """
     rpl = np.asarray(rows_per_list, np.int64)
     desc = np.sort(rpl)[::-1]
@@ -87,14 +94,25 @@ def plan_mr_waves(rows_per_list: np.ndarray, nlist: int, decide_only: bool,
     bounds = wave_boundaries(nlist)
     if decide_only:
         bounds = [b for b in bounds if b <= cap_stage]
-    S = cap_stage if decide_only else nlist
+    if max_stage is not None:
+        bounds = [b for b in bounds if b <= max_stage]
+    S = bounds[-1] if decide_only else nlist
     out_slots = int(sum_top[min(S, nlist)])
     waves = []
     prev = 0
     for s in bounds:
+        if s <= min_stage:
+            prev = s
+            continue
         delta = s - prev
-        W = max(min_width, int(np.ceil(delta * mean_rpl * slack)))
         worst = int(sum_top[min(delta, len(desc))])  # worst stage increment
+        if exact_cover:
+            # ONE wave per stage, sized for the worst case: trades a
+            # bounded amount of extra gather bandwidth for fewer
+            # merge+decision blocks (each costs ~constant wall-clock)
+            W = max(min_width, worst)
+        else:
+            W = max(min_width, int(np.ceil(delta * mean_rpl * slack)))
         n = max(1, -(-worst // W))
         decide = s <= cap_stage
         for j in range(n):
@@ -104,16 +122,18 @@ def plan_mr_waves(rows_per_list: np.ndarray, nlist: int, decide_only: bool,
 
 
 def plan_finish_waves(rows_per_list: np.ndarray, nlist: int, w: int,
-                      n_waves: int = 8) -> tuple:
+                      n_waves: int = 8, base_stage: int | None = None
+                      ) -> tuple:
     """Static wave widths for the phase-B tail scan of a straggler bucket
     whose targets are <= w lists: equal widths whose sum covers the worst
-    row INCREMENT beyond the phase-A frontier (phase A completed the first
-    nlist/8 ranked lists, so at most the w - nlist/8 largest lists' rows
+    row INCREMENT beyond the decide-phase frontier (the decide phase
+    completed the first ``base_stage`` ranked lists for every query it
+    hands over, so at most the w - base_stage largest lists' rows
     remain)."""
     rpl = np.asarray(rows_per_list, np.int64)
     desc = np.sort(rpl)[::-1]
-    cap_stage = max(nlist // 8, 1)
-    span = max(int(desc[: min(max(w - cap_stage, 1), len(desc))].sum()), 1)
+    base = base_stage if base_stage is not None else max(nlist // 8, 1)
+    span = max(int(desc[: min(max(w - base, 1), len(desc))].sum()), 1)
     W = -(-span // n_waves)
     return tuple([W] * n_waves)
 
@@ -122,6 +142,25 @@ def _goal_rows(offsets: jax.Array, g: jax.Array) -> jax.Array:
     """offsets [B, S] cumulative rows per ranked-list prefix; g [B] in
     [1, S] -> rows covering each query's first g ranked lists."""
     return jnp.take_along_axis(offsets, (g - 1)[:, None], axis=1)[:, 0]
+
+
+def _decide_at_stage(traces, dtb, vals, stage, nlist, query_k, max_topk,
+                     std_m, metric):
+    """The per-boundary termination predicate (IndexIVF.cpp:551-568):
+    phi -> U -> cur_num -> predicted recall. Pure function of the sorted
+    top-k snapshot after exactly `stage` lists."""
+    kf = float(query_k)
+    mrange = jnp.arange(1, query_k + 1, dtype=jnp.float32)[None, :]
+    ind = stage_to_trace(stage, nlist)
+    tval = vals
+    if metric is Metric.IP:
+        tval = jnp.arccos(jnp.clip(vals, -1.0, 1.0))
+    phi = sum_angle(tval[:, :query_k], dtb, (1 << ind) - 1)
+    U = trace_lookup(traces, ind, phi, std_m)
+    p = (mrange * U) <= kf
+    first_ok = kf * U[:, query_k - 1] <= kf * FULL_OK_SLACK
+    pre_num = _simulate_cur_num(p, first_ok, query_k)
+    return pre_num.astype(jnp.float32) / kf
 
 
 @functools.partial(
@@ -165,16 +204,46 @@ def bounded_search_decide_mr(
     metric: Metric,
     plan: MRPlan,
 ):
-    """Phase A (decision waves only). Returns (vals, ids, my_nprobe,
-    decided_at, row_frontier, q_sq); phase B = finish_scan_mr."""
+    """Decision waves over the plan's stage window. Returns the full
+    resumable state (vals, ids, my_nprobe, decided_at, stoped, pre_val,
+    last_stage, row_frontier) plus q_sq; continue with bounded_resume_mr
+    (undecided re-batch) and/or finish_scan_mr (tail scans)."""
     z = jnp.zeros(q.shape[0], jnp.float32)
     return _mr_impl(arrays, mr, traces, q, require_acc, multipler, std_m,
                     z, query_k, max_topk, metric, plan,
                     with_true_recall=False, decide_only=True)
 
 
+@functools.partial(
+    jax.jit, static_argnames=("query_k", "max_topk", "metric", "plan"))
+def bounded_resume_mr(
+    arrays,
+    mr: MultiRowArrays,
+    traces: TraceSet,
+    q: jax.Array,
+    require_acc: jax.Array,
+    multipler: jax.Array,
+    std_m: jax.Array,
+    state: tuple,            # the 8-tuple a decide call returned
+    query_k: int,
+    max_topk: int,
+    metric: Metric,
+    plan: MRPlan,            # stage window (min_stage, max_stage]
+):
+    """Resume the decision waves for a re-batched subset: same engine, the
+    carried state supplies the top-k, stagnation counters, and row
+    frontier the prefix run left behind (ErrorSys's mid-decide
+    re-batching, so a handful of undecided stragglers stop dragging the
+    full batch through late waves)."""
+    z = jnp.zeros(q.shape[0], jnp.float32)
+    return _mr_impl(arrays, mr, traces, q, require_acc, multipler, std_m,
+                    z, query_k, max_topk, metric, plan,
+                    with_true_recall=False, decide_only=True, init=state)
+
+
 def _mr_impl(arrays, mr, traces, q, require_acc, multipler, std_m, gt_kth,
-             query_k, max_topk, metric, plan, with_true_recall, decide_only):
+             query_k, max_topk, metric, plan, with_true_recall, decide_only,
+             init=None):
     B = q.shape[0]
     nlist = arrays.nlist
     cap_stage = max(nlist // 8, 1)
@@ -184,17 +253,19 @@ def _mr_impl(arrays, mr, traces, q, require_acc, multipler, std_m, gt_kth,
     dtb = boundary_distances(cdis, cids, arrays.interdis, metric)
     row_slots, offsets = expand_probes(mr, cids, plan.S, plan.out_slots)
     safe_rows = jnp.maximum(row_slots, 0)
-    vals, ids = init_topk((B,), max_topk, metric)
-
-    my_np = jnp.zeros((B,), jnp.int32)
-    decided_at = jnp.zeros((B,), jnp.int32)
-    stoped = jnp.zeros((B,), jnp.int32)
-    pre_val = jnp.zeros((B,), jnp.float32)
-    last_stage = jnp.zeros((B,), jnp.int32)  # last COMPLETE boundary stage
-    frontier = jnp.zeros((B,), jnp.int32)
+    if init is None:
+        vals, ids = init_topk((B,), max_topk, metric)
+        my_np = jnp.zeros((B,), jnp.int32)
+        decided_at = jnp.zeros((B,), jnp.int32)
+        stoped = jnp.zeros((B,), jnp.int32)
+        pre_val = jnp.zeros((B,), jnp.float32)
+        last_stage = jnp.zeros((B,), jnp.int32)  # last COMPLETE stage
+        frontier = jnp.zeros((B,), jnp.int32)
+    else:
+        (vals, ids, my_np, decided_at, stoped, pre_val, last_stage,
+         frontier) = init
     stops = jnp.floor(require_acc * STAGNATION_FACTOR).astype(jnp.int32)
     kf = float(query_k)
-    mrange = jnp.arange(1, query_k + 1, dtype=jnp.float32)[None, :]
 
     def cur_goal(my_np, stage):
         """Row target right now: decided -> own budget, else this stage."""
@@ -222,16 +293,8 @@ def _mr_impl(arrays, mr, traces, q, require_acc, multipler, std_m, gt_kth,
 
             # Exactly `stage` complete lists behind the top-k for these:
             complete = frontier >= offsets[:, min(stage, plan.S) - 1]
-            ind = stage_to_trace(stage, nlist)
-            tval = vals
-            if metric is Metric.IP:
-                tval = jnp.arccos(jnp.clip(vals, -1.0, 1.0))
-            phi = sum_angle(tval[:, :query_k], dtb, (1 << ind) - 1)
-            U = trace_lookup(traces, ind, phi, std_m)
-            p = (mrange * U) <= kf
-            first_ok = kf * U[:, query_k - 1] <= kf * FULL_OK_SLACK
-            pre_num = _simulate_cur_num(p, first_ok, query_k)
-            recall = pre_num.astype(jnp.float32) / kf
+            recall = _decide_at_stage(traces, dtb, vals, stage, nlist,
+                                      query_k, max_topk, std_m, metric)
 
             # Stagnation (IndexIVF.cpp:570-601). Advances by the per-query
             # list gap since the last COMPLETE boundary: the worst top-k
@@ -270,7 +333,7 @@ def _mr_impl(arrays, mr, traces, q, require_acc, multipler, std_m, gt_kth,
     (vals, ids, my_np, decided_at, stoped, pre_val, last_stage,
      frontier) = state
     if decide_only:
-        return vals, ids, my_np, decided_at, frontier, q_sq
+        return state, q_sq
 
     n_scanned = jnp.minimum(jnp.maximum(my_np, decided_at), nlist)
     if with_true_recall:
@@ -285,6 +348,158 @@ def _mr_impl(arrays, mr, traces, q, require_acc, multipler, std_m, gt_kth,
     else:
         true_recall = jnp.zeros((B,), jnp.float32)
     return vals, ids, my_np, n_scanned, true_recall
+
+
+class MROneShotPlan(NamedTuple):
+    """Static schedule for the single-dispatch engine."""
+    a1: MRPlan        # full-batch decide waves, stages <= split
+    a2: MRPlan        # compacted decide waves, stages (split, nlist/8]
+    tail_widths: tuple  # row widths per compacted tail round
+    split: int
+    a2_cap: int       # compacted sub-batch for late decide waves
+    tail_cap: int     # compacted sub-batch for tail scans
+    tail_out: int     # out_slots of the full-nlist tail expansion
+
+
+def plan_oneshot(rows_per_list: np.ndarray, nlist: int, split: int = 8,
+                 a2_cap: int = 64, tail_cap: int = 256,
+                 slack: float = 1.35, min_width: int = 8,
+                 tail_waves: int | None = None) -> MROneShotPlan:
+    rpl = np.asarray(rows_per_list, np.int64)
+    cap_stage = max(nlist // 8, 1)
+    split = min(split, cap_stage)
+    a1 = plan_mr_waves(rpl, nlist, True, slack, min_width, 0, split,
+                       exact_cover=True)
+    if split < cap_stage:
+        a2 = plan_mr_waves(rpl, nlist, True, slack, min_width,
+                           split, cap_stage, exact_cover=True)
+    else:
+        a2 = MRPlan((), cap_stage, int(np.sort(rpl)[::-1][
+            :min(cap_stage, rpl.size)].sum()))
+    n_rows = int(rpl.sum())
+    if tail_waves is not None:
+        W = max(1, -(-n_rows // tail_waves))
+        tail = tuple([W] * tail_waves)
+    else:
+        # geometric tail: small stragglers execute only small waves
+        # (a wave's gather cost is width * B regardless of masks)
+        tail, w, cum = [], 64, 0
+        while cum < n_rows:
+            tail.append(w)
+            cum += w
+            w = min(w * 2, max(n_rows - cum, 1))
+        tail = tuple(tail)
+    return MROneShotPlan(a1, a2, tail, split, a2_cap, tail_cap, n_rows)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("query_k", "max_topk", "metric", "plan",
+                     "with_true_recall"))
+def bounded_oneshot_mr(
+    arrays,
+    mr: MultiRowArrays,
+    traces: TraceSet,
+    q: jax.Array,
+    require_acc: jax.Array,
+    multipler: jax.Array,
+    std_m: jax.Array,
+    gt_kth: jax.Array,
+    query_k: int,
+    max_topk: int,
+    metric: Metric,
+    plan: MROneShotPlan,
+    with_true_recall: bool = False,
+):
+    """The production bounded search: ONE dispatch, ONE fetch, with
+    DEVICE-SIDE batch compaction replacing the host-orchestrated phases.
+
+      A1   decision waves for stages <= split, full batch (where nearly
+           all queries decide).
+      A2   a lax.while_loop: sort undecided queries to the front, run the
+           remaining decision stages on an a2_cap-wide sub-batch, scatter
+           the state back; repeats only while anyone is undecided.
+      tail a lax.while_loop: compact queries whose decided budget exceeds
+           what they scanned into tail_cap-wide sub-batches and advance
+           their row frontiers to their own targets.
+
+    Decisions are bit-identical to bounded_search_mr / the padded engine
+    (same stages, traces, stagnation bookkeeping — the state just travels
+    through gathers/scatters between phases).
+    """
+    B = q.shape[0]
+    nlist = arrays.nlist
+    cap_stage = max(nlist // 8, 1)
+    z = jnp.zeros((B,), jnp.float32)
+
+    state, q_sq = _mr_impl(arrays, mr, traces, q, require_acc, multipler,
+                           std_m, z, query_k, max_topk, metric, plan.a1,
+                           False, decide_only=True)
+
+    if plan.a2.waves:
+        def a2_cond(st):
+            return jnp.any(st[2] == 0)
+
+        def a2_body(st):
+            idx = jnp.argsort(st[2] != 0)[: plan.a2_cap]  # undecided first
+            sub = tuple(x[idx] for x in st)
+            zs = jnp.zeros((plan.a2_cap,), jnp.float32)
+            sub_out, _ = _mr_impl(
+                arrays, mr, traces, q[idx], require_acc[idx], multipler,
+                std_m, zs, query_k, max_topk, metric, plan.a2, False,
+                decide_only=True, init=sub)
+            return tuple(x.at[idx].set(y) for x, y in zip(st, sub_out))
+
+        state = jax.lax.while_loop(a2_cond, a2_body, state)
+
+    vals, ids, my_np, decided_at, _, _, _, frontier = state
+    target = jnp.clip(jnp.maximum(my_np, decided_at), 1, nlist)
+    # lists certainly covered: decided in A1 -> min(my_np, split); via A2
+    # -> min(my_np, nlist/8). (A conservative floor — a query that rode an
+    # A2 round as sorting padding may be further along; its tail round
+    # then scans nothing.)
+    covered = jnp.minimum(
+        target, jnp.where(decided_at <= plan.split, plan.split, cap_stage))
+
+    def t_cond(st):
+        return jnp.any(st[3] < target)
+
+    def t_body(st):
+        vals, ids, frontier, covered = st
+        idx = jnp.argsort(covered >= target)[: plan.tail_cap]
+        subq = q[idx]
+        sub_sq = q_sq[idx]
+        cdis, cids = coarse_rank(arrays, subq, metric, q_sq=sub_sq)
+        row_slots, offsets = expand_probes(mr, cids, nlist, plan.tail_out)
+        safe_rows = jnp.maximum(row_slots, 0)
+        goal = _goal_rows(offsets, target[idx])
+        v, i, f = vals[idx], ids[idx], frontier[idx]
+        for width in plan.tail_widths:
+            def run(s, width=width):
+                v, i, f = s
+                v, i = scan_probe_range(mr.rows, subq, sub_sq, safe_rows,
+                                        v, i, goal, f, width, metric)
+                return v, i, jnp.minimum(goal, f + width)
+            v, i, f = jax.lax.cond(
+                jnp.any(f < goal), run, lambda s: s, (v, i, f))
+        return (vals.at[idx].set(v), ids.at[idx].set(i),
+                frontier.at[idx].set(f), covered.at[idx].set(target[idx]))
+
+    vals, ids, frontier, covered = jax.lax.while_loop(
+        t_cond, t_body, (vals, ids, frontier, covered))
+
+    if with_true_recall:
+        if metric is Metric.L2:
+            cnt = jnp.sum(vals <= gt_kth[:, None] * TRUE_RECALL_SLACK,
+                          axis=1)
+        else:
+            cnt = jnp.sum(vals >= gt_kth[:, None] * (2.0 - TRUE_RECALL_SLACK),
+                          axis=1)
+        true_recall = cnt.astype(jnp.float32) / float(query_k)
+        true_recall = jnp.where(my_np >= nlist, 1.0, true_recall)
+    else:
+        true_recall = jnp.zeros((B,), jnp.float32)
+    return vals, ids, my_np, target, true_recall
 
 
 @functools.partial(

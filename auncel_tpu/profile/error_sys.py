@@ -17,6 +17,7 @@ Differences by design:
     supported via ``setparam``).
 """
 
+import functools
 import time
 
 import numpy as np
@@ -32,8 +33,33 @@ from auncel_tpu.profile.trace import (
 from auncel_tpu.profile.bounded import (
     bounded_search, bounded_search_decide, finish_scan, budgeted_search)
 from auncel_tpu.profile.bounded_mr import (
-    bounded_search_mr, bounded_search_decide_mr, finish_scan_mr,
-    plan_mr_waves, plan_finish_waves)
+    bounded_oneshot_mr, plan_oneshot)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("bsz", "query_k", "max_topk", "metric", "plan",
+                     "with_true_recall"))
+def _oneshot_window(arrays, mr, traces, q_all, acc_all, gtk_all,
+                    multipler, std_m, start, size, bsz, query_k, max_topk,
+                    metric, plan, with_true_recall):
+    """Device-side window extraction + bounded search + result narrowing:
+    the query/bound arrays live on device across calls (uploaded once at
+    set_queries, padded by a bucket so slices never clamp), and only
+    [bsz, query_k] results come back — transfers through the ~30 MB/s
+    tunnel are otherwise the batch bottleneck. ``start``/``size`` are
+    traced: one compiled program per batch bucket."""
+    d = q_all.shape[1]
+    mask = jnp.arange(bsz, dtype=jnp.int32) < size
+    q = jax.lax.dynamic_slice(q_all, (start, 0), (bsz, d)) * mask[:, None]
+    acc = jnp.where(mask, jax.lax.dynamic_slice_in_dim(
+        acc_all, start, bsz, 0), 1e-3)  # padding decides at the 2nd wave
+    gtk = jnp.where(mask, jax.lax.dynamic_slice_in_dim(
+        gtk_all, start, bsz, 0), 0.0)
+    vals, ids, my_np, n_scanned, t_rec = bounded_oneshot_mr(
+        arrays, mr, traces, q, acc, multipler, std_m, gtk, query_k,
+        max_topk, metric, plan, with_true_recall)
+    return (vals[:, :query_k], ids[:, :query_k], my_np, n_scanned, t_rec)
 
 
 class ErrorSys:
@@ -44,6 +70,8 @@ class ErrorSys:
         if not isinstance(index, IVFFlatIndex):
             raise TypeError("ErrorSys requires an IVFFlatIndex "
                             "(reference supports key == 'IVF' only)")
+        if index.is_trained:
+            index.ensure_interdis()  # boundary geometry needs the matrix
         self.index = index
         self.train_num = train_num
         self.max_topk = max_topk
@@ -63,6 +91,7 @@ class ErrorSys:
         self.my_nprobe: np.ndarray | None = None
         self.n_scanned: np.ndarray | None = None
         self.t_recalls: np.ndarray | None = None
+        self._dev_cache = None
 
     # ------------------------------------------------------------ offline
 
@@ -72,6 +101,7 @@ class ErrorSys:
         assert gt_D.shape[1] >= self.max_topk
         self.gt_D = gt_D[:, : self.max_topk].copy()
         self.gt_I = gt_I[:, : self.max_topk].copy()
+        self._dev_cache = None
 
     def sys_train(self, nq: int, xq: np.ndarray, bs: int = 250) -> None:
         """Train the phi->U maps on the first ``nq`` queries
@@ -108,10 +138,11 @@ class ErrorSys:
         self.my_nprobe = np.zeros(alloc, np.int64)
         self.n_scanned = np.zeros(alloc, np.int64)
         self.t_recalls = np.zeros(alloc, np.float32)
+        self._dev_cache = None  # (q, acc, gt_kth) device copies + key
 
     def set_topk(self, k: int) -> None:
         assert k <= self.max_topk
-        self.query_topk = k
+        self.query_topk = k  # _dev_all re-keys on query_topk itself
 
     def setparam(self, figure_id: int) -> None:
         self.multipler, self.std_m = hyper.get_params(figure_id)
@@ -150,21 +181,62 @@ class ErrorSys:
             self._mr_plans = {}
         return mr
 
-    def _mr_plan(self, decide_only: bool):
-        key = ("waves", decide_only)
+    def _mr_oneshot_plan(self):
+        key = "oneshot"
         if key not in self._mr_plans:
-            self._mr_plans[key] = plan_mr_waves(
-                self._mr_rpl, self.index.nlist, decide_only)
+            self._mr_plans[key] = plan_oneshot(
+                self._mr_rpl, self.index.nlist)
         return self._mr_plans[key]
 
-    def _mr_finish(self, w: int):
-        key = ("finish", w)
-        if key not in self._mr_plans:
-            desc = np.sort(self._mr_rpl)[::-1]
-            out_slots = int(desc[: min(w, desc.size)].sum())
-            widths = plan_finish_waves(self._mr_rpl, self.index.nlist, w)
-            self._mr_plans[key] = (out_slots, widths)
-        return self._mr_plans[key]
+    def _dev_all(self):
+        """Device-resident (queries, bounds, gt-kth) padded by one batch
+        bucket so window slices never clamp. Rebind with set_queries /
+        set_gt / set_topk — in-place mutation of the host arrays will NOT
+        be seen by searches."""
+        key = self.query_topk
+        if self._dev_cache is None or self._dev_cache[0] != key:
+            nq = self.queries.shape[0]
+            pad = self.BATCH_BUCKETS[-1]
+            acc = np.full(nq + pad, 1e-3, np.float32)
+            m = min(nq, self.require_acc.shape[0])
+            acc[:m] = self.require_acc[:m]
+            gtk = np.zeros(nq + pad, np.float32)
+            if self.gt_D is not None:
+                g = min(nq, self.gt_D.shape[0])
+                gtk[:g] = self.gt_D[:g, self.query_topk - 1]
+            qp = np.zeros((nq + pad, self.index.d), np.float32)
+            qp[:nq] = self.queries
+            self._dev_cache = (key, jnp.asarray(qp), jnp.asarray(acc),
+                               jnp.asarray(gtk))
+        return self._dev_cache[1:]
+
+    def _pad_rows(self, rows: np.ndarray, pad_value: int = 0) -> np.ndarray:
+        """Pad a row-index set up to the next ROW_BUCKET size."""
+        rb = next((b for b in self.ROW_BUCKETS if rows.size <= b),
+                  rows.size)
+        sel = np.full(rb, pad_value, np.int64)
+        sel[:rows.size] = rows
+        return sel
+
+    @staticmethod
+    def _width_buckets(need: np.ndarray, target: np.ndarray, base: int,
+                       nlist: int, factor: int = 4):
+        """Group straggler rows into geometric target-width buckets
+        (base*factor, ..., nlist]; coarse on purpose — each distinct width
+        is a separately compiled program and compiles through the axon
+        tunnel are minutes-scale."""
+        widths = []
+        w = base * factor
+        while w < nlist:
+            widths.append(w)
+            w *= factor
+        widths.append(nlist)
+        lo = base
+        for w in widths:
+            rows = need[(target[need] > lo) & (target[need] <= w)]
+            if rows.size:
+                yield w, lo, rows
+            lo = w
 
     def search(self, start: int, search_size: int = -1,
                two_phase: bool | None = None):
@@ -196,42 +268,37 @@ class ErrorSys:
             gt_kth[:size] = self.gt_D[start:start + size, self.query_topk - 1]
 
         mr = self._mr()
-        if not two_phase:
-            if mr is not None:
-                out = bounded_search_mr(
-                    self.index.arrays, mr, self.traces, jnp.asarray(q),
-                    jnp.asarray(acc), jnp.float32(self.multipler),
-                    jnp.float32(self.std_m), jnp.asarray(gt_kth),
-                    self.query_topk, self.max_topk, self.index.metric,
-                    self._mr_plan(decide_only=False),
-                    with_true_recall=want_true)
-            else:
-                out = bounded_search(
-                    self.index.arrays, self.traces, jnp.asarray(q),
-                    jnp.asarray(acc), jnp.float32(self.multipler),
-                    jnp.float32(self.std_m), jnp.asarray(gt_kth),
-                    self.query_topk, self.max_topk, self.index.metric,
-                    with_true_recall=want_true)
+        if mr is not None:
+            # the one-shot engine compacts on device: single dispatch,
+            # single (narrow) fetch, device-resident query windows
+            q_all, acc_all, gtk_all = self._dev_all()
+            out = _oneshot_window(
+                self.index.arrays, mr, self.traces, q_all, acc_all,
+                gtk_all, jnp.float32(self.multipler),
+                jnp.float32(self.std_m), jnp.int32(start), jnp.int32(size),
+                bsz, self.query_topk, self.max_topk, self.index.metric,
+                self._mr_oneshot_plan(), want_true)
+            vals, ids, my_np, n_scanned, t_rec = jax.device_get(out)
+            if want_true:
+                self.t_recalls[start:start + size] = t_rec[:size]
+        elif not two_phase:
+            out = bounded_search(
+                self.index.arrays, self.traces, jnp.asarray(q),
+                jnp.asarray(acc), jnp.float32(self.multipler),
+                jnp.float32(self.std_m), jnp.asarray(gt_kth),
+                self.query_topk, self.max_topk, self.index.metric,
+                with_true_recall=want_true)
             # ONE host round-trip (each fetch pays ~40 ms tunnel RTT)
             vals, ids, my_np, n_scanned, t_rec = jax.device_get(out)
             if want_true:
                 self.t_recalls[start:start + size] = t_rec[:size]
         else:
-            if mr is not None:
-                vals_d, ids_d, my_np_d, decided_d, frontier_d, q_sq_d = \
-                    bounded_search_decide_mr(
-                        self.index.arrays, mr, self.traces, jnp.asarray(q),
-                        jnp.asarray(acc), jnp.float32(self.multipler),
-                        jnp.float32(self.std_m), self.query_topk,
-                        self.max_topk, self.index.metric,
-                        self._mr_plan(decide_only=True))
-            else:
-                vals_d, ids_d, my_np_d, decided_d, cids_d, q_sq_d = \
-                    bounded_search_decide(
-                        self.index.arrays, self.traces, jnp.asarray(q),
-                        jnp.asarray(acc), jnp.float32(self.multipler),
-                        jnp.float32(self.std_m), self.query_topk,
-                        self.max_topk, self.index.metric)
+            vals_d, ids_d, my_np_d, decided_d, cids_d, q_sq_d = \
+                bounded_search_decide(
+                    self.index.arrays, self.traces, jnp.asarray(q),
+                    jnp.asarray(acc), jnp.float32(self.multipler),
+                    jnp.float32(self.std_m), self.query_topk,
+                    self.max_topk, self.index.metric)
             # ONE fetch for phase-B planning AND the base results (a
             # second fetch later would cost another ~40ms tunnel RTT)
             my_np, decided, vals, ids = jax.device_get(
@@ -244,64 +311,41 @@ class ErrorSys:
                 # bucket stragglers by probe width and by row count; launch
                 # every bucket's scan asynchronously and fetch ALL results
                 # in one device_get (each fetch costs a ~40ms tunnel RTT)
-                widths = []
-                w = cap_stage * 2
-                while w <= nlist:
-                    widths.append(w)
-                    w *= 2
-                if widths[-1] != nlist:
-                    widths.append(nlist)
                 pending = []
-                for w in widths:
-                    lo = cap_stage if w == widths[0] else widths[
-                        widths.index(w) - 1]
-                    rows = need[(target[need] > lo) & (target[need] <= w)]
-                    if rows.size == 0:
-                        continue
-                    rb = next(b for b in self.ROW_BUCKETS
-                              if rows.size <= b) if rows.size <= \
-                        self.ROW_BUCKETS[-1] else rows.size
-                    sel = np.zeros(rb, np.int64)
-                    sel[:rows.size] = rows
-                    if mr is not None:
-                        out_slots, wave_ws = self._mr_finish(w)
-                        fv, fi, _ = finish_scan_mr(
-                            self.index.arrays, mr,
-                            jnp.asarray(q[sel]), q_sq_d[jnp.asarray(sel)],
-                            vals_d[jnp.asarray(sel)],
-                            ids_d[jnp.asarray(sel)],
-                            my_np_d[jnp.asarray(sel)],
-                            frontier_d[jnp.asarray(sel)],
-                            w, out_slots, wave_ws, self.index.metric)
-                    else:
-                        fv, fi = finish_scan(
-                            self.index.arrays,
-                            jnp.asarray(q[sel]), q_sq_d[jnp.asarray(sel)],
-                            vals_d[jnp.asarray(sel)],
-                            ids_d[jnp.asarray(sel)],
-                            my_np_d[jnp.asarray(sel)],
-                            cap_stage, w - cap_stage, self.index.metric)
+                for w, lo, rows in self._width_buckets(
+                        need, target, cap_stage, nlist):
+                    sel = self._pad_rows(rows)
+                    fv, fi = finish_scan(
+                        self.index.arrays,
+                        jnp.asarray(q[sel]), q_sq_d[jnp.asarray(sel)],
+                        vals_d[jnp.asarray(sel)],
+                        ids_d[jnp.asarray(sel)],
+                        my_np_d[jnp.asarray(sel)],
+                        cap_stage, w - cap_stage, self.index.metric)
                     pending.append((rows, fv, fi))
                 fetched = jax.device_get([(fv, fi) for _, fv, fi in pending])
                 for (rows, _, _), (fv, fi) in zip(pending, fetched):
                     vals[rows] = fv[:rows.size]
                     ids[rows] = fi[:rows.size]
             n_scanned = target
-            if want_true:
-                from auncel_tpu.profile.bounded import TRUE_RECALL_SLACK
-                if self.index.metric is Metric.L2:
-                    cnt = (vals <= gt_kth[:, None] *
-                           TRUE_RECALL_SLACK).sum(1)
-                else:
-                    cnt = (vals >= gt_kth[:, None] *
-                           (2.0 - TRUE_RECALL_SLACK)).sum(1)
-                t_rec = np.where(my_np >= nlist, 1.0,
-                                 cnt / float(self.query_topk))
-                self.t_recalls[start:start + size] = t_rec[:size]
+
+        if two_phase and want_true and mr is None:
+            from auncel_tpu.profile.bounded import TRUE_RECALL_SLACK
+            if self.index.metric is Metric.L2:
+                cnt = (vals <= gt_kth[:, None] * TRUE_RECALL_SLACK).sum(1)
+            else:
+                cnt = (vals >= gt_kth[:, None] *
+                       (2.0 - TRUE_RECALL_SLACK)).sum(1)
+            t_rec = np.where(my_np >= nlist, 1.0,
+                             cnt / float(self.query_topk))
+            self.t_recalls[start:start + size] = t_rec[:size]
 
         self.my_nprobe[start:start + size] = my_np[:size]
         self.n_scanned[start:start + size] = n_scanned[:size]
-        return vals[:size], ids[:size].astype(np.int64)
+        # results are narrowed to the query's set_topk width (the heap
+        # stays max_topk deep internally for profile semantics)
+        return (vals[:size, : self.query_topk],
+                ids[:size, : self.query_topk].astype(np.int64))
 
     # -------------------------------------------------------- time budget
 
@@ -343,7 +387,8 @@ class ErrorSys:
         vals, ids, n_budget = jax.device_get(out)
         self.my_nprobe[start:start + size] = n_budget[:size]
         self.n_scanned[start:start + size] = n_budget[:size]
-        return vals[:size], ids[:size].astype(np.int64)
+        return (vals[:size, : self.query_topk],
+                ids[:size, : self.query_topk].astype(np.int64))
 
     # ---------------------------------------------------------- utilities
 

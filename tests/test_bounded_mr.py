@@ -9,7 +9,8 @@ import auncel_tpu as at
 from auncel_tpu.types import Metric
 from auncel_tpu.index.ivf import IVFFlatIndex
 from auncel_tpu.profile.bounded import bounded_search
-from auncel_tpu.profile.bounded_mr import bounded_search_mr, plan_mr_waves
+from auncel_tpu.profile.bounded_mr import (
+    bounded_search_mr, bounded_oneshot_mr, plan_mr_waves, plan_oneshot)
 
 
 @pytest.fixture(scope="module")
@@ -101,16 +102,30 @@ def test_mr_tiny_widths_still_exact(trained):
     np.testing.assert_array_equal(i1, i2)
 
 
-def test_mr_errsys_two_phase_equals_single_phase(trained):
+def test_mr_oneshot_equals_wave_engine(trained):
+    """The single-dispatch engine (device-side compaction while-loops)
+    produces exactly the wave engine's decisions and results — including
+    under starved capacities that force MANY compaction rounds."""
     idx, es, xq, gt_D, n_train, n_test = trained
     idx.enable_multirow(row_cap=128)
-    D1, I1 = es.search(n_train, n_test, two_phase=False)
-    np1 = es.my_nprobe[n_train:n_train + n_test].copy()
-    D2, I2 = es.search(n_train, n_test, two_phase=True)
-    np2 = es.my_nprobe[n_train:n_train + n_test].copy()
-    np.testing.assert_array_equal(np1, np2)
-    np.testing.assert_array_equal(D1, D2)
-    np.testing.assert_array_equal(I1, I2)
+    mr = idx.multirow
+    q = xq[n_train:n_train + n_test]
+    acc = np.full(n_test, 0.9, np.float32)
+    v1, i1, np1, ns1, _ = _run_mr(idx, es, q, acc)
+    rpl = np.asarray(mr.rows_per_list)
+    for kwargs in (dict(), dict(split=1, a2_cap=4, tail_cap=4,
+                               tail_waves=3)):
+        plan = plan_oneshot(rpl, idx.nlist, **kwargs)
+        out = bounded_oneshot_mr(
+            idx.arrays, mr, es.traces, jnp.asarray(q), jnp.asarray(acc),
+            jnp.float32(es.multipler), jnp.float32(es.std_m),
+            jnp.zeros(n_test, jnp.float32), es.query_topk, es.max_topk,
+            idx.metric, plan)
+        v2, i2, np2, ns2, _ = [np.asarray(x) for x in out]
+        np.testing.assert_array_equal(np1, np2)
+        np.testing.assert_array_equal(ns1, ns2)
+        np.testing.assert_array_equal(v1, v2)
+        np.testing.assert_array_equal(i1, i2)
 
 
 def test_mr_errsys_matches_padded_engine(trained):
