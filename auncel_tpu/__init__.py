@@ -23,6 +23,7 @@ Design stance (TPU-first, not a port):
 from auncel_tpu.types import Metric
 from auncel_tpu.index.flat import FlatIndex
 from auncel_tpu.index.ivf import IVFFlatIndex
+from auncel_tpu.index.hnsw import HNSWIndex
 from auncel_tpu.index.factory import index_factory
 
 try:  # profile engine lands after the index core
@@ -36,6 +37,7 @@ __all__ = [
     "Metric",
     "FlatIndex",
     "IVFFlatIndex",
+    "HNSWIndex",
     "index_factory",
     "ErrorSys",
     "__version__",

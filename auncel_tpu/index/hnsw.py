@@ -1,0 +1,467 @@
+"""TPU-first HNSW graph index.
+
+Capability parity with the reference's HNSW
+(``/root/reference/Auncel/HNSW.h:46`` struct HNSW, ``HNSW.cpp``,
+``IndexHNSW.{h,cpp}``): hierarchical navigable small-world graph with
+geometric level assignment (``set_default_probas`` semantics: level ~
+floor(-ln(U) * 1/ln(M)), 2M links at level 0, M above), greedy upper-level
+descent (``greedy_update_nearest``), ef-bounded level-0 exploration
+(``search_from_candidates`` with the check_relative_distance stop rule),
+and the occlusion neighbor heuristic (``HNSW.cpp shrink_neighbor_list``:
+keep a candidate only while it is closer to the query than to every
+already-kept neighbor).
+
+TPU-first redesign — nothing here is a translation of the reference's
+pointer-and-heap code:
+
+  * SEARCH is one batched fixed-shape device program. The per-query
+    priority queues + visited bitmap become a sorted top-ef candidate
+    buffer with EXPANSION FLAGS: each masked beam step expands the best
+    unexpanded candidate of every query simultaneously (gather neighbors,
+    one MXU distance block, argsort merge with id-dedup). A query whose
+    best unexpanded candidate is worse than its current ef-th result is
+    frozen — the same stop rule as the reference, evaluated batch-wide.
+  * CONSTRUCTION inserts points in frozen-graph batches: each batch is
+    device-searched against the graph built so far (same descent + beam
+    kernels), neighbors are selected with a vectorized form of the
+    occlusion heuristic (static loop over candidate ranks, batched over
+    all inserted points at once), and the link tables are updated
+    host-side with reverse-edge overflow re-pruning. Points inside one
+    batch do not see each other (the reference's per-point locks have no
+    useful equivalent on a TPU); recall parity is asserted by tests.
+"""
+
+import functools
+from typing import NamedTuple
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from auncel_tpu.types import Metric, worst_value
+from auncel_tpu.index.base import Index
+
+# insertion batches double with the graph (a batch never exceeds the
+# frozen graph it searches, keeping early connectivity rich), capped to
+# bound device memory per step
+BUILD_BATCH_MIN = 8
+BUILD_BATCH_MAX = 16384
+BUILD_BATCHES = tuple(2 ** i for i in range(3, 15))  # 8..16384 buckets
+
+
+def _better(a, b, metric: Metric):
+    return a < b if metric.lower_is_better else a > b
+
+
+def _block_dist(q, blocks, metric: Metric):
+    """q [B, d] vs blocks [B, K, d] -> [B, K] metric values (f32 HIGHEST,
+    same contraction family as the scan path)."""
+    dots = jnp.einsum("bkd,bd->bk", blocks, q,
+                      preferred_element_type=jnp.float32,
+                      precision=jax.lax.Precision.HIGHEST)
+    if metric is Metric.L2:
+        return (jnp.sum(jnp.square(q), -1)[:, None]
+                + jnp.sum(jnp.square(blocks), -1) - 2.0 * dots)
+    return dots
+
+
+@functools.partial(jax.jit, static_argnames=("iters", "metric"))
+def greedy_descent(
+    xb: jax.Array,        # [N, d]
+    table: jax.Array,     # [n_l, M] neighbor ids (global), -1 pad
+    g2u: jax.Array,       # [N] global -> row in table, -1 if absent
+    q: jax.Array,         # [B, d]
+    cur: jax.Array,       # [B] current node ids (must exist at this level)
+    cur_d: jax.Array,     # [B] their metric values
+    iters: int,
+    metric: Metric,
+):
+    """Reference ``greedy_update_nearest``: move to the best neighbor while
+    it improves; batched with a fixed iteration cap (the walk length is
+    O(log N); converged queries stop changing state)."""
+    worst = worst_value(metric)
+
+    def body(_, st):
+        cur, cur_d = st
+        up = g2u[cur]
+        nbrs = table[jnp.maximum(up, 0)]                   # [B, M]
+        valid = (nbrs >= 0) & (up >= 0)[:, None]
+        d = _block_dist(q, xb[jnp.maximum(nbrs, 0)], metric)
+        d = jnp.where(valid, d, worst)
+        if metric.lower_is_better:
+            j = jnp.argmin(d, axis=1)
+        else:
+            j = jnp.argmax(d, axis=1)
+        bd = jnp.take_along_axis(d, j[:, None], 1)[:, 0]
+        bn = jnp.take_along_axis(nbrs, j[:, None], 1)[:, 0]
+        better = _better(bd, cur_d, metric)
+        return (jnp.where(better, bn, cur).astype(jnp.int32),
+                jnp.where(better, bd, cur_d))
+
+    return jax.lax.fori_loop(0, iters, body, (cur, cur_d))
+
+
+@functools.partial(jax.jit, static_argnames=("ef", "iters", "metric"))
+def beam_search(
+    xb: jax.Array,        # [N, d]
+    table: jax.Array,     # [n_l, K] neighbor ids (global), -1 pad
+    g2u: jax.Array,       # [N] global -> row in table, -1 if absent
+    q: jax.Array,         # [B, d]
+    entry: jax.Array,     # [B] entry node ids
+    entry_d: jax.Array,   # [B]
+    ef: int,
+    iters: int,
+    metric: Metric,
+):
+    """ef-bounded exploration (reference ``search_from_candidates``).
+    Returns (cand_ids [B, ef], cand_d [B, ef]) sorted best-first."""
+    B = q.shape[0]
+    K = table.shape[1]
+    worst = worst_value(metric)
+    sign = 1.0 if metric.lower_is_better else -1.0
+
+    cand_ids = jnp.full((B, ef), -1, jnp.int32).at[:, 0].set(entry)
+    cand_d = jnp.full((B, ef), worst, jnp.float32).at[:, 0].set(entry_d)
+    expanded = jnp.zeros((B, ef), bool)
+
+    def body(_, st):
+        cand_ids, cand_d, expanded = st
+        unexp = (~expanded) & (cand_ids >= 0)
+        has = jnp.any(unexp, axis=1)
+        pos = jnp.argmax(unexp, axis=1)          # best unexpanded (sorted)
+        dpos = jnp.take_along_axis(cand_d, pos[:, None], 1)[:, 0]
+        # stop rule: best unexpanded no better than current ef-th result
+        # (check_relative_distance, HNSW.cpp search_from_candidates)
+        wref = cand_d[:, -1]
+        active = has & (_better(dpos, wref, metric) | (cand_ids[:, -1] < 0))
+        node = jnp.take_along_axis(cand_ids, pos[:, None], 1)[:, 0]
+        up = g2u[jnp.maximum(node, 0)]
+        nbrs = table[jnp.maximum(up, 0)]                    # [B, K]
+        valid = ((nbrs >= 0) & (up >= 0)[:, None] & active[:, None])
+        nd = _block_dist(q, xb[jnp.maximum(nbrs, 0)], metric)
+        nd = jnp.where(valid, nd, worst)
+        nbrs = jnp.where(valid, nbrs, -1)
+        expanded = expanded.at[jnp.arange(B), pos].set(
+            expanded[jnp.arange(B), pos] | active)
+
+        # merge + dedup: sort by (id, expanded-first) so the surviving
+        # copy of a revisited node keeps its expanded flag
+        ids_all = jnp.concatenate([cand_ids, nbrs], axis=1)
+        d_all = jnp.concatenate([cand_d, nd], axis=1)
+        exp_all = jnp.concatenate(
+            [expanded, jnp.zeros_like(nbrs, bool)], axis=1)
+        big = jnp.int32(2_147_000_000)
+        key = jnp.where(ids_all >= 0,
+                        ids_all * 2 + (1 - exp_all.astype(jnp.int32)), big)
+        order = jnp.argsort(key, axis=1)
+        ids_s = jnp.take_along_axis(ids_all, order, 1)
+        d_s = jnp.take_along_axis(d_all, order, 1)
+        exp_s = jnp.take_along_axis(exp_all, order, 1)
+        dup = jnp.concatenate(
+            [jnp.zeros((B, 1), bool), ids_s[:, 1:] == ids_s[:, :-1]], axis=1)
+        bad = dup | (ids_s < 0)
+        d_s = jnp.where(bad, worst, d_s)
+        ids_s = jnp.where(bad, -1, ids_s)
+        order2 = jnp.argsort(sign * d_s, axis=1)[:, :ef]
+        return (jnp.take_along_axis(ids_s, order2, 1),
+                jnp.take_along_axis(d_s, order2, 1),
+                jnp.take_along_axis(exp_s, order2, 1))
+
+    cand_ids, cand_d, _ = jax.lax.fori_loop(
+        0, iters, body, (cand_ids, cand_d, expanded))
+    return cand_ids, cand_d
+
+
+@functools.partial(jax.jit, static_argnames=("M", "metric"))
+def heuristic_keep(
+    xb: jax.Array,
+    q: jax.Array,          # [Q, d] the points being linked
+    cand_ids: jax.Array,   # [Q, K] candidates sorted best-first
+    cand_d: jax.Array,     # [Q, K]
+    M: int,
+    metric: Metric,
+):
+    """Vectorized occlusion heuristic (``shrink_neighbor_list``): walk
+    candidates nearest-first, keep v iff dist(q, v) beats dist(v, s) for
+    every already-kept s; stop at M. Returns keep mask [Q, K]."""
+    Q, K = cand_ids.shape
+    vecs = xb[jnp.maximum(cand_ids, 0)]                    # [Q, K, d]
+    dots = jnp.einsum("qkd,qjd->qkj", vecs, vecs,
+                      preferred_element_type=jnp.float32,
+                      precision=jax.lax.Precision.HIGHEST)
+    if metric is Metric.L2:
+        sq = jnp.sum(jnp.square(vecs), -1)
+        pair = sq[:, :, None] + sq[:, None, :] - 2.0 * dots
+    else:
+        pair = dots
+    worst = worst_value(metric)
+    keep = jnp.zeros((Q, K), bool)
+    # occl[q, v] = best distance from candidate v to any kept neighbor
+    occl = jnp.full((Q, K), worst, jnp.float32)
+    kept = jnp.zeros((Q,), jnp.int32)
+
+    def body(r, st):
+        keep, occl, kept = st
+        dqr = cand_d[:, r]
+        ok = ((cand_ids[:, r] >= 0) & (kept < M)
+              & _better(dqr, occl[:, r], metric))
+        keep = keep.at[:, r].set(ok)
+        upd = _better(pair[:, r, :], occl, metric) & ok[:, None]
+        occl = jnp.where(upd, pair[:, r, :], occl)
+        return keep, occl, kept + ok.astype(jnp.int32)
+
+    keep, _, _ = jax.lax.fori_loop(0, K, body, (keep, occl, kept))
+    return keep
+
+
+class HNSWIndex(Index):
+    """Standalone HNSW index over raw vectors (reference IndexHNSWFlat)."""
+
+    def __init__(self, d: int, M: int = 32, metric: Metric = Metric.L2,
+                 ef_construction: int = 40, ef_search: int = 16,
+                 seed: int = 1234):
+        self.d = d
+        self.M = int(M)
+        self.metric = Metric.parse(metric)
+        self.ef_construction = int(ef_construction)
+        self.ef_search = int(ef_search)
+        self.level_mult = 1.0 / np.log(self.M)  # set_default_probas
+        self.rng = np.random.RandomState(seed)
+        self.is_trained = True
+        self._xb = np.zeros((0, d), np.float32)
+        self._built = False
+        # graph state (host mirrors + device copies)
+        self.levels: np.ndarray | None = None
+        self.entry_point = -1
+        self.max_level = -1
+        self.nb_tables: list = []    # per level: np [n_l, K] global ids
+        self.g2u: list = []          # per level: np [N] -> row or -1
+        self._dev = None             # (xb, [(table, g2u)] per level)
+
+    # ------------------------------------------------------------- state
+
+    @property
+    def ntotal(self) -> int:
+        return self._xb.shape[0]
+
+    def train(self, x):
+        pass
+
+    def add(self, x: np.ndarray, ids=None) -> None:
+        assert ids is None, "HNSWIndex stores sequential ids"
+        x = np.asarray(x, np.float32)
+        assert x.shape[1] == self.d
+        self._xb = np.concatenate([self._xb, x], 0)
+        self._built = False
+
+    def reset(self):
+        self._xb = np.zeros((0, self.d), np.float32)
+        self._built = False
+        self._dev = None
+
+    def _caps(self, level: int) -> int:
+        return 2 * self.M if level == 0 else self.M
+
+    # ------------------------------------------------------------- build
+
+    def _push_dev(self):
+        self._dev = (jnp.asarray(self._xb),
+                     [(jnp.asarray(t), jnp.asarray(g))
+                      for t, g in zip(self.nb_tables, self.g2u)])
+
+    def build(self) -> None:
+        """(Re)build the graph over the stored vectors in frozen-graph
+        batches."""
+        n = self.ntotal
+        if n == 0:
+            self._built = True
+            return
+        levels = np.floor(-np.log(np.maximum(
+            self.rng.rand(n), 1e-12)) * self.level_mult).astype(np.int64)
+        self.levels = levels
+        self.max_level = int(levels.max())
+        self.entry_point = int(np.argmax(levels))
+        n_levels = self.max_level + 1
+        self.nb_tables = []
+        self.g2u = []
+        for l in range(n_levels):
+            members = np.where(levels >= l)[0].astype(np.int32)
+            g2u = np.full(n, -1, np.int32)
+            g2u[members] = np.arange(members.size, dtype=np.int32)
+            self.nb_tables.append(
+                np.full((members.size, self._caps(l)), -1, np.int32))
+            self.g2u.append(g2u)
+
+        # the entry point seeds the graph alone; everything else inserts
+        # in growing frozen-graph batches
+        rest = np.arange(n, dtype=np.int64)
+        rest = rest[rest != self.entry_point]
+        self._push_dev()
+        self._insert_batch(np.asarray([self.entry_point], np.int64))
+        done = 0
+        while done < rest.size:
+            # batch <= current graph size (doubling), within buckets
+            bs = min(max(BUILD_BATCH_MIN, done + 1), BUILD_BATCH_MAX)
+            self._insert_batch(rest[done:done + bs])
+            done += bs
+        self._built = True
+
+    def _insert_batch(self, pts: np.ndarray) -> None:
+        if pts.size == 0:
+            return
+        # pad ragged tails up to the batch bucket (one compiled program per
+        # bucket size); padding entries get target level -1 -> no links
+        bs = next((b for b in (1,) + BUILD_BATCHES if pts.size <= b),
+                  pts.size)
+        tgt = np.full(bs, -1, np.int64)
+        tgt[: pts.size] = self.levels[pts]
+        pts_pad = np.full(bs, pts[0], np.int64)
+        pts_pad[: pts.size] = pts
+        xb_d, tables_d = self._dev
+        q = jnp.asarray(self._xb[pts_pad])
+        B = bs
+        cur = jnp.full((B,), self.entry_point, jnp.int32)
+        cur_d = _block_dist(q, xb_d[cur][:, None, :], self.metric)[:, 0]
+        efc = self.ef_construction
+        new_edges = {}   # level -> (src pts, candidates, keep mask)
+        for l in range(self.max_level, -1, -1):
+            table_d, g2u_d = tables_d[l]
+            if table_d.shape[0] == 0:
+                continue
+            # queries whose target < l only descend greedily
+            cur, cur_d = greedy_descent(
+                xb_d, table_d, g2u_d, q, cur, cur_d, 16, self.metric)
+            link = tgt >= l
+            if not link.any():
+                continue
+            cand_ids, cand_d = beam_search(
+                xb_d, table_d, g2u_d, q, cur, cur_d, efc,
+                efc, self.metric)
+            keep = heuristic_keep(xb_d, q, cand_ids, cand_d, self.M,
+                                  self.metric)
+            cand_np = np.asarray(cand_ids)
+            keep_np = np.asarray(keep) & (cand_np >= 0) & link[:, None]
+            # a point must not link to itself (it is not in the frozen
+            # graph yet, but the very first seed insert could see itself)
+            keep_np &= cand_np != pts_pad[:, None]
+            new_edges[l] = (pts_pad[link], cand_np[link], keep_np[link])
+            # continue descent from the best candidate (device-side)
+            ok = cand_ids[:, 0] >= 0
+            cur = jnp.where(ok, cand_ids[:, 0], cur).astype(jnp.int32)
+            cur_d = jnp.where(ok, cand_d[:, 0], cur_d)
+
+        for l, (src, cands, keeps) in new_edges.items():
+            self._connect(l, src, cands, keeps)
+        self._push_dev()
+
+    def _connect(self, level: int, src: np.ndarray, cands: np.ndarray,
+                 keeps: np.ndarray) -> None:
+        """Host-side link surgery: forward edges src -> selected, reverse
+        edges selected -> src with overflow re-pruning (reference
+        add_link + shrink_neighbor_list)."""
+        table = self.nb_tables[level]
+        g2u = self.g2u[level]
+        cap = self._caps(level)
+        overflow: dict[int, list[int]] = {}
+        for i, s in enumerate(src):
+            sel = cands[i][keeps[i]][: self.M]
+            row = g2u[s]
+            table[row, : sel.size] = sel
+            for v in sel:
+                vrow = g2u[v]
+                lst = table[vrow]
+                free = np.where(lst < 0)[0]
+                if s in lst:
+                    continue
+                if free.size:
+                    table[vrow, free[0]] = s
+                else:
+                    overflow.setdefault(int(v), []).append(int(s))
+        if overflow:
+            self._reprune(level, overflow)
+
+    def _reprune(self, level: int, overflow: dict) -> None:
+        """Re-select an overflowing node's neighbor list with the
+        occlusion heuristic (batched on device)."""
+        table = self.nb_tables[level]
+        g2u = self.g2u[level]
+        cap = self._caps(level)
+        nodes = np.fromiter(overflow.keys(), np.int64)
+        maxk = cap + max(len(v) for v in overflow.values())
+        maxk = ((maxk + 7) // 8) * 8  # bucket K: bound compiled variants
+        cand = np.full((nodes.size, maxk), -1, np.int32)
+        for i, v in enumerate(nodes):
+            lst = [x for x in table[g2u[v]] if x >= 0] + overflow[int(v)]
+            cand[i, : len(lst)] = lst
+        xb_d = self._dev[0]
+        qv = jnp.asarray(self._xb[nodes])
+        d = _block_dist(qv, xb_d[jnp.maximum(jnp.asarray(cand), 0)],
+                        self.metric)
+        d = jnp.where(jnp.asarray(cand) >= 0, d, worst_value(self.metric))
+        sign = 1.0 if self.metric.lower_is_better else -1.0
+        order = jnp.argsort(sign * d, axis=1)
+        cand_s = jnp.take_along_axis(jnp.asarray(cand), order, 1)
+        d_s = jnp.take_along_axis(d, order, 1)
+        keep = heuristic_keep(xb_d, qv, cand_s, d_s, cap, self.metric)
+        cand_np, keep_np = np.asarray(cand_s), np.asarray(keep)
+        for i, v in enumerate(nodes):
+            sel = cand_np[i][keep_np[i] & (cand_np[i] >= 0)][:cap]
+            row = np.full(cap, -1, np.int32)
+            row[: sel.size] = sel
+            table[g2u[v]] = row
+
+    # ------------------------------------------------------------ search
+
+    def search(self, q: np.ndarray, k: int, ef: int | None = None):
+        if not self._built:
+            self.build()
+        q = np.asarray(q, np.float32)
+        ef = max(int(ef if ef is not None else self.ef_search), k)
+        if self.ntotal == 0:
+            return (np.full((q.shape[0], k), worst_value(self.metric),
+                            np.float32),
+                    np.full((q.shape[0], k), -1, np.int64))
+        xb_d, tables_d = self._dev
+        qd = jnp.asarray(q)
+        B = q.shape[0]
+        cur = jnp.full((B,), self.entry_point, jnp.int32)
+        cur_d = _block_dist(qd, xb_d[cur][:, None, :], self.metric)[:, 0]
+        for l in range(self.max_level, 0, -1):
+            table_d, g2u_d = tables_d[l]
+            if table_d.shape[0]:
+                cur, cur_d = greedy_descent(
+                    xb_d, table_d, g2u_d, qd, cur, cur_d, 16, self.metric)
+        table_d, g2u_d = tables_d[0]
+        cand_ids, cand_d = beam_search(
+            xb_d, table_d, g2u_d, qd, cur, cur_d, ef, ef, self.metric)
+        vals = np.asarray(cand_d[:, :k])
+        ids = np.asarray(cand_ids[:, :k]).astype(np.int64)
+        return vals, ids
+
+    # ---------------------------------------------------------------- io
+
+    def save(self, path: str) -> None:
+        assert self._built or self.ntotal == 0
+        np.savez(path, xb=self._xb, levels=self.levels,
+                 entry=self.entry_point, max_level=self.max_level,
+                 M=self.M, ef_search=self.ef_search,
+                 metric=self.metric.value,
+                 **{f"table{l}": t for l, t in enumerate(self.nb_tables)},
+                 **{f"g2u{l}": g for l, g in enumerate(self.g2u)})
+
+    @classmethod
+    def load(cls, path: str) -> "HNSWIndex":
+        with np.load(path) as z:
+            idx = cls(int(z["xb"].shape[1]), M=int(z["M"]),
+                      metric=Metric(str(z["metric"])),
+                      ef_search=int(z["ef_search"]))
+            idx._xb = z["xb"]
+            idx.levels = z["levels"]
+            idx.entry_point = int(z["entry"])
+            idx.max_level = int(z["max_level"])
+            idx.nb_tables = [z[f"table{l}"]
+                             for l in range(idx.max_level + 1)]
+            idx.g2u = [z[f"g2u{l}"] for l in range(idx.max_level + 1)]
+            idx._push_dev()
+            idx._built = True
+        return idx

@@ -1,0 +1,109 @@
+"""HNSW graph index: recall vs brute force, ef scaling, factory cells,
+IVF_HNSW coarse quantizer, save/load."""
+
+import numpy as np
+import pytest
+
+from auncel_tpu.types import Metric
+from auncel_tpu.index.flat import FlatIndex
+from auncel_tpu.index.hnsw import HNSWIndex
+from auncel_tpu.index.factory import index_factory
+from auncel_tpu.data.synthetic import make_clustered_dataset
+
+
+def _recall(I, gt_I, k):
+    return np.mean([len(set(a[:k]) & set(b[:k])) / k
+                    for a, b in zip(I.tolist(), gt_I.tolist())])
+
+
+@pytest.fixture(scope="module")
+def ds():
+    return make_clustered_dataset(nb=20_000, nq=64, d=32, n_clusters=64,
+                                  seed=5)
+
+
+@pytest.fixture(scope="module")
+def gt(ds):
+    flat = FlatIndex(ds.d)
+    flat.add(ds.xb)
+    return flat.search(ds.xq, 10)
+
+
+@pytest.fixture(scope="module")
+def built(ds):
+    idx = HNSWIndex(ds.d, M=16, ef_construction=40, ef_search=64)
+    idx.add(ds.xb)
+    idx.build()
+    return idx
+
+
+def test_hnsw_recall_vs_flat(built, ds, gt):
+    gtv, gti = gt
+    v, i = built.search(ds.xq, 10, ef=64)
+    rec = _recall(i, gti, 10)
+    assert rec >= 0.90, rec
+    # returned distances are real metric values, sorted best-first
+    assert np.all(np.diff(v, axis=1) >= -1e-5)
+
+
+def test_hnsw_ef_improves_recall(built, ds, gt):
+    _, gti = gt
+    recs = []
+    for ef in (10, 32, 128):
+        _, i = built.search(ds.xq, 10, ef=ef)
+        recs.append(_recall(i, gti, 10))
+    assert recs[-1] >= recs[0]
+    assert recs[-1] >= 0.95, recs
+
+
+def test_hnsw_graph_degrees(built):
+    # level-0 rows hold at most 2M links, upper levels at most M; every
+    # non-isolated node has at least one link
+    t0 = built.nb_tables[0]
+    assert t0.shape[1] == 2 * built.M
+    deg = (t0 >= 0).sum(1)
+    assert deg.min() >= 1
+    for t in built.nb_tables[1:]:
+        assert t.shape[1] == built.M
+
+
+def test_hnsw_ip_metric(ds):
+    xb = ds.xb / np.linalg.norm(ds.xb, axis=1, keepdims=True)
+    xq = ds.xq / np.linalg.norm(ds.xq, axis=1, keepdims=True)
+    flat = FlatIndex(ds.d, Metric.IP)
+    flat.add(xb)
+    _, gti = flat.search(xq, 10)
+    idx = HNSWIndex(ds.d, M=16, metric=Metric.IP, ef_search=64)
+    idx.add(xb)
+    _, i = idx.search(xq, 10, ef=64)
+    assert _recall(i, gti, 10) >= 0.85
+
+
+def test_hnsw_save_load(built, ds, tmp_path, gt):
+    p = str(tmp_path / "hnsw.npz")
+    built.save(p)
+    idx2 = HNSWIndex.load(p)
+    v1, i1 = built.search(ds.xq, 10, ef=48)
+    v2, i2 = idx2.search(ds.xq, 10, ef=48)
+    np.testing.assert_array_equal(i1, i2)
+
+
+def test_factory_hnsw_cells(ds):
+    idx = index_factory(ds.d, "HNSW16")
+    assert isinstance(idx, HNSWIndex) and idx.M == 16
+    idx = index_factory(ds.d, "HNSW32,Flat")
+    assert isinstance(idx, HNSWIndex) and idx.M == 32
+
+
+def test_factory_ivf_hnsw_coarse(ds, gt):
+    _, gti = gt
+    idx = index_factory(ds.d, "IVF64_HNSW16,Flat")
+    idx.train(ds.xb[:10_000])
+    idx.add(ds.xb)
+    v, i = idx.search(ds.xq, 10, nprobe=16)
+    rec = _recall(i, gti, 10)
+    assert rec >= 0.85, rec
+    # no duplicate results from clamped probe slots
+    for row in i:
+        real = row[row >= 0]
+        assert len(set(real.tolist())) == real.size
