@@ -53,32 +53,64 @@ def index_factory(d: int, description: str,
     desc = ",".join(parts)
     if desc == "Flat":
         index: Index = FlatIndex(cur_d, metric)
+    elif re.fullmatch(r"HNSW(\d+)?(,Flat)?", desc):
+        # standalone graph index (AutoTune.cpp:888-905 "HNSW%d" cell)
+        m = re.fullmatch(r"HNSW(\d+)?(,Flat)?", desc)
+        from auncel_tpu.index.hnsw import HNSWIndex
+        index = HNSWIndex(cur_d, M=int(m.group(1) or 32), metric=metric)
+    elif re.fullmatch(r"PQ(\d+)", desc):
+        # standalone PQ index (AutoTune.cpp:906-918 "PQ%d" cell)
+        from auncel_tpu.index.pq_index import IndexPQ
+        index = IndexPQ(cur_d, M=int(desc[2:]), metric=metric)
     else:
-        m = re.fullmatch(r"IVF(\d+),(\w+)", desc)
-        if not m:
-            raise NotImplementedError(f"factory description {description!r}")
-        nlist = int(m.group(1))
-        cell = m.group(2)
+        coarse = "kmeans"
+        m = re.fullmatch(r"IMI2x(\d+),(\w+)", desc)
+        if m:
+            # inverted multi-index coarse cells (AutoTune.cpp:807):
+            # nlist = (2^nbit)^2 product cells
+            nlist = (1 << int(m.group(1))) ** 2
+            hnsw_m = None
+            cell = m.group(2)
+            coarse = "imi"
+        else:
+            m = re.fullmatch(r"IVF(\d+)(?:_HNSW(\d+))?,(\w+)", desc)
+            if not m:
+                raise NotImplementedError(
+                    f"factory description {description!r}")
+            nlist = int(m.group(1))
+            hnsw_m = int(m.group(2)) if m.group(2) else None
+            cell = m.group(3)
         if cell == "Flat":
-            index = IVFFlatIndex(cur_d, nlist, metric)
+            index = IVFFlatIndex(cur_d, nlist, metric, coarse=coarse)
         elif cell == "SQ8":
-            index = IVFFlatIndex(cur_d, nlist, metric, storage="sq8")
+            index = IVFFlatIndex(cur_d, nlist, metric, storage="sq8",
+                                 coarse=coarse)
         elif cell == "SQ4":
-            index = IVFFlatIndex(cur_d, nlist, metric, storage="sq4")
+            index = IVFFlatIndex(cur_d, nlist, metric, storage="sq4",
+                                 coarse=coarse)
         elif cell in ("SQfp16", "SQbf16"):
             # bf16 is the TPU-native half type; stands in for the
             # reference's SQfp16 cell
-            index = IVFFlatIndex(cur_d, nlist, metric, storage="bf16")
+            index = IVFFlatIndex(cur_d, nlist, metric, storage="bf16",
+                                 coarse=coarse)
         elif re.fullmatch(r"PQ\d+", cell):
             m_sub = int(cell[2:])
             if cur_d % m_sub != 0:
                 raise ValueError(f"PQ{m_sub}: d={cur_d} not divisible")
             index = IVFFlatIndex(cur_d, nlist, metric,
-                                 storage=f"pq{m_sub}")
+                                 storage=f"pq{m_sub}", coarse=coarse)
         else:
             raise NotImplementedError(
                 f"IVF cell type {cell!r} not implemented yet "
                 f"(reference grammar: AutoTune.cpp:741-960)")
+        if hnsw_m is not None:
+            # IVF%d_HNSW%d (AutoTune.cpp:807-820): rank centroids through
+            # an HNSW graph instead of brute force. On the MXU brute force
+            # wins up to nlist ~16k, so this matters for very large nlist;
+            # tuned (error-bound) mode needs the full exact ranking and
+            # ignores the graph quantizer, like the reference grammar
+            # implies (coarse quantizers are out of the tuned path).
+            index.coarse_hnsw_m = hnsw_m
 
     if transforms:
         from auncel_tpu.index.transform import IndexPreTransform

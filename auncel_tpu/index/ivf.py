@@ -104,6 +104,7 @@ class IVFFlatIndex(Index):
         cap_quantile: float = 1.0,
         storage: str = "f32",
         pq_residual: bool = True,
+        coarse: str = "kmeans",
     ):
         """``storage``: "f32" (raw), "bf16", "sq8"/"sq4" (per-dim affine
         scalar quantization, the reference's IndexIVFScalarQuantizer
@@ -128,6 +129,7 @@ class IVFFlatIndex(Index):
         self.nlist = nlist
         self.metric = Metric.parse(metric)
         self.storage = storage
+        self.coarse = coarse  # "kmeans" | "imi" (IMI2x%d product cells)
         if storage == "bf16":
             storage_dtype = jnp.bfloat16
         self.storage_dtype = storage_dtype
@@ -143,14 +145,27 @@ class IVFFlatIndex(Index):
         self._multirow = None
         self._multirow_row_cap: int | None = None
         self._ntotal = 0
+        # IVF%d_HNSW%d factory cell: approximate coarse quantizer for the
+        # fixed-nprobe path (AutoTune.cpp:807-820); None = exact MXU rank
+        self.coarse_hnsw_m: int | None = None
+        self._hnswq = None
 
     # ------------------------------------------------------------- train
+
+    # inter-centroid matrices are O(nlist^2); beyond this they are built
+    # on demand (ensure_interdis) — only the error-profile engine needs one
+    INTERDIS_EAGER_MAX = 4096
 
     def train(self, x: np.ndarray) -> None:
         x = np.asarray(x, np.float32)
         assert x.shape[1] == self.d
-        res = kmeans(x, self.nlist, self.kmeans_params, self.metric)
-        self.set_centroids(res.centroids)
+        if self.coarse == "imi":
+            from auncel_tpu.index.imi import train_imi_centroids
+            self.set_centroids(train_imi_centroids(
+                x, self.nlist, self.metric, self.kmeans_params))
+        else:
+            res = kmeans(x, self.nlist, self.kmeans_params, self.metric)
+            self.set_centroids(res.centroids)
 
     def set_centroids(self, centroids: np.ndarray) -> None:
         """Install externally trained centroids (reference allows reusing a
@@ -158,8 +173,18 @@ class IVFFlatIndex(Index):
         centroids = np.asarray(centroids, np.float32)
         assert centroids.shape == (self.nlist, self.d)
         self.centroids = centroids
-        self.interdis = compute_interdis(centroids, self.metric)
+        self.interdis = (compute_interdis(centroids, self.metric)
+                         if self.nlist <= self.INTERDIS_EAGER_MAX else None)
         self.is_trained = True
+        self._hnswq = None
+
+    def ensure_interdis(self) -> np.ndarray:
+        """Materialize the inter-centroid matrix for the profile engine
+        (deferred for very large nlist, e.g. IMI product cells)."""
+        if self.interdis is None:
+            self.interdis = compute_interdis(self.centroids, self.metric)
+            self._arrays = None  # repack with the real matrix
+        return self.interdis
 
     # --------------------------------------------------------------- add
 
@@ -349,7 +374,8 @@ class IVFFlatIndex(Index):
             db_sq=db_sq,
             vec_ids=jnp.asarray(vec_ids),
             list_sizes=jnp.asarray(sizes.astype(np.int32)),
-            interdis=jnp.asarray(self.interdis),
+            interdis=(jnp.asarray(self.interdis) if self.interdis is not
+                      None else jnp.zeros((1, 1), jnp.float32)),
             sq_scale=sq_scale,
             sq_bias=sq_bias,
             pq_codebooks=pq_books,
@@ -391,6 +417,17 @@ class IVFFlatIndex(Index):
 
     # ------------------------------------------------------------- search
 
+    def _hnsw_quantizer(self):
+        """Lazily built HNSW graph over the centroids (the IVF%d_HNSW%d
+        coarse quantizer, reference AutoTune.cpp:807-820)."""
+        if self._hnswq is None:
+            from auncel_tpu.index.hnsw import HNSWIndex
+            hq = HNSWIndex(self.d, M=self.coarse_hnsw_m, metric=self.metric)
+            hq.add(self.centroids)
+            hq.build()
+            self._hnswq = hq
+        return self._hnswq
+
     def search(self, q: np.ndarray, k: int,
                nprobe: int | None = None):
         import time as _time
@@ -399,7 +436,10 @@ class IVFFlatIndex(Index):
         nprobe = min(nprobe, self.nlist)
         q = jnp.asarray(np.asarray(q, np.float32))
         t0 = _time.perf_counter()
-        res = ivf_search_fixed(self.arrays, q, k, nprobe, self.metric)
+        if self.coarse_hnsw_m:
+            res = self._search_hnsw_coarse(q, k, nprobe)
+        else:
+            res = ivf_search_fixed(self.arrays, q, k, nprobe, self.metric)
         vals, ids = jax.device_get(res)  # one tunnel round-trip
         out = vals, ids.astype(np.int64)
         # global counters (reference indexIVF_stats, IndexIVF.h:361-374)
@@ -408,6 +448,23 @@ class IVFFlatIndex(Index):
         ivf_stats.ndis += q.shape[0] * nprobe * self.arrays.cap
         ivf_stats.search_time_ms += (_time.perf_counter() - t0) * 1e3
         return out
+
+    def _search_hnsw_coarse(self, q: jax.Array, k: int, nprobe: int):
+        """Fixed-nprobe search with graph-ranked probe lists (the
+        reference's quantizer->search through IndexHNSW)."""
+        from auncel_tpu.index.scan import scan_probe_range
+        from auncel_tpu.ops.topk import init_topk
+        _, cids = self._hnsw_quantizer().search(
+            np.asarray(q), nprobe, ef=max(2 * nprobe, 16))
+        B = q.shape[0]
+        q_sq = sqnorms(q)
+        vals, ids = init_topk((B,), k, self.metric)
+        # under-filled graph results (-1 tail) are excluded by the
+        # per-query limit, so clamped slots are never actually scanned
+        limit = jnp.asarray((cids >= 0).sum(1).astype(np.int32))
+        probe = jnp.asarray(np.maximum(cids, 0).astype(np.int32))
+        return scan_probe_range(self.arrays, q, q_sq, probe, vals, ids,
+                                limit, 0, nprobe, self.metric)
 
     def exact_search(self, q: np.ndarray, k: int, batch: int = 1024):
         """Full scan (nprobe = nlist): exact results whose distance values
