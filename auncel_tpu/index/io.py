@@ -62,10 +62,11 @@ def save_index(index: Index, path: str) -> None:
 
 def save_index_ondisk(index: IVFFlatIndex, dirpath: str) -> None:
     """On-disk index directory (reference OnDiskInvertedLists capability,
-    SURVEY.md §2 #8): the packed list tensor is stored as a raw .npy that
-    loads back MEMORY-MAPPED, so a corpus larger than host RAM can be
-    served — the host pages list blocks from disk on demand while the
-    device upload streams through them."""
+    SURVEY.md §2 #8): the packed list tensor is stored as a raw .npy.
+    Serve it WITHOUT materializing the corpus via
+    ``auncel_tpu.index.ondisk.OnDiskIVFIndex`` (searches page only the
+    probed lists from the mmap); ``load_index_ondisk`` below instead
+    rebuilds a fully RAM/HBM-resident index from the same directory."""
     os.makedirs(dirpath, exist_ok=True)
     a = index.arrays
     db = np.asarray(a.db)
@@ -85,8 +86,10 @@ def save_index_ondisk(index: IVFFlatIndex, dirpath: str) -> None:
 
 
 def load_index_ondisk(dirpath: str) -> IVFFlatIndex:
-    """Memory-mapped load: host arrays stay on disk; the device transfer
-    streams pages as jax reads them."""
+    """Rebuild a fully RESIDENT IVFFlatIndex from an on-disk directory —
+    this materializes the whole corpus (use when it fits; the bounded
+    engine needs residency). For larger-than-RAM serving use
+    ``OnDiskIVFIndex``, which streams probed lists per search."""
     with open(os.path.join(dirpath, "header.json")) as f:
         header = json.load(f)
     assert header["kind"] == "IVFFlatOnDisk"
