@@ -78,12 +78,46 @@ def worst_case_recall(D: np.ndarray, gt_D: np.ndarray, k: int,
     return float(recall_counts(D, gt_D, k, metric).min() / k)
 
 
-class ParameterSpace:
-    """nprobe sweep with the worst-case criterion. The reference
-    additionally sweeps ht/k_factor/efSearch for index types this framework
-    doesn't implement yet (AutoTune.cpp:347-...)."""
+def set_index_parameter(index, name: str, value) -> None:
+    """Single-knob setter (reference ParameterSpace::set_index_parameter,
+    AutoTune.cpp:455-520) for the implemented index families."""
+    from auncel_tpu.index.hnsw import HNSWIndex
+    from auncel_tpu.index.pq_index import IndexPQ
+    from auncel_tpu.index.flat import IndexRefineFlat
+    if name == "k_factor" and isinstance(index, IndexRefineFlat):
+        index.k_factor = float(value)
+        return
+    if isinstance(index, IndexRefineFlat):
+        return set_index_parameter(index.base, name, value)
+    if name == "nprobe" and isinstance(index, IVFFlatIndex):
+        index.nprobe = int(value)
+    elif name == "efSearch" and isinstance(index, HNSWIndex):
+        index.ef_search = int(value)
+    elif name in ("ht", "polysemous_ht") and isinstance(index, IndexPQ):
+        index.polysemous_ht = int(value)
+    else:
+        raise ValueError(
+            f"parameter {name!r} not applicable to {type(index).__name__}")
 
-    def __init__(self, index: IVFFlatIndex):
+
+def set_index_parameters(index, description: str) -> None:
+    """Comma-separated "name=value" string (reference
+    ParameterSpace::set_index_parameters, AutoTune.cpp:429-460)."""
+    for part in description.split(","):
+        if not part.strip():
+            continue
+        name, value = part.split("=")
+        set_index_parameter(index, name.strip(), float(value))
+
+
+class ParameterSpace:
+    """Parameter sweep with the worst-case criterion over the knobs the
+    index exposes (reference ParameterSpace::initialize,
+    AutoTune.cpp:353-408): nprobe for IVF, efSearch for HNSW, ht for
+    polysemous PQ, k_factor for refine wrappers — cartesian over the
+    wrapper knob and the base knob, like the reference's combinations."""
+
+    def __init__(self, index):
         self.index = index
         self.ops = OperatingPoints()
 
@@ -97,17 +131,44 @@ class ParameterSpace:
         cands.append(nlist)  # forced full-scan point (faiss/AutoTune.cpp:630)
         return cands
 
+    def parameter_ranges(self, index=None) -> list[tuple[str, list]]:
+        from auncel_tpu.index.hnsw import HNSWIndex
+        from auncel_tpu.index.pq_index import IndexPQ
+        from auncel_tpu.index.flat import IndexRefineFlat
+        index = index if index is not None else self.index
+        if isinstance(index, IndexRefineFlat):
+            inner = self.parameter_ranges(index.base)
+            return [("k_factor", [1, 2, 4, 8])] + inner
+        if isinstance(index, IVFFlatIndex):
+            return [("nprobe", self.candidate_nprobes())]
+        if isinstance(index, HNSWIndex):
+            return [("efSearch", [16, 32, 64, 128, 256, 512])]
+        if isinstance(index, IndexPQ) and index.polysemous:
+            nbits = 8 * index.M
+            return [("ht", sorted({nbits // 8, nbits // 4, nbits // 2,
+                                   3 * nbits // 4, nbits}))]
+        return []
+
     def explore(self, xq: np.ndarray, gt_D: np.ndarray, k: int,
                 reps: int = 2) -> OperatingPoints:
-        for nprobe in self.candidate_nprobes():
-            D, _ = self.index.search(xq, k, nprobe=nprobe)  # warm
+        dims = self.parameter_ranges()
+        if not dims:
+            return self.ops
+        combos = [[]]
+        for name, values in dims:
+            combos = [c + [(name, v)] for c in combos for v in values]
+        for combo in combos:
+            for name, v in combo:
+                set_index_parameter(self.index, name, v)
+            key = ",".join(f"{n}={v}" for n, v in combo)
+            D, _ = self.index.search(xq, k)  # warm
             t0 = time.perf_counter()
             for _ in range(reps):
-                D, _ = self.index.search(xq, k, nprobe=nprobe)
+                D, _ = self.index.search(xq, k)
             np.asarray(D)
             dt = (time.perf_counter() - t0) / reps / xq.shape[0]
             perf = worst_case_recall(D, gt_D, k, self.index.metric)
-            self.ops.add(OperatingPoint(f"nprobe={nprobe}", perf, dt))
+            self.ops.add(OperatingPoint(key, perf, dt))
         return self.ops
 
     def tune_for_bound(self, xq, gt_D, k: int, eps: float) -> int:
@@ -117,4 +178,5 @@ class ParameterSpace:
         pt = self.ops.cheapest_meeting(1.0 - eps)
         if pt is None:
             return self.index.nlist
-        return int(pt.key.split("=")[1])
+        return int(dict(p.split("=") for p in pt.key.split(","))
+                   .get("nprobe", self.index.nlist))

@@ -1,0 +1,116 @@
+"""Standalone IndexPQ + polysemous reordering + RefineFlat + the widened
+ParameterSpace (ht / k_factor / efSearch knobs)."""
+
+import numpy as np
+import pytest
+
+import auncel_tpu as at
+from auncel_tpu.types import Metric
+from auncel_tpu.index.pq_index import IndexPQ
+from auncel_tpu.index.flat import FlatIndex, IndexRefineFlat
+from auncel_tpu.ops.polysemous import reorder_codebook, hamming_fit
+from auncel_tpu.data.synthetic import make_clustered_dataset
+
+
+@pytest.fixture(scope="module")
+def ds():
+    return make_clustered_dataset(nb=8_000, nq=48, d=32, n_clusters=32,
+                                  seed=13)
+
+
+@pytest.fixture(scope="module")
+def gt(ds):
+    flat = FlatIndex(ds.d)
+    flat.add(ds.xb)
+    return flat.search(ds.xq, 10)
+
+
+def _recall(I, gt_I, k=10):
+    return np.mean([len(set(a[:k]) & set(b[:k])) / k
+                    for a, b in zip(I.tolist(), gt_I.tolist())])
+
+
+def test_index_pq_recall(ds, gt):
+    _, gti = gt
+    idx = at.index_factory(ds.d, "PQ8")
+    assert isinstance(idx, IndexPQ) and idx.M == 8
+    idx.train(ds.xb[:4000])
+    idx.add(ds.xb)
+    _, i = idx.search(ds.xq, 10)
+    assert _recall(i, gti) >= 0.5   # 4 bytes/vec lossy codes
+
+
+def test_polysemous_reorder_improves_hamming_fit(ds):
+    from auncel_tpu.ops.pq import train_pq
+    books = np.asarray(train_pq(ds.xb[:4000], 4).codebooks)
+    ident = np.arange(256)
+    base = hamming_fit(books[0], ident)
+    perm = reorder_codebook(books[0], n_iter=15_000)
+    assert sorted(perm.tolist()) == list(range(256))  # a real permutation
+    improved = hamming_fit(books[0], perm)
+    assert improved > base + 0.1, (base, improved)
+
+
+def test_polysemous_filter_semantics(ds, gt):
+    _, gti = gt
+    idx = IndexPQ(ds.d, M=8, polysemous=True)
+    idx.train(ds.xb[:4000], sa_iters=10_000)
+    idx.add(ds.xb)
+    # generous threshold ~= unfiltered
+    v_all, i_all = idx.search(ds.xq, 10, ht=64)
+    v_off, i_off = idx.search(ds.xq, 10, ht=0)
+    np.testing.assert_array_equal(i_all, i_off)
+    # tight threshold filters: every returned candidate is within ht
+    ht = 20
+    v_f, i_f = idx.search(ds.xq, 10, ht=ht)
+    from auncel_tpu.ops.pq import encode_pq
+    from auncel_tpu.ops.polysemous import POPCOUNT8
+    import jax.numpy as jnp
+    qc = np.asarray(encode_pq(idx.pq, jnp.asarray(ds.xq)))
+    for b in range(8):
+        for r, vid in enumerate(i_f[b]):
+            if vid < 0:
+                continue
+            hd = POPCOUNT8[qc[b] ^ idx._codes[vid]].sum()
+            assert hd <= ht
+    # recall grows monotonically as the filter loosens
+    _, i_mid = idx.search(ds.xq, 10, ht=32)
+    assert (_recall(i_f, gti) <= _recall(i_mid, gti)
+            <= _recall(i_all, gti))
+
+
+def test_refine_flat_improves_pq(ds, gt):
+    _, gti = gt
+    base = IndexPQ(ds.d, M=4)
+    idx = IndexRefineFlat(base, k_factor=8)
+    idx.train(ds.xb[:4000])
+    idx.add(ds.xb)
+    _, i_base = base.search(ds.xq, 10)
+    _, i_ref = idx.search(ds.xq, 10)
+    assert _recall(i_ref, gti) > _recall(i_base, gti)
+    assert _recall(i_ref, gti) >= 0.8
+
+
+def test_parameter_space_multi_knob(ds, gt):
+    from auncel_tpu.autotune import (ParameterSpace, set_index_parameters)
+    gtv, gti = gt
+    base = IndexPQ(ds.d, M=8, polysemous=True)
+    idx = IndexRefineFlat(base, k_factor=2)
+    idx.train(ds.xb[:4000], )
+    idx.add(ds.xb)
+    ps = ParameterSpace(idx)
+    dims = ps.parameter_ranges()
+    assert [n for n, _ in dims] == ["k_factor", "ht"]
+    ops = ps.explore(ds.xq, gtv, k=10, reps=1)
+    assert len(ops.all_pts) == len(dims[0][1]) * len(dims[1][1])
+    # the string grammar sets both knobs (AutoTune.cpp:429-460)
+    set_index_parameters(idx, "k_factor=4,ht=64")
+    assert idx.k_factor == 4.0 and base.polysemous_ht == 64
+
+
+def test_parameter_space_efsearch(ds, gt):
+    from auncel_tpu.autotune import ParameterSpace
+    idx = at.HNSWIndex(ds.d, M=16, ef_search=16)
+    idx.add(ds.xb)
+    ps = ParameterSpace(idx)
+    assert ps.parameter_ranges()[0][0] == "efSearch"
