@@ -1,0 +1,116 @@
+"""Three-way baseline comparison on one workload: Auncel bounded search
+vs the ELP worst-case auto-tune baseline vs LAET learned termination.
+
+Produces the measured comparative numbers behind the reference's
+figures 10-12 (per-query cost of each system at the SAME worst-case
+bound): reference Auncel vs ``faiss/`` (baseline 1, fixed nprobe chosen by
+worst-case ParameterSpace) vs ``LAET/`` (baseline 2, per-query learned
+probe counts scaled until the bound holds).
+
+Usage:  python -m auncel_tpu.eval_harness.compare synth100K 1000 1000 10 0.10
+Writes ``Compare_<db>.log`` with one "system qps mean_probes min_recall"
+row per system.
+"""
+
+import argparse
+import sys
+import time
+
+import numpy as np
+
+from auncel_tpu.profile.error_sys import ErrorSys
+from auncel_tpu.autotune import ParameterSpace, recall_counts
+from auncel_tpu.baselines.laet import LearnedTermination
+from auncel_tpu.eval_harness import common
+
+
+def run(db: str = "synth100K", ts: int = 1000, ses: int = 1000,
+        input_k: int = 10, error_bound: float = 0.10, nlist: int = 1024,
+        max_topk: int = 100, log_dir: str = ".", reps: int = 3):
+    t0 = time.time()
+
+    def log(m):
+        print(f"[{time.time() - t0:8.3f} s] {m}", file=sys.stderr, flush=True)
+
+    data = common.load_dataset(db, nq=ts + ses)
+    idx = common.build_or_load_index(data, nlist=nlist)
+    idx.enable_multirow()
+    gt_D, gt_I = common.ensure_gt(data, idx, max_topk)
+    target = 1.0 - error_bound
+    xq_test = data.xq[ts:ts + ses]
+    gt_test = gt_D[ts:ts + ses]
+    rows = []
+
+    def measure(fn, name, probes_fn):
+        fn()  # warm
+        t1 = time.perf_counter()
+        for _ in range(reps):
+            D, I = fn()
+        dt = (time.perf_counter() - t1) / reps
+        cnt = recall_counts(D, gt_test, input_k, data.metric)
+        row = dict(system=name, qps=ses / dt,
+                   mean_probes=float(probes_fn()),
+                   min_recall=float(cnt.min() / input_k),
+                   mean_recall=float(cnt.mean() / input_k))
+        log(f"{name}: {row['qps']:.0f} qps, {row['mean_probes']:.1f} "
+            f"probes, min_recall {row['min_recall']:.3f}")
+        rows.append(row)
+        return row
+
+    # --- Auncel: per-query error-bounded search -------------------------
+    es = ErrorSys(idx, train_num=ts + ses, max_topk=max_topk)
+    es.set_gt(gt_D, gt_I)
+    es.sys_train(ts, data.xq)
+    es.set_topk(input_k)
+    acc = np.full(ts + ses, target, np.float32)
+    es.set_queries(ses, data.xq, acc)
+    es.calibrate(0, min(ts, 1000), target_bound=target)
+    log(f"auncel calibrated: multipler={es.multipler:.2f}")
+    measure(lambda: es.search(ts, ses), "auncel",
+            lambda: es.n_scanned[ts:ts + ses].mean())
+
+    # --- Baseline 1: ELP worst-case auto-tune (global fixed nprobe) -----
+    ps = ParameterSpace(idx)
+    nprobe = ps.tune_for_bound(data.xq[:ts], gt_D[:ts], input_k,
+                               error_bound)
+    log(f"ELP tuned: nprobe={nprobe}")
+    measure(lambda: idx.search(xq_test, input_k, nprobe=nprobe), "elp",
+            lambda: nprobe)
+
+    # --- Baseline 2: LAET learned per-query termination ------------------
+    lt = LearnedTermination(idx, query_k=input_k)
+    lt.train(data.xq[:ts], gt_I[:ts])
+    lt.tune_multiplier(data.xq[:ts], gt_D[:ts], target)
+    log(f"LAET tuned: multiplier={lt.multiplier:.2f}")
+    probes_holder = {}
+
+    def laet_run():
+        D, I, nps = lt.search(xq_test, input_k)
+        probes_holder["mean"] = float(np.mean(nps))
+        return D, I
+
+    measure(laet_run, "laet", lambda: probes_holder.get("mean", 0.0))
+
+    fn = f"{log_dir}/Compare_{db}.log"
+    with open(fn, "w") as f:
+        for r in rows:
+            f.write(f"{r['system']} {r['qps']:.1f} {r['mean_probes']:.2f} "
+                    f"{r['min_recall']:.4f} {r['mean_recall']:.4f}\n")
+    log(f"wrote {fn}")
+    return rows
+
+
+def main():
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("db", nargs="?", default="synth100K")
+    ap.add_argument("train_size", nargs="?", type=int, default=1000)
+    ap.add_argument("query_size", nargs="?", type=int, default=1000)
+    ap.add_argument("topk", nargs="?", type=int, default=10)
+    ap.add_argument("error_bound", nargs="?", type=float, default=0.10)
+    args = ap.parse_args()
+    run(args.db, args.train_size, args.query_size, args.topk,
+        args.error_bound)
+
+
+if __name__ == "__main__":
+    main()

@@ -5,9 +5,19 @@ mixed per-query latency budgets (5..50 ms); time-budgeted search must come
 in under each budget; (budget, actual) pairs go to
 ``Effective_time_<db>.log`` for figure 14.
 
-"Actual" per query is the cost-model estimate (probes x calibrated
-per-probe time): under XLA a batched search has no per-query wall clock.
-A separate batch-level wall-clock check validates the model end to end.
+Two actuals are produced, and the log carries the MEASURED one (the
+reference logs measured wall-clock, effect_time.cpp:274-312):
+
+  * measured: per-query batch-1 wall-clock over a sample of the test
+    queries, reference-style one-query-at-a-time loop. The fixed dispatch
+    floor (an empty-work search measured the same way) is reported
+    alongside, because on this stack a dispatch pays a ~30-40 ms host<->TPU
+    tunnel round trip that is not device time; ``measured_device`` =
+    measured - floor is the hardware-apples comparison.
+  * model: n_scanned * calibrated per-probe cost for every query (what the
+    budget->probe-count conversion believed). The model is validated
+    against the measured sample (correlation + relative error), instead of
+    validating itself as it did before round 2.
 """
 
 import argparse
@@ -22,9 +32,25 @@ from auncel_tpu.eval_harness import common
 MIXED_BUDGETS_MS = [5.0, 10.0, 20.0, 30.0, 40.0, 50.0]  # effect_time.cpp:279
 
 
+def _measure_batch1(es: ErrorSys, qids, reps: int = 3) -> np.ndarray:
+    """Reference-style per-query timed loop: one query per dispatch,
+    wall-clock forced by materializing the result (block_until_ready is a
+    no-op through the axon tunnel)."""
+    out = np.zeros(len(qids), np.float64)
+    # warm-up compiles the batch-1 program
+    es.time_search(int(qids[0]), 1)
+    for j, qi in enumerate(qids):
+        t0 = time.perf_counter()
+        for _ in range(reps):
+            D, I = es.time_search(int(qi), 1)
+            np.asarray(D)
+        out[j] = (time.perf_counter() - t0) / reps * 1e3
+    return out
+
+
 def run(db: str = "synth100K", ts: int = 1000, ses: int = 1000,
         input_k: int = 10, nlist: int = 1024, max_topk: int = 100,
-        log_dir: str = "."):
+        log_dir: str = ".", n_measure: int = 48):
     t0 = time.time()
 
     def log(m):
@@ -44,17 +70,46 @@ def run(db: str = "synth100K", ts: int = 1000, ses: int = 1000,
     per_probe = es.calibrate_time()
     log(f"calibrated per-probe cost: {per_probe * 1e3:.1f} us")
 
+    # full batched pass: budget -> probe budget -> results + model cost
     D, I = es.time_search(ts, ses)
-    actual_ms = es.n_scanned[ts:ts + ses] * per_probe
-    within = float(np.mean(actual_ms <= budgets[ts:ts + ses]))
-    log(f"within-budget rate (cost model): {within:.4f}")
+    model_ms = es.n_scanned[ts:ts + ses] * per_probe
+    within_model = float(np.mean(model_ms <= budgets[ts:ts + ses]))
+    log(f"within-budget rate (cost model): {within_model:.4f}")
+
+    # measured batch-1 sample, stratified across the budget classes
+    n_measure = min(n_measure, ses)
+    qids = ts + (np.arange(n_measure) * (ses // max(n_measure, 1)))
+    measured = _measure_batch1(es, qids)
+    model_sample = es.n_scanned[qids] * per_probe  # before floor overwrites
+    # dispatch floor: the same timed loop with the minimum possible work
+    # (budget below one probe's cost -> n_budget clamps to 1 probe)
+    saved = es.require_acc
+    es.require_acc = es.require_acc.copy()
+    es.require_acc[qids] = 1e-6
+    floor = float(np.median(_measure_batch1(es, qids[:8])))
+    es.require_acc = saved
+    measured_dev = np.maximum(measured - floor, 0.0)
+    b = budgets[qids]
+    within_measured = float(np.mean(measured_dev <= b))
+    # cost-model validation on the measured sample
+    denom = np.maximum(measured_dev, 1e-3)
+    rel_err = float(np.median(np.abs(model_sample - measured_dev) / denom))
+    corr = float(np.corrcoef(model_sample, measured_dev)[0, 1]) \
+        if np.std(model_sample) > 0 and np.std(measured_dev) > 0 else 1.0
+    log(f"measured batch-1 sample n={n_measure}: dispatch floor "
+        f"{floor:.1f} ms, within-budget (device time) {within_measured:.3f}")
+    log(f"cost model vs measured: median rel err {rel_err:.2f}, "
+        f"corr {corr:.2f}")
 
     fn = f"{log_dir}/Effective_time_{db}.log"
-    common.write_log(fn, list(zip(budgets[ts:ts + ses].tolist(),
-                                  actual_ms.tolist())))
-    log(f"wrote {fn}")
-    return dict(within_budget=within, budgets=budgets[ts:ts + ses],
-                actual_ms=actual_ms)
+    common.write_log(fn, list(zip(b.tolist(), measured_dev.tolist())))
+    log(f"wrote {fn} (measured device-side ms)")
+    return dict(within_budget=within_model,
+                within_budget_measured=within_measured,
+                budgets=budgets[ts:ts + ses], model_ms=model_ms,
+                measured_ms=measured, measured_device_ms=measured_dev,
+                dispatch_floor_ms=floor, model_rel_err=rel_err,
+                model_corr=corr, sample_qids=qids)
 
 
 def main():

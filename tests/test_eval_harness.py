@@ -51,9 +51,26 @@ def test_effect_error_end_to_end(tmp_path):
 
 def test_effect_time_end_to_end(tmp_path):
     res = effect_time.run(db="synth10K", ts=200, ses=100, input_k=10,
-                          nlist=64, max_topk=50, log_dir=str(tmp_path))
+                          nlist=64, max_topk=50, log_dir=str(tmp_path),
+                          n_measure=12)
     assert res["within_budget"] >= 0.95
-    assert np.all(res["actual_ms"] > 0)
+    assert np.all(res["model_ms"] > 0)
+    # the log now carries MEASURED wall-clock (reference
+    # effect_time.cpp:274-312), not the cost model's own output
+    assert np.all(np.isfinite(res["measured_ms"]))
+    assert np.all(res["measured_ms"] > 0)
+    assert res["dispatch_floor_ms"] >= 0
+    # cost-model validation against the measurement exists and is sane
+    assert np.isfinite(res["model_rel_err"])
+    assert (tmp_path / "Effective_time_synth10K.log").exists()
+
+
+def test_overhead_end_to_end():
+    from auncel_tpu.eval_harness import overhead
+    res = overhead.run(db="synth10K", ts=200, ses=100, input_k=10,
+                       nlist=64, max_topk=50, reps=2)
+    assert res["with_elp"] > 0 and res["without_elp"] > 0
+    assert np.isfinite(res["overhead"])
 
 
 def test_index_cache_roundtrip(tmp_path):
