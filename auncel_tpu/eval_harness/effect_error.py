@@ -28,6 +28,7 @@ def run(db: str = "synth100K", ts: int = 1000, ses: int = 1000,
 
     data = common.load_dataset(db, nq=ts + ses)
     idx = common.build_or_load_index(data, nlist=nlist)
+    idx.enable_multirow()  # production scan layout
     gt_D, gt_I = common.ensure_gt(data, idx, max_topk)
     es = ErrorSys(idx, train_num=ts + ses, max_topk=max_topk)
     es.set_gt(gt_D, gt_I)

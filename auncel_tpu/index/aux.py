@@ -12,6 +12,7 @@ primitive as top-k search) and compacts hits host-side per chunk: the device
 does all the distance work, the host only boolean-indexes.
 """
 
+import functools
 import time
 from dataclasses import dataclass, field
 
@@ -76,17 +77,6 @@ class SearchStats:
 ivf_stats = SearchStats()
 
 
-@jax.jit
-def _chunk_scores(db_chunk, db_sq_chunk, ids_chunk, q, q_sq, sq_scale,
-                  sq_bias):
-    if sq_scale is not None:
-        db_chunk = db_chunk.astype(jnp.float32) * sq_scale + sq_bias
-    dots = jnp.einsum("bcd,bd->bc", db_chunk, q,
-                      preferred_element_type=jnp.float32,
-                      precision=jax.lax.Precision.HIGHEST)
-    return q_sq[:, None] + db_sq_chunk - 2.0 * dots
-
-
 def range_search(index, q: np.ndarray, radius: float,
                  nprobe: int | None = None) -> RangeSearchResult:
     """All stored vectors within ``radius`` of each query (L2: squared
@@ -101,40 +91,62 @@ def range_search(index, q: np.ndarray, radius: float,
     qd = jnp.asarray(q)
     q_sq = sqnorms(qd)
 
-    hits_l: list[list] = [[] for _ in range(nq)]
-    hits_d: list[list] = [[] for _ in range(nq)]
-    for p in range(nprobe):
-        lists = cids[:, p]
-        db_chunk = arrays.db[jnp.asarray(lists)]
-        sq_chunk = arrays.db_sq[jnp.asarray(lists)]
-        id_chunk = np.asarray(arrays.vec_ids)[lists]
-        if metric is Metric.L2:
-            scores = np.asarray(_chunk_scores(
-                db_chunk, sq_chunk, None, qd, q_sq,
-                arrays.sq_scale, arrays.sq_bias))
-            mask = (scores < radius) & (id_chunk >= 0)
-        else:
-            dots = np.asarray(jnp.einsum(
-                "bcd,bd->bc",
-                (db_chunk.astype(jnp.float32) * arrays.sq_scale
-                 + arrays.sq_bias) if arrays.sq_scale is not None
-                else db_chunk,
-                qd, preferred_element_type=jnp.float32,
-                precision=jax.lax.Precision.HIGHEST))
-            scores = dots
-            mask = (scores > radius) & (id_chunk >= 0)
-        for i in range(nq):
-            sel = mask[i]
-            if sel.any():
-                hits_l[i].extend(id_chunk[i][sel].tolist())
-                hits_d[i].extend(scores[i][sel].tolist())
+    # ONE device program scans every probe (fori over probe chunks inside
+    # the jit) and ONE fetch brings back scores+ids — the per-probe
+    # dispatch+sync loop this replaces cost O(nprobe) tunnel round trips
+    scores, vids = _range_scan_all(
+        arrays, qd, q_sq, jnp.asarray(cids[:, :nprobe].astype(np.int32)),
+        nprobe, metric)
+    scores, vids = np.asarray(scores), np.asarray(vids)
+    if metric is Metric.L2:
+        mask = (scores < radius) & (vids >= 0)
+    else:
+        mask = (scores > radius) & (vids >= 0)
 
+    counts = mask.sum(axis=1)
     lims = np.zeros(nq + 1, np.int64)
-    for i in range(nq):
-        lims[i + 1] = lims[i] + len(hits_l[i])
-    labels = np.asarray([x for h in hits_l for x in h], np.int64)
-    dists = np.asarray([x for h in hits_d for x in h], np.float32)
+    np.cumsum(counts, out=lims[1:])
+    labels = vids[mask].astype(np.int64)
+    dists = scores[mask].astype(np.float32)
     return RangeSearchResult(lims, labels, dists)
+
+
+@functools.partial(jax.jit, static_argnames=("nprobe", "metric"))
+def _range_scan_all(arrays, qd, q_sq, cids, nprobe, metric):
+    """Scores/ids for all (query, probe) pairs: [B, nprobe*cap] each."""
+    B = qd.shape[0]
+    cap = arrays.cap
+    C = max(1, min(8, nprobe))
+    n_steps = -(-nprobe // C)
+    buf_s = jnp.zeros((B, n_steps * C * cap), jnp.float32)
+    buf_i = jnp.full((B, n_steps * C * cap), -1, jnp.int32)
+
+    def body(step, bufs):
+        bs, bi = bufs
+        iks = step * C + jnp.arange(C, dtype=jnp.int32)
+        ok = iks < nprobe
+        lists = jnp.take_along_axis(
+            cids, jnp.broadcast_to(jnp.minimum(iks, nprobe - 1)[None, :],
+                                   (B, C)), axis=1)
+        sub = arrays.decode_block(arrays.db[lists])
+        sub_sq = arrays.db_sq[lists]
+        sub_ids = arrays.vec_ids[lists]
+        dots = jnp.einsum("bpcd,bd->bpc", sub, qd,
+                          preferred_element_type=jnp.float32,
+                          precision=jax.lax.Precision.HIGHEST)
+        if metric is Metric.L2:
+            sc = q_sq[:, None, None] + sub_sq - 2.0 * dots
+        else:
+            sc = dots
+        sub_ids = jnp.where(ok[None, :, None], sub_ids, -1)
+        off = step * C * cap
+        bs = jax.lax.dynamic_update_slice(
+            bs, sc.reshape(B, C * cap), (0, off))
+        bi = jax.lax.dynamic_update_slice(
+            bi, sub_ids.reshape(B, C * cap), (0, off))
+        return bs, bi
+
+    return jax.lax.fori_loop(0, n_steps, body, (buf_s, buf_i))
 
 
 def remove_ids(index, selector: IDSelector) -> int:

@@ -392,6 +392,73 @@ def plan_oneshot(rows_per_list: np.ndarray, nlist: int, split: int = 8,
     return MROneShotPlan(a1, a2, tail, split, a2_cap, tail_cap, n_rows)
 
 
+def _tail_rounds(arrays, mr, q, q_sq, vals, ids, frontier, covered, target,
+                 tail_widths, tail_cap, tail_out, metric):
+    """Compacted tail scanning: while anyone's covered list count is below
+    its target, sort unfinished queries to the front, advance their row
+    frontiers to their own targets over cond-skipped geometric waves, and
+    scatter back. Pure scanning — shared by the bounded engine's tail and
+    the latency-budget mode."""
+    nlist = arrays.nlist
+
+    def t_cond(st):
+        return jnp.any(st[3] < target)
+
+    def t_body(st):
+        vals, ids, frontier, covered = st
+        idx = jnp.argsort(covered >= target)[:tail_cap]
+        subq = q[idx]
+        sub_sq = q_sq[idx]
+        cdis, cids = coarse_rank(arrays, subq, metric, q_sq=sub_sq)
+        row_slots, offsets = expand_probes(mr, cids, nlist, tail_out)
+        safe_rows = jnp.maximum(row_slots, 0)
+        goal = _goal_rows(offsets, target[idx])
+        v, i, f = vals[idx], ids[idx], frontier[idx]
+        for width in tail_widths:
+            def run(s, width=width):
+                v, i, f = s
+                v, i = scan_probe_range(mr.rows, subq, sub_sq, safe_rows,
+                                        v, i, goal, f, width, metric)
+                return v, i, jnp.minimum(goal, f + width)
+            v, i, f = jax.lax.cond(
+                jnp.any(f < goal), run, lambda s: s, (v, i, f))
+        return (vals.at[idx].set(v), ids.at[idx].set(i),
+                frontier.at[idx].set(f), covered.at[idx].set(target[idx]))
+
+    return jax.lax.while_loop(t_cond, t_body,
+                              (vals, ids, frontier, covered))
+
+
+@functools.partial(
+    jax.jit, static_argnames=("max_topk", "metric", "plan"))
+def budgeted_search_mr(
+    arrays,
+    mr: MultiRowArrays,
+    q: jax.Array,
+    budget_ms: jax.Array,     # [B] per-query latency budgets
+    per_probe_ms: jax.Array,  # scalar calibrated per-probe cost
+    max_topk: int,
+    metric: Metric,
+    plan: MROneShotPlan,
+):
+    """Latency-budget mode over the row layout (reference time_search /
+    IndexIVF.cpp:545-549 semantics; budgets convert to probe counts up
+    front like profile/bounded.py::budgeted_search, scanning goes through
+    the compacted tail rounds)."""
+    B = q.shape[0]
+    nlist = arrays.nlist
+    q_sq = sqnorms(q)
+    n_budget = jnp.ceil(0.95 * budget_ms / per_probe_ms - 1.0)
+    n_budget = jnp.clip(n_budget, 1, nlist).astype(jnp.int32)
+    vals, ids = init_topk((B,), max_topk, metric)
+    frontier = jnp.zeros((B,), jnp.int32)
+    covered = jnp.zeros((B,), jnp.int32)
+    vals, ids, _, _ = _tail_rounds(
+        arrays, mr, q, q_sq, vals, ids, frontier, covered, n_budget,
+        plan.tail_widths, plan.tail_cap, plan.tail_out, metric)
+    return vals, ids, n_budget
+
+
 @functools.partial(
     jax.jit,
     static_argnames=("query_k", "max_topk", "metric", "plan",
@@ -460,33 +527,9 @@ def bounded_oneshot_mr(
     # then scans nothing.)
     covered = jnp.minimum(
         target, jnp.where(decided_at <= plan.split, plan.split, cap_stage))
-
-    def t_cond(st):
-        return jnp.any(st[3] < target)
-
-    def t_body(st):
-        vals, ids, frontier, covered = st
-        idx = jnp.argsort(covered >= target)[: plan.tail_cap]
-        subq = q[idx]
-        sub_sq = q_sq[idx]
-        cdis, cids = coarse_rank(arrays, subq, metric, q_sq=sub_sq)
-        row_slots, offsets = expand_probes(mr, cids, nlist, plan.tail_out)
-        safe_rows = jnp.maximum(row_slots, 0)
-        goal = _goal_rows(offsets, target[idx])
-        v, i, f = vals[idx], ids[idx], frontier[idx]
-        for width in plan.tail_widths:
-            def run(s, width=width):
-                v, i, f = s
-                v, i = scan_probe_range(mr.rows, subq, sub_sq, safe_rows,
-                                        v, i, goal, f, width, metric)
-                return v, i, jnp.minimum(goal, f + width)
-            v, i, f = jax.lax.cond(
-                jnp.any(f < goal), run, lambda s: s, (v, i, f))
-        return (vals.at[idx].set(v), ids.at[idx].set(i),
-                frontier.at[idx].set(f), covered.at[idx].set(target[idx]))
-
-    vals, ids, frontier, covered = jax.lax.while_loop(
-        t_cond, t_body, (vals, ids, frontier, covered))
+    vals, ids, frontier, covered = _tail_rounds(
+        arrays, mr, q, q_sq, vals, ids, frontier, covered, target,
+        plan.tail_widths, plan.tail_cap, plan.tail_out, metric)
 
     if with_true_recall:
         if metric is Metric.L2:

@@ -33,7 +33,7 @@ from auncel_tpu.profile.trace import (
 from auncel_tpu.profile.bounded import (
     bounded_search, bounded_search_decide, finish_scan, budgeted_search)
 from auncel_tpu.profile.bounded_mr import (
-    bounded_oneshot_mr, plan_oneshot)
+    bounded_oneshot_mr, budgeted_search_mr, plan_oneshot)
 
 
 @functools.partial(
@@ -381,9 +381,17 @@ class ErrorSys:
         q[:size] = self.queries[start:start + size]
         budget = np.full(bsz, 1e-6, np.float32)  # pad: minimal probes
         budget[:size] = self.require_acc[start:start + size]
-        out = budgeted_search(
-            self.index.arrays, jnp.asarray(q), jnp.asarray(budget),
-            jnp.float32(self.per_probe_ms), self.max_topk, self.index.metric)
+        mr = self._mr()
+        if mr is not None:
+            out = budgeted_search_mr(
+                self.index.arrays, mr, jnp.asarray(q), jnp.asarray(budget),
+                jnp.float32(self.per_probe_ms), self.max_topk,
+                self.index.metric, self._mr_oneshot_plan())
+        else:
+            out = budgeted_search(
+                self.index.arrays, jnp.asarray(q), jnp.asarray(budget),
+                jnp.float32(self.per_probe_ms), self.max_topk,
+                self.index.metric)
         vals, ids, n_budget = jax.device_get(out)
         self.my_nprobe[start:start + size] = n_budget[:size]
         self.n_scanned[start:start + size] = n_budget[:size]
