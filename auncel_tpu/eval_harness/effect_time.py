@@ -101,6 +101,16 @@ def run(db: str = "synth100K", ts: int = 1000, ses: int = 1000,
         f"{floor:.1f} ms, within-budget (device time) {within_measured:.3f}")
     log(f"cost model vs measured: median rel err {rel_err:.2f}, "
         f"corr {corr:.2f}")
+    # refit the per-probe slope on the measurement (least squares through
+    # the origin): the honest cost model this data supports
+    probes = es.n_scanned[qids].astype(np.float64)
+    denom2 = float((probes * probes).sum())
+    slope = float((probes * measured_dev).sum() / denom2) if denom2 else 0.0
+    refit = probes * slope
+    refit_err = float(np.median(
+        np.abs(refit - measured_dev) / np.maximum(measured_dev, 1e-3)))
+    log(f"refit per-probe cost {slope * 1e3:.1f} us -> median rel err "
+        f"{refit_err:.2f}")
 
     fn = f"{log_dir}/Effective_time_{db}.log"
     common.write_log(fn, list(zip(b.tolist(), measured_dev.tolist())))
@@ -110,7 +120,8 @@ def run(db: str = "synth100K", ts: int = 1000, ses: int = 1000,
                 budgets=budgets[ts:ts + ses], model_ms=model_ms,
                 measured_ms=measured, measured_device_ms=measured_dev,
                 dispatch_floor_ms=floor, model_rel_err=rel_err,
-                model_corr=corr, sample_qids=qids)
+                model_corr=corr, refit_per_probe_ms=slope,
+                refit_rel_err=refit_err, sample_qids=qids)
 
 
 def main():

@@ -166,3 +166,38 @@ def remove_ids(index, selector: IDSelector) -> int:
     if flat_x.shape[0]:
         index.add(flat_x, ids=flat_ids)
     return removed
+
+
+class InterruptCallback:
+    """Cooperative interruption of long host-driven loops (reference
+    ``InterruptCallback``, AuxIndexStructures.h:250: a global hook polled
+    by long-running operations). Long auncel_tpu loops (k-means
+    iterations, blocked kNN, eval sweeps) call ``check()`` between device
+    steps; install a callback returning True to abort with
+    InterruptedError."""
+
+    _instance = None
+
+    def __init__(self, fn=None):
+        self.fn = fn
+
+    def want_interrupt(self) -> bool:
+        return bool(self.fn()) if self.fn is not None else False
+
+    @classmethod
+    def install(cls, fn) -> None:
+        cls._instance = cls(fn)
+
+    @classmethod
+    def clear(cls) -> None:
+        cls._instance = None
+
+    @classmethod
+    def check(cls) -> None:
+        if cls._instance is not None and cls._instance.want_interrupt():
+            raise InterruptedError("interrupted by InterruptCallback")
+
+    @classmethod
+    def is_interrupted(cls) -> bool:
+        return (cls._instance is not None
+                and cls._instance.want_interrupt())

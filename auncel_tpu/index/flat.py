@@ -105,3 +105,92 @@ class IndexRefineFlat(Index):
             order = np.argsort(-dist, axis=1)[:, :k]
         return (np.take_along_axis(dist, order, 1),
                 np.take_along_axis(ids, order, 1))
+
+
+class IndexFlatL2BaseShift(FlatIndex):
+    """Flat L2 index whose distances carry a per-stored-row additive shift
+    (reference IndexFlatL2BaseShift, IndexFlat.h:53-66)."""
+
+    def __init__(self, d: int, shift: np.ndarray | None = None):
+        super().__init__(d, Metric.L2)
+        self.shift = (np.asarray(shift, np.float32)
+                      if shift is not None else np.zeros(0, np.float32))
+
+    def add(self, x, ids=None, shift: np.ndarray | None = None):
+        n = np.asarray(x).shape[0]
+        super().add(x, ids)
+        s = (np.asarray(shift, np.float32) if shift is not None
+             else np.zeros(n, np.float32))
+        assert s.shape[0] == n
+        self.shift = np.concatenate([self.shift, s])
+
+    def search(self, q, k: int):
+        from auncel_tpu.ops.knn import knn_l2sqr_base_shift
+        res = knn_l2sqr_base_shift(q, self._xb, k, self.shift)
+        return res.vals, res.ids.astype(np.int64)
+
+
+class IndexFlat1D(Index):
+    """Optimized 1-d flat index (reference IndexFlat1D, IndexFlat.h:134):
+    values kept sorted, search is a binary probe + two-pointer expansion —
+    here one vectorized searchsorted + window top-k."""
+
+    def __init__(self):
+        self.d = 1
+        self.metric = Metric.L2
+        self.is_trained = True
+        self._vals = np.zeros(0, np.float32)
+        self._ids = np.zeros(0, np.int64)
+        self._sorted = False
+
+    @property
+    def ntotal(self) -> int:
+        return self._vals.shape[0]
+
+    def train(self, x):
+        pass
+
+    def add(self, x, ids=None):
+        x = np.asarray(x, np.float32).reshape(-1)
+        if ids is None:
+            ids = np.arange(self.ntotal, self.ntotal + x.size,
+                            dtype=np.int64)
+        self._vals = np.concatenate([self._vals, x])
+        self._ids = np.concatenate([self._ids, np.asarray(ids, np.int64)])
+        self._sorted = False
+
+    def update_permutation(self):
+        order = np.argsort(self._vals, kind="stable")
+        self._vals = self._vals[order]
+        self._ids = self._ids[order]
+        self._sorted = True
+
+    def search(self, q, k: int):
+        if not self._sorted:
+            self.update_permutation()
+        q = np.asarray(q, np.float32).reshape(-1)
+        n = self.ntotal
+        k_eff = min(k, n)
+        pos = np.searchsorted(self._vals, q)
+        # candidate window of 2k around the insertion point covers the
+        # true top-k (values are sorted)
+        offs = np.arange(-k_eff, k_eff)
+        raw = pos[:, None] + offs[None, :]
+        valid = (raw >= 0) & (raw < n)   # clipped slots would duplicate
+        win = np.clip(raw, 0, max(n - 1, 0))
+        cand = self._vals[win]
+        d = np.where(valid, (cand - q[:, None]) ** 2, np.inf)
+        order = np.argsort(d, axis=1, kind="stable")[:, :k]
+        vals = np.take_along_axis(d, order, 1)
+        ids = np.where(np.isinf(vals), -1,
+                       self._ids[np.take_along_axis(win, order, 1)])
+        if k > n:
+            pad = k - n
+            vals = np.pad(vals, ((0, 0), (0, pad)), constant_values=np.inf)
+            ids = np.pad(ids, ((0, 0), (0, pad)), constant_values=-1)
+        return vals.astype(np.float32), ids
+
+    def reset(self):
+        self._vals = np.zeros(0, np.float32)
+        self._ids = np.zeros(0, np.int64)
+        self._sorted = False

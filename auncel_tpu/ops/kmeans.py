@@ -200,6 +200,8 @@ def kmeans(
                 jnp.maximum(sqnorms(centroids), 1e-20))[:, None]
         err_dev = None
         for it in range(params.niter):
+            from auncel_tpu.index.aux import InterruptCallback
+            InterruptCallback.check()  # AuxIndexStructures.h:250 hook
             c_sq = sqnorms(centroids)
             assign, dists = _assign(xd, centroids, c_sq, block)
             err_dev = jnp.sum(dists)  # fetched once after the loop:

@@ -100,3 +100,30 @@ def knn(
         out_vals[q0:q1] = np.asarray(vals)[: q1 - q0]
         out_ids[q0:q1] = np.asarray(ids)[: q1 - q0]
     return KnnResult(out_vals, out_ids)
+
+
+def knn_l2sqr_base_shift(queries: np.ndarray, corpus: np.ndarray, k: int,
+                         base_shift: np.ndarray,
+                         q_block: int = 4096) -> KnnResult:
+    """L2 kNN with a per-corpus-row additive distance shift (reference
+    ``knn_L2sqr_base_shift``, utils.cpp:664, backing IndexFlatL2BaseShift):
+    score(q, y_i) = ||q - y_i||^2 + base_shift[i]. The shift folds into
+    the ||y||^2 norm term, so the blocked MXU driver is reused as-is."""
+    # The shift folds into the corpus norms: pairwise L2 =
+    # q_sq + y_sq - 2qy, so adding shift[i] to y_sq[i] adds it to every
+    # distance involving row i — exactly the reference semantics.
+    corpus = np.asarray(corpus, np.float32)
+    queries = np.asarray(queries, np.float32)
+    nq, d = queries.shape
+    nb = corpus.shape[0]
+    db = jnp.asarray(corpus)
+    db_sq = sqnorms(db) + jnp.asarray(np.asarray(base_shift, np.float32))
+    q = jnp.asarray(queries)
+    q_sq = sqnorms(q)
+    dots = jnp.einsum("qd,nd->qn", q, db,
+                      preferred_element_type=jnp.float32,
+                      precision=jax.lax.Precision.HIGHEST)
+    scores = q_sq[:, None] + db_sq[None, :] - 2.0 * dots
+    ids = jax.lax.broadcasted_iota(jnp.int32, scores.shape, 1)
+    vals, out_ids = topk_scores(scores, ids, k, Metric.L2)
+    return KnnResult(np.asarray(vals), np.asarray(out_ids))
