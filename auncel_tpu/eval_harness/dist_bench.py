@@ -42,6 +42,7 @@ def run(db: str = "synth10K", shard_counts=(1, 2, 4, 8), nq: int = 64,
                        mesh=make_mesh(S))
         s.build(data.xb)
         s.train_profiles(data.xq[: nq // 2], max_topk=max_topk)
+        s.enable_multirow()  # production engine per shard
         s.multipler = 8.0
         s.search_bounded(data.xq, acc, query_k=input_k)  # warm/compile
         t1 = time.perf_counter()

@@ -77,6 +77,8 @@ class ShardedIVF:
         self.shards: list[IVFFlatIndex] = []
         self.arrays: IVFArrays | None = None     # stacked [S, ...]
         self.traces: TraceSet | None = None      # stacked [S, ...]
+        self.mr = None                           # stacked MultiRowArrays
+        self._mr_plan = None
         self.multipler = 1.0
         self.std_m = 1.0
 
@@ -112,6 +114,41 @@ class ShardedIVF:
                 interdis=a.interdis,
             ))
         self.arrays = _shard_leading(_stack_pytrees(padded), self.mesh)
+
+    def enable_multirow(self, row_cap: int = 256) -> None:
+        """Stack per-shard multi-row layouts (padded to common shapes) so
+        the SPMD bounded search runs the production one-shot engine on
+        every shard. The static wave plan is built from a DOMINATING
+        per-list row profile (elementwise max of each shard's sorted row
+        counts), so its per-stage coverage guarantee holds on every
+        shard."""
+        from auncel_tpu.index.multirow import build_multirow, MultiRowArrays
+        from auncel_tpu.profile.bounded_mr import plan_oneshot
+        rc = min([row_cap] + [s.arrays.cap for s in self.shards])
+        per = [build_multirow(s.arrays, rc) for s in self.shards]
+        n_rows = max(m.rows.db.shape[0] for m in per)
+        max_rows = max(m.max_rows for m in per)
+        padded = []
+        for m in per:
+            pr = n_rows - m.rows.db.shape[0]
+            rows = m.rows
+            rows_p = IVFArrays(
+                centroids=rows.centroids, cent_sq=rows.cent_sq,
+                db=jnp.pad(rows.db, ((0, pr), (0, 0), (0, 0))),
+                db_sq=jnp.pad(rows.db_sq, ((0, pr), (0, 0))),
+                vec_ids=jnp.pad(rows.vec_ids, ((0, pr), (0, 0)),
+                                constant_values=-1),
+                list_sizes=jnp.pad(rows.list_sizes, (0, pr)),
+                interdis=rows.interdis)
+            table_p = jnp.pad(m.row_table,
+                              ((0, 0), (0, max_rows - m.max_rows)),
+                              constant_values=-1)
+            padded.append(MultiRowArrays(rows_p, table_p,
+                                         m.rows_per_list, m.row_base))
+        self.mr = _shard_leading(_stack_pytrees(padded), self.mesh)
+        descs = np.stack([np.sort(np.asarray(m.rows_per_list))[::-1]
+                          for m in per])
+        self._mr_plan = plan_oneshot(np.max(descs, axis=0), self.nlist)
 
     # ----------------------------------------------------------- profiles
 
@@ -221,6 +258,34 @@ class ShardedIVF:
         max_topk = max_topk or self.max_topk
         mult = jnp.float32(self.multipler)
         sm = jnp.float32(self.std_m)
+
+        if self.mr is not None:
+            from auncel_tpu.profile.bounded_mr import bounded_oneshot_mr
+            plan = self._mr_plan
+
+            @jax.jit
+            @functools.partial(
+                jax.shard_map, mesh=mesh, check_vma=False,
+                in_specs=(P(AXIS), P(AXIS), P(AXIS), P(None), P(None)),
+                out_specs=(P(None), P(None), P(AXIS)))
+            def run_mr(stacked, smr, straces, q, acc):
+                local = jax.tree.map(lambda a: a[0], stacked)
+                lmr = jax.tree.map(lambda a: a[0], smr)
+                ltr = jax.tree.map(lambda a: a[0], straces)
+                gtk = jnp.zeros(q.shape[0], jnp.float32)
+                vals, ids, my_np, n_scanned, _ = bounded_oneshot_mr(
+                    local, lmr, ltr, q, acc, mult, sm, gtk,
+                    query_k, max_topk, metric, plan)
+                mvals, mids = _merge_over_shards(vals, ids, max_topk,
+                                                 metric)
+                return mvals, mids, n_scanned[None]
+
+            vals, ids, n_scanned = run_mr(
+                self.arrays, self.mr, self.traces,
+                jnp.asarray(np.asarray(q, np.float32)),
+                jnp.asarray(np.asarray(require_acc, np.float32)))
+            return (np.asarray(vals), np.asarray(ids, np.int64),
+                    np.asarray(n_scanned))
 
         @jax.jit
         @functools.partial(

@@ -71,6 +71,22 @@ def test_sharded_bounded_search_bound_composes(ds, sharded):
     assert n_scanned.max() <= 32
 
 
+def test_sharded_multirow_matches_padded(ds, sharded):
+    """search_bounded over stacked multirow layouts returns exactly the
+    padded SPMD engine's results (same per-shard decisions, same merge)."""
+    sharded.train_profiles(ds.xq[:20], max_topk=50)
+    sharded.multipler = 8.0
+    acc = np.full(40, 0.9, np.float32)
+    v1, i1, n1 = sharded.search_bounded(ds.xq, acc, query_k=10)
+    sharded.enable_multirow(row_cap=64)
+    assert sharded.mr is not None
+    v2, i2, n2 = sharded.search_bounded(ds.xq, acc, query_k=10)
+    sharded.mr = None  # leave fixture unchanged for other tests
+    np.testing.assert_array_equal(n1, n2)
+    np.testing.assert_array_equal(v1, v2)
+    np.testing.assert_array_equal(i1, i2)
+
+
 def test_global_ids_preserved(ds, sharded):
     """Merged ids must be global corpus row ids (round-robin split)."""
     vals, ids = sharded.search(ds.xb[:5], 1, nprobe=32)
