@@ -187,3 +187,43 @@ class BinaryIVFIndex(Index):
     def reset(self) -> None:
         self._codes = np.zeros((0, self.d // 8), np.uint8)
         self._dev = None
+
+
+class BinaryHNSWIndex(Index):
+    """Binary-code HNSW (reference IndexBinaryHNSW): the float HNSW graph
+    machinery over UNPACKED bit vectors — Hamming distance between 0/1
+    float vectors is exactly their squared L2 distance (popcount identity
+    b1 XOR b2 == ||b1 - b2||^2), so the graph index runs unchanged and
+    returns true Hamming distances."""
+
+    def __init__(self, d: int, M: int = 16, ef_search: int = 32):
+        from auncel_tpu.index.hnsw import HNSWIndex
+        self.d = d                      # bits per code
+        self.metric = Metric.L2         # L2 over 0/1 == Hamming
+        self.is_trained = True
+        self._g = HNSWIndex(d, M=M, ef_search=ef_search)
+
+    @property
+    def ntotal(self) -> int:
+        return self._g.ntotal
+
+    def train(self, codes) -> None:
+        pass
+
+    def add(self, codes: np.ndarray, ids=None) -> None:
+        assert ids is None, "BinaryHNSWIndex stores sequential ids"
+        self._g.add(unpack_bits(np.asarray(codes, np.uint8), self.d)
+                    .astype(np.float32))
+
+    def build(self) -> None:
+        self._g.build()
+
+    def search(self, q_codes: np.ndarray, k: int, ef: int | None = None):
+        q = unpack_bits(np.asarray(q_codes, np.uint8),
+                        self.d).astype(np.float32)
+        vals, ids = self._g.search(q, k, ef=ef)
+        # squared L2 over 0/1 vectors IS the integer Hamming distance
+        return np.rint(vals).astype(np.int32), ids
+
+    def reset(self) -> None:
+        self._g.reset()

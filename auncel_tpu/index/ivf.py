@@ -522,3 +522,55 @@ class IVFFlatIndex(Index):
         self._arrays = None
         self._multirow = None
         self._ntotal = 0
+
+
+class IVFFlatDedupIndex(IVFFlatIndex):
+    """IVF-Flat that stores each distinct vector once (reference
+    IndexIVFFlatDedup, IndexIVFFlat.h:79): exact duplicates map to the
+    stored instance through an id multimap, and searches expand the
+    duplicates back into the result list at the same distance."""
+
+    def __init__(self, *args, **kwargs):
+        super().__init__(*args, **kwargs)
+        self._dup: dict[int, list[int]] = {}
+
+    def add(self, x: np.ndarray, ids=None) -> None:
+        x = np.asarray(x, np.float32)
+        if ids is None:
+            ids = np.arange(self._ntotal + sum(len(v) for v in
+                                               self._dup.values()),
+                            self._ntotal + sum(len(v) for v in
+                                               self._dup.values())
+                            + x.shape[0], dtype=np.int64)
+        ids = np.asarray(ids, np.int64)
+        # hash rows to find exact duplicates within this add batch
+        uniq, first, inverse = np.unique(
+            x.view([("", x.dtype)] * x.shape[1]).reshape(-1),
+            return_index=True, return_inverse=True)
+        keep = np.sort(first)
+        kept_ids = ids[keep]
+        for row, inv in enumerate(inverse.reshape(-1)):
+            f = int(first[inv])
+            if row != f:
+                self._dup.setdefault(int(ids[f]), []).append(int(ids[row]))
+        super().add(x[keep], ids=kept_ids)
+
+    def search(self, q: np.ndarray, k: int, nprobe: int | None = None):
+        vals, ids = super().search(q, k, nprobe=nprobe)
+        if not self._dup:
+            return vals, ids
+        out_v = np.empty_like(vals)
+        out_i = np.empty_like(ids)
+        for r in range(ids.shape[0]):
+            vs, is_ = [], []
+            for v, i in zip(vals[r], ids[r]):
+                is_.append(i)
+                vs.append(v)
+                for dup in self._dup.get(int(i), ()):
+                    is_.append(dup)
+                    vs.append(v)          # identical vector, same distance
+                if len(is_) >= k:
+                    break
+            out_v[r] = np.asarray(vs[:k], vals.dtype)
+            out_i[r] = np.asarray(is_[:k], ids.dtype)
+        return out_v, out_i
