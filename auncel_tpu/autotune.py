@@ -162,11 +162,21 @@ class ParameterSpace:
                 set_index_parameter(self.index, name, v)
             key = ",".join(f"{n}={v}" for n, v in combo)
             D, _ = self.index.search(xq, k)  # warm
-            t0 = time.perf_counter()
-            for _ in range(reps):
+            # timing with confidence-interval refinement (reference
+            # ParameterSpace::explore, AutoTune.cpp:597+: keep re-timing
+            # a point until its interval is tight or the rep budget ends)
+            times = []
+            for rep in range(max(reps, 8)):
+                t0 = time.perf_counter()
                 D, _ = self.index.search(xq, k)
-            np.asarray(D)
-            dt = (time.perf_counter() - t0) / reps / xq.shape[0]
+                np.asarray(D)
+                times.append(time.perf_counter() - t0)
+                if rep + 1 >= reps:
+                    m = np.mean(times)
+                    stderr = np.std(times) / np.sqrt(len(times))
+                    if m <= 0 or stderr / m < 0.1:
+                        break
+            dt = float(np.mean(times)) / xq.shape[0]
             perf = worst_case_recall(D, gt_D, k, self.index.metric)
             self.ops.add(OperatingPoint(key, perf, dt))
         return self.ops
