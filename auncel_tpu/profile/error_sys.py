@@ -244,12 +244,13 @@ class ErrorSys:
         (D [size, max_topk], I [size, max_topk]) and records
         my_nprobe / n_scanned / t_recalls at absolute positions.
 
-        Execution: phase A runs the decision waves (stages 1..nlist/8) for
-        the whole batch in one dispatch; phase B re-batches only the
-        queries whose decided budget exceeds nlist/8 into right-sized
-        probe-width buckets, so easy queries never pay for stragglers.
-        Single-phase (one dispatch, masked waves to nlist) is used for
-        tiny batches where the mid-search host sync would dominate.
+        Execution: with the multirow layout enabled (production default),
+        the whole search is ONE device dispatch — the one-shot engine
+        windows device-resident query arrays and compacts
+        undecided/unfinished queries on device (bounded_oneshot_mr).
+        Without it, the padded engines run: single-phase masked waves for
+        tiny batches, else host-orchestrated two-phase with straggler
+        re-batching. ``two_phase`` only affects the padded path.
         """
         assert self.is_trained, "sys_train before search (profile.cpp:212)"
         size = self.num if search_size == -1 else search_size
@@ -258,16 +259,20 @@ class ErrorSys:
         if two_phase is None:
             two_phase = size > 8
         bsz = self._bucket(size)
-        q = np.zeros((bsz, self.index.d), np.float32)
-        q[:size] = self.queries[start:start + size]
-        acc = np.full(bsz, 1e-3, np.float32)  # padding: decide at wave 1
-        acc[:size] = self.require_acc[start:start + size]
         want_true = self.profile and self.gt_D is not None
-        gt_kth = np.zeros(bsz, np.float32)
-        if want_true:
-            gt_kth[:size] = self.gt_D[start:start + size, self.query_topk - 1]
-
         mr = self._mr()
+        if mr is None:
+            # padded engines take host-padded batches; the mr path windows
+            # device-resident arrays instead (see _oneshot_window)
+            q = np.zeros((bsz, self.index.d), np.float32)
+            q[:size] = self.queries[start:start + size]
+            acc = np.full(bsz, 1e-3, np.float32)  # padding: decide early
+            acc[:size] = self.require_acc[start:start + size]
+            gt_kth = np.zeros(bsz, np.float32)
+            if want_true:
+                gt_kth[:size] = self.gt_D[start:start + size,
+                                          self.query_topk - 1]
+
         if mr is not None:
             # the one-shot engine compacts on device: single dispatch,
             # single (narrow) fetch, device-resident query windows
