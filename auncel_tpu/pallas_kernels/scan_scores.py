@@ -22,12 +22,13 @@ tensor): selection is algorithmically independent of scanning.
 
 Runs in interpret mode on CPU for CI (``interpret=True``).
 
-STATUS: correct (3e-07 rel err vs XLA on real TPU) but NOT yet fast — the
-measured effective bandwidth is ~10 GB/s vs the XLA gather path's 217 GB/s
-(per-step DMA latency is not being hidden; grid-step pipelining of
-dynamically-indexed HBM slices needs more work). The production scan path
-therefore remains the XLA gather (index/scan.py); this kernel is the
-starting point for the next optimization round.
+STATUS: superseded by ``pallas_kernels/rowscan.py`` (round 2), which
+fixes this kernel's mistake — the per-(query,chunk) grid restarts the DMA
+pipeline every 8 rows — with a ring whose state persists across grid
+steps. The round-2 A/B on the v5e showed BOTH the fixed kernel (~776
+GB/s) and XLA's fused gather+einsum (~811 GB/s) at HBM speed-of-light at
+worklist shapes, so the production scan stays on XLA; kept for the
+pipelining contrast.
 """
 
 import functools
