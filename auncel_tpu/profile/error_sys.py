@@ -254,6 +254,15 @@ class ErrorSys:
         """
         assert self.is_trained, "sys_train before search (profile.cpp:212)"
         size = self.num if search_size == -1 else search_size
+        if size > self.BATCH_BUCKETS[-1]:
+            # chunk oversized batches through the largest bucket (the
+            # device-resident window pad only guarantees slices up to it)
+            step = self.BATCH_BUCKETS[-1]
+            outs = [self.search(start + off, min(step, size - off),
+                                two_phase=two_phase)
+                    for off in range(0, size, step)]
+            return (np.concatenate([o[0] for o in outs]),
+                    np.concatenate([o[1] for o in outs]))
         nlist = self.index.nlist
         cap_stage = nlist // 8
         if two_phase is None:
