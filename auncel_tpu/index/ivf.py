@@ -454,8 +454,11 @@ class IVFFlatIndex(Index):
         reference's quantizer->search through IndexHNSW)."""
         from auncel_tpu.index.scan import scan_probe_range
         from auncel_tpu.ops.topk import init_topk
+        # coarse ranking quality gates everything downstream: explore the
+        # centroid graph well past nprobe (cheap — the graph holds nlist
+        # nodes, not the corpus)
         _, cids = self._hnsw_quantizer().search(
-            np.asarray(q), nprobe, ef=max(2 * nprobe, 16))
+            np.asarray(q), nprobe, ef=max(4 * nprobe, 64))
         B = q.shape[0]
         q_sq = sqnorms(q)
         vals, ids = init_topk((B,), k, self.metric)
