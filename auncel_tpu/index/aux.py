@@ -13,15 +13,14 @@ does all the distance work, the host only boolean-indexes.
 """
 
 import functools
-import time
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 
 import numpy as np
 import jax
 import jax.numpy as jnp
 
 from auncel_tpu.types import Metric
-from auncel_tpu.ops.distance import sqnorms, pairwise_scores
+from auncel_tpu.ops.distance import sqnorms
 
 
 @dataclass

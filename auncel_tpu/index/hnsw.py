@@ -32,7 +32,6 @@ pointer-and-heap code:
 """
 
 import functools
-from typing import NamedTuple
 
 import numpy as np
 import jax

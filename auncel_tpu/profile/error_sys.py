@@ -27,7 +27,7 @@ import jax.numpy as jnp
 from auncel_tpu.types import Metric
 from auncel_tpu.index.ivf import IVFFlatIndex
 from auncel_tpu.profile import hyper
-from auncel_tpu.profile.trainer import train_profile, train_stages
+from auncel_tpu.profile.trainer import train_profile
 from auncel_tpu.profile.trace import (
     TraceSet, save_trace_set, load_trace_set)
 from auncel_tpu.profile.bounded import (
