@@ -36,3 +36,14 @@ class Index(abc.ABC):
     @abc.abstractmethod
     def reset(self) -> None:
         ...
+
+    # ---- reconstruction (reference Index::reconstruct/reconstruct_n;
+    # implemented by index families that store recoverable vectors) ----
+
+    def reconstruct(self, key: int) -> "np.ndarray":
+        raise NotImplementedError(
+            f"{type(self).__name__} does not support reconstruction")
+
+    def reconstruct_n(self, i0: int, n: int) -> "np.ndarray":
+        import numpy as _np
+        return _np.stack([self.reconstruct(i) for i in range(i0, i0 + n)])

@@ -49,6 +49,12 @@ class FlatIndex(Index):
     def reset(self) -> None:
         self._xb = np.zeros((0, self.d), np.float32)
 
+    def reconstruct(self, key: int) -> np.ndarray:
+        return self._xb[key].copy()
+
+    def reconstruct_n(self, i0: int, n: int) -> np.ndarray:
+        return self._xb[i0:i0 + n].copy()
+
 
 class IndexRefineFlat(Index):
     """Re-rank a base index's shortlist with exact distances over raw

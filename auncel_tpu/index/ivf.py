@@ -520,6 +520,13 @@ class IVFFlatIndex(Index):
         self.reset()
         self.add(flat_x, ids=flat_ids)
 
+    def reconstruct(self, key: int) -> np.ndarray:
+        return _ivf_reconstruct(self, np.asarray([key], np.int64))[0]
+
+    def reconstruct_n(self, i0: int, n: int) -> np.ndarray:
+        return _ivf_reconstruct(
+            self, np.arange(i0, i0 + n, dtype=np.int64))
+
     def reset(self) -> None:
         self._pending = []
         self._arrays = None
@@ -577,3 +584,24 @@ class IVFFlatDedupIndex(IVFFlatIndex):
             out_v[r] = np.asarray(vs[:k], vals.dtype)
             out_i[r] = np.asarray(is_[:k], ids.dtype)
         return out_v, out_i
+
+
+def _ivf_reconstruct(index: IVFFlatIndex, keys: np.ndarray) -> np.ndarray:
+    """Recover stored vectors by id from the packed layout (reference
+    IndexIVF::reconstruct via the direct map; here one mask pass over the
+    id tensor — decoded through the storage codec, so quantized indexes
+    return their reconstructions like the reference does)."""
+    a = index.arrays
+    ids = np.asarray(a.vec_ids)
+    db = np.asarray(a.decode_block(a.db)
+                    if (a.sq_scale is not None or a.pq_codebooks is not None)
+                    else a.db, np.float32)
+    flat_ids = ids.reshape(-1)
+    flat_db = db.reshape(-1, index.d)
+    order = np.argsort(flat_ids, kind="stable")
+    pos = np.searchsorted(flat_ids, keys, sorter=order)
+    got = flat_ids[order[np.clip(pos, 0, flat_ids.size - 1)]]
+    if not np.array_equal(got, keys):
+        missing = keys[got != keys]
+        raise KeyError(f"ids not stored: {missing[:5]}...")
+    return flat_db[order[pos]]

@@ -73,3 +73,27 @@ def test_interrupt_callback_aborts_kmeans():
     assert calls["n"] > 0
     # cleared: runs fine
     kmeans(x, 16, KmeansParams(niter=2))
+
+
+def test_reconstruct_flat_and_ivf():
+    from auncel_tpu.index.ivf import IVFFlatIndex
+    rng = np.random.RandomState(6)
+    xb = rng.rand(2000, 16).astype(np.float32)
+    flat = FlatIndex(16)
+    flat.add(xb)
+    np.testing.assert_array_equal(flat.reconstruct(7), xb[7])
+    np.testing.assert_array_equal(flat.reconstruct_n(10, 5), xb[10:15])
+    ivf = IVFFlatIndex(16, 8)
+    ivf.train(xb)
+    ivf.add(xb)
+    np.testing.assert_allclose(ivf.reconstruct(123), xb[123], rtol=1e-6)
+    np.testing.assert_allclose(ivf.reconstruct_n(0, 50), xb[:50], rtol=1e-6)
+    # quantized index reconstructs its DECODED stored values
+    sq = IVFFlatIndex(16, 8, storage="sq8")
+    sq.train(xb)
+    sq.add(xb)
+    rec = sq.reconstruct(123)
+    assert np.abs(rec - xb[123]).max() < 0.01  # 8-bit quantization error
+    import pytest
+    with pytest.raises(KeyError):
+        ivf.reconstruct(999_999)
