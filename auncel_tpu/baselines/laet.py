@@ -74,6 +74,7 @@ class LearnedTermination:
         self.hidden = hidden
         self.seed = seed
         self.multiplier = 1.0
+        self._mr_plan = None
         self.params: _MLP | None = None
         self._feat_mean = None
         self._feat_std = None
@@ -165,9 +166,23 @@ class LearnedTermination:
         nprobe = self.predict_nprobe(q)
         # reuse the budget engine: budget == probes at unit cost
         budgets = jnp.asarray((nprobe + 1.0) / 0.95)
-        vals, ids, nb = budgeted_search(
-            self.index.arrays, jnp.asarray(np.asarray(q, np.float32)),
-            budgets, jnp.float32(1.0), self.max_topk, self.index.metric)
+        mr = getattr(self.index, "multirow", None)
+        if mr is not None:
+            from auncel_tpu.profile.bounded_mr import (
+                budgeted_search_mr, plan_oneshot)
+            if self._mr_plan is None:
+                self._mr_plan = plan_oneshot(
+                    np.asarray(mr.rows_per_list), self.index.nlist)
+            vals, ids, nb = budgeted_search_mr(
+                self.index.arrays, mr,
+                jnp.asarray(np.asarray(q, np.float32)), budgets,
+                jnp.float32(1.0), self.max_topk, self.index.metric,
+                self._mr_plan)
+        else:
+            vals, ids, nb = budgeted_search(
+                self.index.arrays, jnp.asarray(np.asarray(q, np.float32)),
+                budgets, jnp.float32(1.0), self.max_topk,
+                self.index.metric)
         return (np.asarray(vals)[:, :k], np.asarray(ids, np.int64)[:, :k],
                 nprobe)
 

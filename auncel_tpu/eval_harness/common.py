@@ -40,6 +40,12 @@ FILE_DATASETS = {
 
 SYNTH_SIZES = {"synth1M": 1_000_000, "synth100K": 100_000,
                "synth10K": 10_000}
+# "Hard" variants carry a heavy difficulty tail (a minority of queries
+# drift far toward/past Voronoi boundaries): a worst-case-tuned global
+# nprobe must pay the tail on EVERY query, which is exactly the regime
+# Auncel's per-query bounds exist for (the real SIFT/GIST/TEXT sets have
+# this variance naturally; the plain synth generator is too uniform).
+SYNTH_HARD = {"synthHard100K": 100_000, "synthHard1M": 1_000_000}
 
 
 @dataclass
@@ -78,16 +84,19 @@ def load_dataset(name: str, nq: int = 10000, max_topk: int = 100,
             xb = xb / np.linalg.norm(xb, axis=1, keepdims=True)
             xq = xq / np.linalg.norm(xq, axis=1, keepdims=True)
         return EvalData(name, xb, xq, gt_I, gt_D, metric)
-    if name in SYNTH_SIZES:
-        nb = SYNTH_SIZES[name]
+    if name in SYNTH_SIZES or name in SYNTH_HARD:
+        hard = name in SYNTH_HARD
+        nb = (SYNTH_HARD if hard else SYNTH_SIZES)[name]
         metric = Metric.L2
+        kw = dict(hard_frac=0.25, pert_easy=0.3, pert_hard=2.5) if hard \
+            else {}
         ds = make_clustered_dataset(nb=nb, nq=nq, d=128,
                                     n_clusters=max(nb // 256, 64),
-                                    seed=seed, metric=metric)
+                                    seed=seed, metric=metric, **kw)
         return EvalData(name, ds.xb, ds.xq, None, None, metric)
     raise KeyError(f"unknown dataset {name!r} "
                    f"(file: {sorted(FILE_DATASETS)}, "
-                   f"synthetic: {sorted(SYNTH_SIZES)})")
+                   f"synthetic: {sorted(SYNTH_SIZES) + sorted(SYNTH_HARD)})")
 
 
 def build_or_load_index(data: EvalData, nlist: int = 1024,
