@@ -193,7 +193,9 @@ class ShardedIVF:
         meta = dict(d=self.d, nlist=self.nlist, n_shards=self.n_shards,
                     metric=self.metric.value, multipler=self.multipler,
                     std_m=self.std_m,
-                    max_topk=getattr(self, "max_topk", None))
+                    max_topk=getattr(self, "max_topk", None),
+                    multirow_row_cap=(int(self.mr.rows.db.shape[1])
+                                      if self.mr is not None else None))
         with open(os.path.join(dirpath, "meta.json"), "w") as f:
             json.dump(meta, f)
         for i, idx in enumerate(self.shards):
@@ -228,6 +230,8 @@ class ShardedIVF:
                                    jnp.asarray(z["std"]),
                                    jnp.asarray(z["n_bins"]))
             s.traces = _shard_leading(stacked, s.mesh)
+        if meta.get("multirow_row_cap"):
+            s.enable_multirow(meta["multirow_row_cap"])
         return s
 
     # ------------------------------------------------------------- search
