@@ -61,6 +61,21 @@ def test_ondisk_touches_only_probed_lists(saved):
     assert len(counter.touched) < od.nlist
 
 
+def test_ondisk_ip_metric(tmp_path):
+    ds = make_clustered_dataset(nb=6_000, nq=8, d=32, n_clusters=24,
+                                seed=10, metric=Metric.IP)
+    idx = IVFFlatIndex(ds.d, 24, Metric.IP)
+    idx.train(ds.xb[:3000])
+    idx.add(ds.xb)
+    path = str(tmp_path / "ip")
+    save_index_ondisk(idx, path)
+    od = OnDiskIVFIndex(path)
+    v1, i1 = idx.search(ds.xq, 5, nprobe=8)
+    v2, i2 = od.search(ds.xq, 5, nprobe=8)
+    np.testing.assert_array_equal(i1, i2)
+    np.testing.assert_allclose(v1, v2, rtol=1e-5)
+
+
 def test_ondisk_header_roundtrip(saved):
     ds, idx, path = saved
     od = OnDiskIVFIndex(path)
