@@ -184,9 +184,14 @@ class ParameterSpace:
     def tune_for_bound(self, xq, gt_D, k: int, eps: float) -> int:
         """Pick the smallest nprobe whose WORST-case recall >= 1 - eps
         (the reference baseline eval, faiss/eval/bound.cpp:338-440)."""
+        nlist = getattr(self.index, "nlist", None)
+        if nlist is None:
+            raise TypeError(
+                f"tune_for_bound needs an index family with an nprobe "
+                f"knob (IVF); got {type(self.index).__name__}")
         self.explore(xq, gt_D, k)
         pt = self.ops.cheapest_meeting(1.0 - eps)
         if pt is None:
-            return self.index.nlist
+            return nlist
         return int(dict(p.split("=") for p in pt.key.split(","))
-                   .get("nprobe", self.index.nlist))
+                   .get("nprobe", nlist))

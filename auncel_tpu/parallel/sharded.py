@@ -125,6 +125,7 @@ class ShardedIVF:
         from auncel_tpu.index.multirow import build_multirow, MultiRowArrays
         from auncel_tpu.profile.bounded_mr import plan_oneshot
         rc = min([row_cap] + [s.arrays.cap for s in self.shards])
+        self._mr_row_cap = rc
         per = [build_multirow(s.arrays, rc) for s in self.shards]
         n_rows = max(m.rows.db.shape[0] for m in per)
         max_rows = max(m.max_rows for m in per)
@@ -194,7 +195,7 @@ class ShardedIVF:
                     metric=self.metric.value, multipler=self.multipler,
                     std_m=self.std_m,
                     max_topk=getattr(self, "max_topk", None),
-                    multirow_row_cap=(int(self.mr.rows.db.shape[1])
+                    multirow_row_cap=(int(self._mr_row_cap)
                                       if self.mr is not None else None))
         with open(os.path.join(dirpath, "meta.json"), "w") as f:
             json.dump(meta, f)

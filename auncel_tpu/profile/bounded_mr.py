@@ -318,6 +318,12 @@ def _mr_impl(arrays, mr, traces, q, require_acc, multipler, std_m, gt_kth,
             if is_forced:
                 sat = sat | (complete & (my_np == 0))
             new_np = jnp.floor(stage * multipler).astype(jnp.int32)
+            if is_forced:
+                # The forced decision must always take effect: with a tiny
+                # multipler (set_hyper allows < 8/nlist) floor(stage *
+                # multipler) can be 0 for every stage, and the A2
+                # compaction while-loop would spin forever on my_np == 0.
+                new_np = jnp.maximum(new_np, 1)
             eff = sat & (new_np > 0)
             my_np = jnp.where(eff, new_np, my_np)
             decided_at = jnp.where(eff, stage, decided_at)

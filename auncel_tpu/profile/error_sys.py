@@ -175,8 +175,11 @@ class ErrorSys:
         mr = self.index.multirow
         if mr is None:
             return None
-        if getattr(self, "_mr_key", None) != id(mr):
-            self._mr_key = id(mr)
+        # Identity of the layout OBJECT is the cache key (id() can be
+        # reused by a new layout after the old one is collected, which
+        # would pair stale wave plans with a different row layout).
+        if getattr(self, "_mr_obj", None) is not mr:
+            self._mr_obj = mr
             self._mr_rpl = np.asarray(mr.rows_per_list)
             self._mr_plans = {}
         return mr
@@ -365,18 +368,39 @@ class ErrorSys:
 
     def calibrate_time(self, probe_lo: int = 32, probe_hi: int = 128,
                        reps: int = 5) -> float:
-        """Measure the marginal per-probe cost (ms) used by time_search's
-        cost model. Differencing two fixed-nprobe searches cancels fixed
-        dispatch overhead."""
-        q = self.queries[:1] if self.queries is not None else np.zeros(
-            (1, self.index.d), np.float32)
+        """Measure the marginal per-probe cost (ms) of the ENGINE that
+        time_search spends budgets on — the reference budgets the very
+        loop it times (IndexIVF.cpp:545-549). Forcing the budget engine to
+        exact probe counts (per_probe_ms=1 makes n_budget == nprobe) and
+        differencing two counts cancels fixed dispatch overhead. Timing a
+        different engine (e.g. the padded fixed-nprobe path while budgets
+        are spent on the row layout) overestimates per-probe cost ~3x and
+        makes budgets systematically underspend."""
+        bsz = self._bucket(1)
+        q = np.zeros((bsz, self.index.d), np.float32)
+        if self.queries is not None:
+            q[:1] = self.queries[:1]
+        qd = jnp.asarray(q)
+        mr = self._mr()
+
+        def run(nprobe):
+            # n_budget = ceil(0.95 * b / t - 1); t=1, b=(n+1)/0.95 -> n
+            budget = jnp.full((bsz,), (nprobe + 1.0) / 0.95, jnp.float32)
+            if mr is not None:
+                return budgeted_search_mr(
+                    self.index.arrays, mr, qd, budget, jnp.float32(1.0),
+                    self.max_topk, self.index.metric,
+                    self._mr_oneshot_plan())
+            return budgeted_search(
+                self.index.arrays, qd, budget, jnp.float32(1.0),
+                self.max_topk, self.index.metric)
 
         def timed(nprobe):
-            self.index.search(q, self.max_topk, nprobe=nprobe)  # warm
+            jax.device_get(run(nprobe))  # warm + compile
             t0 = time.perf_counter()
             for _ in range(reps):
-                v, _ = self.index.search(q, self.max_topk, nprobe=nprobe)
-            np.asarray(v)
+                out = jax.device_get(run(nprobe))
+            del out
             return (time.perf_counter() - t0) / reps * 1e3
 
         t_lo, t_hi = timed(probe_lo), timed(probe_hi)

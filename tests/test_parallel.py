@@ -93,6 +93,28 @@ def test_global_ids_preserved(ds, sharded):
     np.testing.assert_array_equal(ids[:, 0], np.arange(5))
 
 
+def test_sharded_save_load_preserves_multirow(tmp_path, ds, sharded):
+    """save() must persist the row_cap passed to enable_multirow (not a
+    stacked-array axis length) so load() rebuilds the SAME row layout."""
+    sharded.train_profiles(ds.xq[:20], max_topk=50)
+    sharded.multipler = 8.0
+    sharded.enable_multirow(row_cap=64)
+    rpl_orig = np.asarray(jax.device_get(sharded.mr.rows_per_list))
+    p = str(tmp_path / "sharded_mr")
+    sharded.save(p)
+    acc = np.full(40, 0.9, np.float32)
+    v1, i1, n1 = sharded.search_bounded(ds.xq, acc, query_k=10)
+    sharded.mr = None  # leave fixture unchanged for other tests
+    loaded = ShardedIVF.load(p, mesh=make_mesh(4))
+    assert loaded.mr is not None
+    assert loaded._mr_row_cap == sharded._mr_row_cap == 64
+    np.testing.assert_array_equal(
+        np.asarray(jax.device_get(loaded.mr.rows_per_list)), rpl_orig)
+    v2, i2, n2 = loaded.search_bounded(ds.xq, acc, query_k=10)
+    np.testing.assert_array_equal(n1, n2)
+    np.testing.assert_array_equal(i1, i2)
+
+
 def test_dp_kmeans_matches_quality(ds):
     mesh = make_mesh(8)
     cents, err = dp_kmeans(ds.xb[:8000], 32, mesh, niter=10)
