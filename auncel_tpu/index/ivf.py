@@ -428,16 +428,43 @@ class IVFFlatIndex(Index):
             self._hnswq = hq
         return self._hnswq
 
+    def _mr_out_slots(self, nprobe: int) -> int:
+        """Row-slot bound for the fixed-nprobe multirow path: the sum of
+        the ``nprobe`` LARGEST per-list row counts upper-bounds every
+        query's expanded row budget (offsets[:, nprobe-1]), so no row
+        below a query's limit is ever dropped. Rounded up to a power of
+        two so a handful of compiled shapes serve all nprobe values."""
+        mr = self.multirow
+        if getattr(self, "_mr_cum_obj", None) is not mr:
+            self._mr_cum_obj = mr
+            rpl = np.sort(np.asarray(jax.device_get(mr.rows_per_list)))[::-1]
+            self._mr_cum = np.cumsum(rpl.astype(np.int64))
+        need = int(self._mr_cum[min(nprobe, self._mr_cum.size) - 1])
+        return 1 << max(need - 1, 0).bit_length()
+
     def search(self, q: np.ndarray, k: int,
                nprobe: int | None = None):
+        """Fixed-nprobe search. One hot path serves every mode (reference
+        IndexIVFFlat.cpp:117-137: search_preassigned is the single scan
+        loop): when the multirow layout is enabled this rides the SAME
+        0.92-packing row scan the bounded engine uses, so untuned/baseline
+        timings are apples-to-apples with bounded-search timings."""
         import time as _time
         from auncel_tpu.index.aux import ivf_stats
         nprobe = int(nprobe if nprobe is not None else self.nprobe)
         nprobe = min(nprobe, self.nlist)
         q = jnp.asarray(np.asarray(q, np.float32))
         t0 = _time.perf_counter()
+        ndis = q.shape[0] * nprobe * self.arrays.cap
         if self.coarse_hnsw_m:
             res = self._search_hnsw_coarse(q, k, nprobe)
+        elif self.multirow is not None:
+            from auncel_tpu.index.multirow import multirow_search_fixed
+            mr = self.multirow
+            out_slots = self._mr_out_slots(nprobe)
+            res = multirow_search_fixed(mr, q, k, nprobe, out_slots,
+                                        self.metric)
+            ndis = q.shape[0] * out_slots * mr.rows.db.shape[1]
         else:
             res = ivf_search_fixed(self.arrays, q, k, nprobe, self.metric)
         vals, ids = jax.device_get(res)  # one tunnel round-trip
@@ -445,7 +472,7 @@ class IVFFlatIndex(Index):
         # global counters (reference indexIVF_stats, IndexIVF.h:361-374)
         ivf_stats.nq += q.shape[0]
         ivf_stats.nlist_scanned += q.shape[0] * nprobe
-        ivf_stats.ndis += q.shape[0] * nprobe * self.arrays.cap
+        ivf_stats.ndis += ndis
         ivf_stats.search_time_ms += (_time.perf_counter() - t0) * 1e3
         return out
 
@@ -506,9 +533,7 @@ class IVFFlatIndex(Index):
         x = np.asarray(x, np.float32)
         assert ids.shape[0] == x.shape[0] and x.shape[1] == self.d
         a = self.arrays
-        db = np.asarray(a.db)
-        if a.sq_scale is not None or a.pq_codebooks is not None:
-            db = np.asarray(a.decode_block(a.db))
+        db = decoded_db(a)
         stored_ids = np.asarray(a.vec_ids)
         keep = stored_ids >= 0
         flat_x = db[keep].astype(np.float32)
@@ -586,6 +611,20 @@ class IVFFlatDedupIndex(IVFFlatIndex):
         return out_v, out_i
 
 
+def decoded_db(a) -> np.ndarray:
+    """Full decoded [nlist, cap, d] float32 database: the storage codec's
+    decode_block PLUS the per-list centroid for residual PQ (stored codes
+    approximate x - c_list there, scan.py:182-201) — the single route for
+    every host-side reconstruction (update_vectors / reconstruct /
+    remove_ids), mirroring the reference's sa_decode semantics."""
+    if a.sq_scale is not None or a.pq_codebooks is not None:
+        db = np.asarray(a.decode_block(a.db), np.float32)
+        if a.pq_residual is not None:
+            db = db + np.asarray(a.centroids, np.float32)[:, None, :]
+        return db
+    return np.asarray(a.db, np.float32)
+
+
 def _ivf_reconstruct(index: IVFFlatIndex, keys: np.ndarray) -> np.ndarray:
     """Recover stored vectors by id from the packed layout (reference
     IndexIVF::reconstruct via the direct map; here one mask pass over the
@@ -593,9 +632,7 @@ def _ivf_reconstruct(index: IVFFlatIndex, keys: np.ndarray) -> np.ndarray:
     return their reconstructions like the reference does)."""
     a = index.arrays
     ids = np.asarray(a.vec_ids)
-    db = np.asarray(a.decode_block(a.db)
-                    if (a.sq_scale is not None or a.pq_codebooks is not None)
-                    else a.db, np.float32)
+    db = decoded_db(a)
     flat_ids = ids.reshape(-1)
     flat_db = db.reshape(-1, index.d)
     order = np.argsort(flat_ids, kind="stable")

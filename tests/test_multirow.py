@@ -48,6 +48,26 @@ def test_multirow_matches_padded_layout(skewed):
         np.testing.assert_array_equal(np.asarray(v1), np.asarray(v2))
 
 
+def test_search_entry_rides_multirow(skewed):
+    """After enable_multirow, IVFFlatIndex.search() must serve the row
+    layout (one hot loop for all modes, reference IndexIVFFlat.cpp:117-137)
+    and return exactly the padded path's results."""
+    idx, xq = skewed
+    try:
+        for nprobe in (1, 3, 8, 32):
+            v1, i1 = idx.search(xq, 10, nprobe=nprobe)
+            idx.enable_multirow(row_cap=256)
+            assert idx.multirow is not None
+            v2, i2 = idx.search(xq, 10, nprobe=nprobe)
+            idx._multirow = None
+            idx._multirow_row_cap = None
+            np.testing.assert_array_equal(i1, i2)
+            np.testing.assert_array_equal(v1, v2)
+    finally:
+        idx._multirow = None
+        idx._multirow_row_cap = None
+
+
 def test_multirow_reduces_padding(skewed):
     idx, _ = skewed
     a = idx.arrays
