@@ -151,11 +151,12 @@ def _range_scan_all(arrays, qd, q_sq, cids, nprobe, metric):
 def remove_ids(index, selector: IDSelector) -> int:
     """Drop all stored vectors matched by the selector and repack
     (reference Index::remove_ids / IDSelector capability)."""
+    from auncel_tpu.index.ivf import decoded_db
     arrays = index.arrays
-    db = np.asarray(arrays.db)
-    if arrays.sq_scale is not None:
-        db = (db.astype(np.float32) * np.asarray(arrays.sq_scale)
-              + np.asarray(arrays.sq_bias))
+    # Decode through the storage codec (sq8/sq4-nibble/bf16/pq all decode
+    # via decoded_db — same route update_vectors takes): slicing raw codes
+    # here would re-add nibble-packed or PQ codes as "vectors".
+    db = decoded_db(arrays)
     ids = np.asarray(arrays.vec_ids)
     keep = (ids >= 0) & ~selector.is_member(ids)
     flat_x = db[keep]

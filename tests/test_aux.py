@@ -54,6 +54,39 @@ def test_id_selectors():
         b.is_member(np.asarray([3, 4, 7, 12])), [True, False, True, False])
 
 
+@pytest.mark.parametrize("storage", ["sq8", "sq4", "bf16", "pq4"])
+def test_remove_ids_quantized_storage(built, storage):
+    """remove_ids must decode through the codec (nibble-packed SQ4 and PQ
+    codes are NOT vectors; residual PQ needs the list centroid added back)
+    — the same route update_vectors takes."""
+    ds, _ = built
+    idx = IVFFlatIndex(ds.d, nlist=16, storage=storage)
+    idx.train(ds.xb[:4000])
+    idx.add(ds.xb[:1000])
+    removed = remove_ids(idx, IDSelectorRange(0, 100))
+    assert removed == 100
+    assert idx.ntotal == 900
+    _, ids = idx.exact_search(ds.xb[200:210], 1)
+    # surviving vectors must still round-trip to themselves (quantization
+    # noise is far smaller than inter-point distances in this dataset)
+    np.testing.assert_array_equal(ids[:, 0], np.arange(200, 210))
+    _, ids0 = idx.exact_search(ds.xb[:5], 1)
+    assert np.all(ids0[:, 0] >= 100)
+
+
+def test_reconstruct_residual_pq_adds_centroid(built):
+    """Residual-PQ reconstruction = centroid + decoded residual; decoding
+    the codes alone returns residuals (near zero), not vectors."""
+    ds, _ = built
+    idx = IVFFlatIndex(ds.d, nlist=16, storage="pq4")
+    idx.train(ds.xb[:4000])
+    idx.add(ds.xb[:1000])
+    rec = idx.reconstruct_n(0, 50)
+    orig = ds.xb[:50]
+    rel = np.linalg.norm(rec - orig, axis=1) / np.linalg.norm(orig, axis=1)
+    assert np.median(rel) < 0.25, "reconstruction should approximate x"
+
+
 def test_remove_ids(built):
     ds, _ = built
     idx = IVFFlatIndex(ds.d, nlist=16)
