@@ -14,6 +14,7 @@
 #include <Python.h>
 #include <string.h>
 #include <stdio.h>
+#include <stdlib.h>
 
 static char last_error[4096] = "";
 
@@ -46,6 +47,24 @@ static int ensure_runtime(void) {
     Py_InitializeEx(0);
   }
   PyGILState_STATE st = PyGILState_Ensure();
+  /* AUNCEL_C_PLATFORM=cpu pins the JAX backend (the axon sitecustomize
+   * overrides the JAX_PLATFORMS env var, so this must go through
+   * jax.config after import, before any backend initializes). */
+  const char *plat = getenv("AUNCEL_C_PLATFORM");
+  if (plat && *plat && !strchr(plat, '\'')) {
+    char cmd[256];
+    snprintf(cmd, sizeof(cmd),
+             "import jax; jax.config.update('jax_platforms', '%s')", plat);
+    PyRun_SimpleString(cmd);
+  }
+  /* The embedded interpreter does not put cwd on sys.path; make the
+   * package importable from (a) $AUNCEL_PY_ROOT if set, (b) the process
+   * cwd — covering both installed and in-tree clients. */
+  PyRun_SimpleString(
+      "import sys, os\n"
+      "for _p in (os.environ.get('AUNCEL_PY_ROOT'), os.getcwd()):\n"
+      "    if _p and _p not in sys.path:\n"
+      "        sys.path.insert(0, _p)\n");
   g_np = PyImport_ImportModule("numpy");
   if (!g_np) { set_error_from_python(); PyGILState_Release(st); return -1; }
   g_at = PyImport_ImportModule("auncel_tpu");
