@@ -22,6 +22,7 @@ and labels mirror the reference —
             target on held-out queries (the reference's run.sh loop).
 """
 
+import functools
 from typing import NamedTuple
 
 import numpy as np
@@ -65,6 +66,44 @@ def _mlp_apply(p: _MLP, x):
     return (h @ p.w3 + p.b3)[:, 0]
 
 
+@functools.partial(jax.jit,
+                   static_argnames=("max_topk", "query_k", "metric"))
+def _feature_kernel(arrays, q: jax.Array, max_topk: int, query_k: int,
+                    metric: Metric) -> jax.Array:
+    """[B, d + N_COARSE_FEAT + 3] feature matrix: query, top coarse
+    distance ratios, intermediate top-1/mid/k distance ratios after the
+    PRED_PREFIX-probe checkpoint (LAET/IndexIVF.cpp:567-695 features)."""
+    B = q.shape[0]
+    q_sq = sqnorms(q)
+    cdis, cids = coarse_rank(arrays, q, metric, q_sq=q_sq)
+    vals, ids = init_topk((B,), max_topk, metric)
+    limit = jnp.full((B,), arrays.nlist, jnp.int32)
+    vals, _ = scan_probe_range(arrays, q, q_sq, cids, vals, ids,
+                               limit, 0, PRED_PREFIX, metric)
+    cd = cdis[:, :N_COARSE_FEAT]
+    k = query_k
+    inter = jnp.stack([vals[:, 0], vals[:, max(k // 2 - 1, 0)],
+                       vals[:, k - 1]], axis=1)
+    inter = jnp.nan_to_num(inter, posinf=0.0, neginf=0.0)
+    # scale-free ratios stabilize training across datasets
+    denom = jnp.maximum(jnp.abs(cd[:, :1]), 1e-6)
+    return jnp.concatenate([q, cd / denom, inter / denom], axis=1)
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("max_topk", "query_k", "metric"))
+def _predict_kernel(params: "_MLP", arrays, q: jax.Array,
+                    feat_mean: jax.Array, feat_std: jax.Array,
+                    multiplier: jax.Array, max_topk: int, query_k: int,
+                    metric: Metric) -> jax.Array:
+    """Per-query nprobe prediction [B] int32, fully on device."""
+    feats = _feature_kernel(arrays, q, max_topk, query_k, metric)
+    x = (feats - feat_mean) / feat_std
+    pred = _mlp_apply(params, x)
+    n = jnp.exp(pred) * multiplier
+    return jnp.clip(jnp.round(n), 1, arrays.nlist).astype(jnp.int32)
+
+
 class LearnedTermination:
     def __init__(self, index: IVFFlatIndex, query_k: int,
                  max_topk: int = 100, hidden: int = 64, seed: int = 0):
@@ -83,26 +122,13 @@ class LearnedTermination:
 
     def _features(self, q: np.ndarray) -> np.ndarray:
         """Checkpoint features after scanning PRED_PREFIX probes
-        (LAET: query + intermediate result distances)."""
-        arrays = self.index.arrays
-        metric = self.index.metric
+        (LAET: query + intermediate result distances). ONE jitted device
+        program — the eager formulation cost ~30 ms/op through the axon
+        tunnel and made the measured qps a dispatch artifact."""
         qd = jnp.asarray(np.asarray(q, np.float32))
-        q_sq = sqnorms(qd)
-        cdis, cids = coarse_rank(arrays, qd, metric, q_sq=q_sq)
-        vals, ids = init_topk((q.shape[0],), self.max_topk, metric)
-        limit = jnp.full((q.shape[0],), arrays.nlist, jnp.int32)
-        vals, ids = scan_probe_range(arrays, qd, q_sq, cids, vals, ids,
-                                     limit, 0, PRED_PREFIX, metric)
-        vals = np.asarray(vals)
-        cd = np.asarray(cdis)[:, :N_COARSE_FEAT]
-        k = self.query_k
-        inter = np.stack([vals[:, 0], vals[:, max(k // 2 - 1, 0)],
-                          vals[:, k - 1]], axis=1)
-        inter = np.nan_to_num(inter, posinf=0.0, neginf=0.0)
-        # scale-free ratios stabilize training across datasets
-        denom = np.maximum(np.abs(cd[:, :1]), 1e-6)
-        return np.concatenate(
-            [np.asarray(q, np.float32), cd / denom, inter / denom], axis=1)
+        return np.asarray(jax.device_get(_feature_kernel(
+            self.index.arrays, qd, self.max_topk, self.query_k,
+            self.index.metric)))
 
     def _labels(self, xq: np.ndarray, gt_I: np.ndarray) -> np.ndarray:
         """Minimal nprobe whose probed cells contain the true top-k
@@ -154,18 +180,30 @@ class LearnedTermination:
 
     # ------------------------------------------------------------ online
 
-    def predict_nprobe(self, q: np.ndarray) -> np.ndarray:
+    def _predict_dev(self, q: np.ndarray) -> jax.Array:
+        """Device-resident per-query nprobe predictions: features + MLP +
+        multiplier scaling fused into one dispatch (no host round-trip of
+        the feature matrix)."""
         assert self.params is not None, "train first"
-        feats = (self._features(q) - self._feat_mean) / self._feat_std
-        pred = np.asarray(_mlp_apply(self.params, jnp.asarray(feats)))
-        n = np.exp(pred) * self.multiplier
-        return np.clip(np.round(n), 1, self.index.nlist).astype(np.int64)
+        qd = jnp.asarray(np.asarray(q, np.float32))
+        return _predict_kernel(
+            self.params, self.index.arrays, qd,
+            jnp.asarray(self._feat_mean, jnp.float32),
+            jnp.asarray(self._feat_std, jnp.float32),
+            jnp.float32(self.multiplier), self.max_topk, self.query_k,
+            self.index.metric)
+
+    def predict_nprobe(self, q: np.ndarray) -> np.ndarray:
+        return np.asarray(jax.device_get(self._predict_dev(q)),
+                          np.int64)
 
     def search(self, q: np.ndarray, k: int):
-        """Per-query predicted-nprobe search (LAET search_mode=2)."""
-        nprobe = self.predict_nprobe(q)
+        """Per-query predicted-nprobe search (LAET search_mode=2): one
+        predict dispatch + one scan dispatch + one narrow fetch."""
+        nprobe_d = self._predict_dev(q)
         # reuse the budget engine: budget == probes at unit cost
-        budgets = jnp.asarray((nprobe + 1.0) / 0.95)
+        # (n_budget = ceil(0.95 * b - 1) with b = (n + 1) / 0.95 -> n)
+        budgets = (nprobe_d.astype(jnp.float32) + 1.0) / 0.95
         mr = getattr(self.index, "multirow", None)
         if mr is not None:
             from auncel_tpu.profile.bounded_mr import (
@@ -183,8 +221,10 @@ class LearnedTermination:
                 self.index.arrays, jnp.asarray(np.asarray(q, np.float32)),
                 budgets, jnp.float32(1.0), self.max_topk,
                 self.index.metric)
-        return (np.asarray(vals)[:, :k], np.asarray(ids, np.int64)[:, :k],
-                nprobe)
+        # one fetch for everything (nb == the predicted per-query nprobe)
+        vals, ids, nb = jax.device_get((vals, ids, nb))
+        return (vals[:, :k], ids[:, :k].astype(np.int64),
+                nb.astype(np.int64))
 
     def tune_multiplier(self, xq: np.ndarray, gt_D: np.ndarray,
                         target_recall: float, lo: float = 0.25,
