@@ -30,6 +30,22 @@ from auncel_tpu.ops.distance import sqnorms, pairwise_scores
 from auncel_tpu.ops.topk import topk_scores, init_topk
 
 
+@functools.partial(jax.jit, static_argnames=("start", "width", "metric"))
+def _finish_uploaded(blocks, block_ids, cents, cent_sq, q, q_sq,
+                     scan_slots, vals, ids, my_np, start, width, metric):
+    """Phase B of on-disk bounded search: continue each query's own probe
+    budget over a freshly paged block batch (slots [start, start+width) of
+    the full ranking, per-query limit my_np)."""
+    db_sq = jnp.sum(jnp.square(blocks), axis=-1) * (block_ids >= 0)
+    arrays = IVFArrays(
+        centroids=cents, cent_sq=cent_sq, db=blocks, db_sq=db_sq,
+        vec_ids=block_ids,
+        list_sizes=jnp.zeros((blocks.shape[0],), jnp.int32),
+        interdis=jnp.zeros((1, 1), jnp.float32))
+    return scan_probe_range(arrays, q, q_sq, scan_slots, vals, ids, my_np,
+                            start, width, metric)
+
+
 @functools.partial(jax.jit, static_argnames=("nprobe", "k", "metric"))
 def _scan_uploaded(blocks, block_ids, cents, cent_sq, q, probe, nprobe,
                    k, metric):
@@ -51,9 +67,11 @@ def _scan_uploaded(blocks, block_ids, cents, cent_sq, q, probe, nprobe,
 
 class OnDiskIVFIndex:
     """Read-only IVF-Flat index served from an on-disk directory written
-    by ``save_index_ondisk`` — fixed-nprobe search path (the reference's
-    OnDiskInvertedLists serves the same stock search path; the
-    error-bounded engine needs the index resident in HBM)."""
+    by ``save_index_ondisk``. Serves both the fixed-nprobe path and —
+    after ``attach_profile`` — the error-bounded path (the reference's
+    OnDiskInvertedLists plugs transparently into the tune branch of
+    search_preassigned, OnDiskInvertedLists.h:51 + IndexIVF.cpp:497-673);
+    each phase pages only the lists it scans."""
 
     def __init__(self, dirpath: str):
         with open(os.path.join(dirpath, "header.json")) as f:
@@ -70,6 +88,12 @@ class OnDiskIVFIndex:
         self.centroids = np.load(os.path.join(dirpath, "centroids.npy"))
         self._cents = jnp.asarray(self.centroids)
         self._cent_sq = sqnorms(self._cents)
+        # bounded-search state (attach_profile)
+        self.traces = None
+        self.multipler = 1.0
+        self.std_m = 1.0
+        self.max_topk = 100
+        self._interdis = None
 
     def _coarse(self, q: jax.Array, nprobe: int):
         scores = pairwise_scores(q, self._cents, self.metric,
@@ -83,6 +107,104 @@ class OnDiskIVFIndex:
         while b < n:
             b *= 2
         return b
+
+    def _page_blocks(self, lists: np.ndarray):
+        """Page the given lists from disk (deduplicated) and upload one
+        compact block batch padded to a power-of-two block count."""
+        uniq = np.unique(np.asarray(lists).ravel())
+        uniq = uniq[uniq >= 0]
+        nb = self._bucket(max(int(uniq.size), 1))
+        cap = self.db.shape[1]
+        blocks = np.zeros((nb, cap, self.d), np.float32)
+        block_ids = np.full((nb, cap), -1, np.int32)
+        # this indexing is what pages the touched lists from disk
+        blocks[: uniq.size] = self.db[uniq]
+        block_ids[: uniq.size] = self.vec_ids[uniq]
+        return jnp.asarray(blocks), jnp.asarray(block_ids), uniq
+
+    def attach_profile(self, traces, multipler: float = 1.0,
+                       std_m: float = 1.0, max_topk: int = 100) -> None:
+        """Bind a trained phi->U profile for error-bounded serving:
+        ``traces`` is an ErrorSys's TraceSet or a path saved by
+        ``save_trace_set``. The inter-centroid matrix is rebuilt from the
+        resident centroids (tiny; the corpus stays on disk)."""
+        from auncel_tpu.index.ivf import compute_interdis
+        if isinstance(traces, str):
+            from auncel_tpu.profile.trace import load_trace_set
+            traces = load_trace_set(traces)
+        self.traces = traces
+        self.multipler = float(multipler)
+        self.std_m = float(std_m)
+        self.max_topk = int(max_topk)
+        if self._interdis is None:
+            self._interdis = jnp.asarray(
+                compute_interdis(self.centroids, self.metric))
+
+    def search_bounded(self, q: np.ndarray, require_acc: np.ndarray,
+                       query_k: int):
+        """Per-query error-bounded search served FROM DISK, two phases
+        (the architecture already separates them): the decide phase pages
+        only the <= nlist/8 decision-prefix lists (one deduplicated batch
+        upload), then phase B pages only each query's decided budget
+        beyond the prefix. Decisions (my_nprobe, result ids) match the
+        resident engine exactly; distance values agree within the
+        framework's 1e-5 value-consistency band (chunk-shape reduce-order
+        noise). Returns (vals [B, query_k], ids, my_nprobe)."""
+        from auncel_tpu.profile.geometry import n_boundaries
+        from auncel_tpu.profile.bounded import bounded_search_decide_ranked
+        assert self.traces is not None, "attach_profile first"
+        q = np.asarray(q, np.float32)
+        B, nlist = q.shape[0], self.nlist
+        qd = jnp.asarray(q)
+        rank_k = min(nlist, n_boundaries(nlist) + 1)
+        rank_k = max(rank_k, min(nlist, nlist // 8))
+        cdis, cids = self._coarse(qd, rank_k)
+        cids_np = np.asarray(cids)
+        blocks, block_ids, uniq = self._page_blocks(cids_np)
+        slots = np.searchsorted(uniq, cids_np).astype(np.int32)
+        compact = IVFArrays(
+            centroids=self._cents, cent_sq=self._cent_sq, db=blocks,
+            db_sq=jnp.sum(jnp.square(blocks), axis=-1) * (block_ids >= 0),
+            vec_ids=block_ids,
+            list_sizes=jnp.zeros((blocks.shape[0],), jnp.int32),
+            interdis=self._interdis)
+        acc = jnp.asarray(np.asarray(require_acc, np.float32))
+        vals, ids, my_np_d, decided_at_d, _, q_sq = \
+            bounded_search_decide_ranked(
+                compact, self.traces, qd, acc,
+                jnp.float32(self.multipler), jnp.float32(self.std_m),
+                cdis, cids, jnp.asarray(slots), query_k, self.max_topk,
+                self.metric)
+        my_np, decided_at = jax.device_get((my_np_d, decided_at_d))
+        target = np.minimum(np.maximum(my_np, decided_at),
+                            nlist).astype(np.int32)
+        cap_stage = nlist // 8
+        if np.any(target > cap_stage):
+            width = self._bucket(int(target.max()) - cap_stage)
+            width = min(width, nlist - cap_stage)
+            cdis_f, cids_f = self._coarse(qd, min(nlist,
+                                                  cap_stage + width))
+            cids_f_np = np.asarray(cids_f)
+            # page only the tail slots some query actually scans
+            tail = [cids_f_np[r, cap_stage:target[r]]
+                    for r in range(B) if target[r] > cap_stage]
+            blocks2, block_ids2, uniq2 = self._page_blocks(
+                np.concatenate(tail))
+            t = cids_f_np[:, cap_stage:cap_stage + width]
+            pos = np.clip(np.searchsorted(uniq2, t), 0,
+                          max(uniq2.size - 1, 0))
+            ok = uniq2[pos] == t
+            # slots a query never scans (>= its target) map to block 0;
+            # the per-query limit masks them before any distance counts
+            sl2 = np.zeros((B, cap_stage + width), np.int32)
+            sl2[:, cap_stage:] = np.where(ok, pos, 0)
+            vals, ids = _finish_uploaded(
+                blocks2, block_ids2, self._cents, self._cent_sq, qd, q_sq,
+                jnp.asarray(sl2), vals, ids, jnp.asarray(target),
+                cap_stage, width, self.metric)
+        vals, ids = jax.device_get((vals, ids))
+        return (vals[:, :query_k], ids[:, :query_k].astype(np.int64),
+                target)
 
     def search(self, q: np.ndarray, k: int, nprobe: int = 8):
         """Fixed-nprobe search: device coarse rank -> page + upload the

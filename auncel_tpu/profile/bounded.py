@@ -128,6 +128,37 @@ def bounded_search_decide(
 
 
 @functools.partial(
+    jax.jit, static_argnames=("query_k", "max_topk", "metric"))
+def bounded_search_decide_ranked(
+    arrays: IVFArrays,
+    traces: TraceSet,
+    q: jax.Array,
+    require_acc: jax.Array,
+    multipler: jax.Array,
+    std_m: jax.Array,
+    cdis: jax.Array,        # [B, rank_k] coarse distances (true ranking)
+    cids: jax.Array,        # [B, rank_k] TRUE list ids (geometry)
+    scan_slots: jax.Array,  # [B, rank_k] block ids into arrays.db (paged)
+    query_k: int,
+    max_topk: int,
+    metric: Metric,
+):
+    """Decision phase over an EXTERNALLY ranked and remapped probe set —
+    the on-disk path (reference OnDiskInvertedLists plugging transparently
+    into the tune branch of search_preassigned, OnDiskInvertedLists.h:51 +
+    IndexIVF.cpp:497-673): ``arrays.db`` holds only the paged decision
+    lists; ``scan_slots`` maps ranked probe slots to uploaded blocks while
+    centroid geometry keeps true list ids. Decisions (my_nprobe) and
+    result ids match the resident padded engine exactly; distance values
+    agree within the 1e-5 value-consistency band (block-shape reduce-order
+    noise)."""
+    return _bounded_impl(arrays, traces, q, require_acc, multipler, std_m,
+                         jnp.zeros(q.shape[0], jnp.float32), query_k,
+                         max_topk, metric, False, decide_only=True,
+                         ranked=(cdis, cids, scan_slots))
+
+
+@functools.partial(
     jax.jit, static_argnames=("start", "width", "metric"))
 def finish_scan(
     arrays: IVFArrays,
@@ -185,17 +216,28 @@ def bounded_search(
 
 
 def _bounded_impl(arrays, traces, q, require_acc, multipler, std_m, gt_kth,
-                  query_k, max_topk, metric, with_true_recall, decide_only):
+                  query_k, max_topk, metric, with_true_recall, decide_only,
+                  ranked=None):
     from auncel_tpu.profile.geometry import n_boundaries
     B = q.shape[0]
     nlist = arrays.nlist
     q_sq = sqnorms(q)
-    # Decide-only needs the ranking prefix only: nlist/8 probe slots + the
-    # boundary window; the full nlist-wide sort is deferred to the phase-B
-    # straggler subset (ErrorSys computes it for those rows alone).
-    rank_k = min(nlist, n_boundaries(nlist) + 1) if decide_only else nlist
-    rank_k = max(rank_k, min(nlist, nlist // 8))
-    cdis, cids = coarse_rank(arrays, q, metric, q_sq=q_sq, rank_k=rank_k)
+    if ranked is None:
+        # Decide-only needs the ranking prefix only: nlist/8 probe slots +
+        # the boundary window; the full nlist-wide sort is deferred to the
+        # phase-B straggler subset (ErrorSys computes it for those rows
+        # alone).
+        rank_k = min(nlist, n_boundaries(nlist) + 1) if decide_only else \
+            nlist
+        rank_k = max(rank_k, min(nlist, nlist // 8))
+        cdis, cids = coarse_rank(arrays, q, metric, q_sq=q_sq,
+                                 rank_k=rank_k)
+        scan_slots = cids
+    else:
+        # Externally ranked + remapped probes (the on-disk path):
+        # ``cids`` stay true list ids (boundary geometry needs them),
+        # ``scan_slots`` index the paged blocks in ``arrays.db``.
+        cdis, cids, scan_slots = ranked
     dtb = boundary_distances(cdis, cids, arrays.interdis, metric)
     vals, ids = init_topk((B,), max_topk, metric)
 
@@ -223,7 +265,8 @@ def _bounded_impl(arrays, traces, q, require_acc, multipler, std_m, gt_kth,
             vals, ids, my_np, decided_at, stoped, pre_val = st
             limit = jnp.where(my_np > 0, my_np, nlist)
             vals, ids = scan_probe_range(
-                arrays, q, q_sq, cids, vals, ids, limit, prev, width, metric)
+                arrays, q, q_sq, scan_slots, vals, ids, limit, prev, width,
+                metric)
             if not is_decision:
                 return vals, ids, my_np, decided_at, stoped, pre_val
 
