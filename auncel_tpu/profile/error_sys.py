@@ -364,6 +364,64 @@ class ErrorSys:
         return (vals[:size, : self.query_topk],
                 ids[:size, : self.query_topk].astype(np.int64))
 
+    def search_stream(self, start: int, total: int,
+                      window: int | None = None, depth: int = 2):
+        """Sustained-stream bounded serving: keep up to ``depth`` windows
+        in flight — window i+1 is DISPATCHED before window i's results
+        are fetched, so the ~27 ms/MB result fetch of one window overlaps
+        the device execution of the next (dispatches themselves cannot
+        overlap through the axon tunnel; fetches and compute of different
+        windows can). Results and per-query bookkeeping are identical to
+        looping search() over the same windows. Requires the multirow
+        one-shot engine (the padded paths fetch mid-search and gain
+        nothing from pipelining — they fall back to plain chunking)."""
+        if self._mr() is None:
+            return self.search(start, total)
+        window = min(window or self.BATCH_BUCKETS[-1],
+                     self.BATCH_BUCKETS[-1])
+        outs, in_flight = [], []
+        for off in range(0, total, window):
+            size = min(window, total - off)
+            in_flight.append(self.dispatch_bounded(start + off, size))
+            if len(in_flight) >= depth:
+                outs.append(self.finish_bounded(in_flight.pop(0)))
+        while in_flight:
+            outs.append(self.finish_bounded(in_flight.pop(0)))
+        return (np.concatenate([o[0] for o in outs]),
+                np.concatenate([o[1] for o in outs]))
+
+    def dispatch_bounded(self, start: int, size: int):
+        """Asynchronously dispatch ONE bounded-search window on the
+        one-shot engine (no fetch): returns an opaque handle for
+        finish_bounded. The building block of pipelined serving — a
+        caller can keep the next window's dispatch in flight while the
+        previous window's results stream back through the tunnel."""
+        mr = self._mr()
+        assert mr is not None, "dispatch_bounded needs the multirow engine"
+        assert size <= self.BATCH_BUCKETS[-1]
+        want_true = self.profile and self.gt_D is not None
+        q_all, acc_all, gtk_all = self._dev_all()
+        out = _oneshot_window(
+            self.index.arrays, mr, self.traces, q_all, acc_all,
+            gtk_all, jnp.float32(self.multipler),
+            jnp.float32(self.std_m), jnp.int32(start),
+            jnp.int32(size), self._bucket(size), self.query_topk,
+            self.max_topk, self.index.metric, self._mr_oneshot_plan(),
+            want_true)
+        return (start, size, want_true, out)
+
+    def finish_bounded(self, handle):
+        """Fetch one dispatch_bounded handle's results and record the
+        per-query bookkeeping (my_nprobe / n_scanned / t_recalls)."""
+        start, size, want_true, out = handle
+        vals, ids, my_np, n_scanned, t_rec = jax.device_get(out)
+        if want_true:
+            self.t_recalls[start:start + size] = t_rec[:size]
+        self.my_nprobe[start:start + size] = my_np[:size]
+        self.n_scanned[start:start + size] = n_scanned[:size]
+        return (vals[:size, : self.query_topk],
+                ids[:size, : self.query_topk].astype(np.int64))
+
     # -------------------------------------------------------- time budget
 
     def calibrate_time(self, probe_lo: int = 32, probe_hi: int = 128,

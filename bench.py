@@ -137,6 +137,36 @@ def main():
     if not bound_ok:
         qps = 0.0
 
+    if bound_ok:
+        # Sustained-stream serving: keep one dispatch in flight so a
+        # window's ~MB result fetch overlaps the next window's device
+        # execution (the per-batch tunnel fixed cost was the round-2
+        # bottleneck; README known-win #1).
+        log("sustained-stream serving (pipelined dispatch/fetch)")
+        reps = 8
+        from auncel_tpu.autotune import recall_counts
+        from auncel_tpu.types import Metric
+        es.search(N_TRAIN_Q, N_TEST_Q)  # warm
+        pending = []
+        outs = []
+        t0 = time.perf_counter()
+        for _ in range(reps):
+            pending.append(es.dispatch_bounded(N_TRAIN_Q, N_TEST_Q))
+            if len(pending) > 1:
+                outs.append(es.finish_bounded(pending.pop(0)))
+        while pending:
+            outs.append(es.finish_bounded(pending.pop(0)))
+        dt = time.perf_counter() - t0
+        stream_qps = reps * N_TEST_Q / dt
+        worst = min(
+            float(recall_counts(D_out, gt_D[N_TRAIN_Q:], K,
+                                Metric.L2).min()) / K
+            for D_out, _ in outs)
+        log(f"stream qps={stream_qps:.1f} ({stream_qps / qps:.2f}x "
+            f"one-shot), worst min_recall={worst:.3f}")
+        if worst >= 1.0 - EPS and stream_qps > qps:
+            qps = stream_qps
+
     print(json.dumps({
         "metric": "bounded_search_qps",
         "value": round(qps, 1),

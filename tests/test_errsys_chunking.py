@@ -34,3 +34,11 @@ def test_search_larger_than_max_bucket(monkeypatch):
     np.testing.assert_array_equal(np1, np2)
     np.testing.assert_array_equal(D_chunk, D_one)
     np.testing.assert_array_equal(I_chunk, I_one)
+
+    # pipelined stream serving returns the same results and bookkeeping
+    # as looping search() over the same windows
+    D_st, I_st = es.search_stream(0, 70, window=32, depth=2)
+    np_st = es.my_nprobe[:70].copy()
+    np.testing.assert_array_equal(np_st, np2)
+    np.testing.assert_array_equal(D_st, D_one)
+    np.testing.assert_array_equal(I_st, I_one)
