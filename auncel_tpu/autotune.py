@@ -93,7 +93,8 @@ def set_index_parameter(index, name: str, value) -> None:
         index.nprobe = int(value)
     elif name == "efSearch" and isinstance(index, HNSWIndex):
         index.ef_search = int(value)
-    elif name in ("ht", "polysemous_ht") and isinstance(index, IndexPQ):
+    elif (name in ("ht", "polysemous_ht")
+          and isinstance(index, (IndexPQ, IVFFlatIndex))):
         index.polysemous_ht = int(value)
     else:
         raise ValueError(
@@ -140,7 +141,15 @@ class ParameterSpace:
             inner = self.parameter_ranges(index.base)
             return [("k_factor", [1, 2, 4, 8])] + inner
         if isinstance(index, IVFFlatIndex):
-            return [("nprobe", self.candidate_nprobes())]
+            dims = [("nprobe", self.candidate_nprobes())]
+            if getattr(index, "polysemous", False):
+                # the reference sweeps ht on the IVFPQ path too
+                # (ParameterSpace ranges, AutoTune.cpp:353-408)
+                nbits = 8 * int(index.storage[2:])
+                dims.append(("ht", sorted({nbits // 8, nbits // 4,
+                                           nbits // 2, 3 * nbits // 4,
+                                           nbits})))
+            return dims
         if isinstance(index, HNSWIndex):
             return [("efSearch", [16, 32, 64, 128, 256, 512])]
         if isinstance(index, IndexPQ) and index.polysemous:
@@ -195,3 +204,74 @@ class ParameterSpace:
             return nlist
         return int(dict(p.split("=") for p in pt.key.split(","))
                    .get("nprobe", nlist))
+
+
+class MatrixStats:
+    """Dataset diagnostics with human-readable comments (reference
+    ``MatrixStats``, AutoTune.h:218 / AutoTune.cpp:1010-1190): per-dim
+    mean/std/range, NaN/Inf counts, duplicate detection, norm range, and
+    the same advisory comments ("vectors are normalized...", dimension
+    warnings). Vectorized numpy instead of the reference's per-element
+    accumulation loop."""
+
+    def __init__(self, x: np.ndarray):
+        x = np.asarray(x, np.float32)
+        self.n, self.d = x.shape
+        lines = [f"analyzing {self.n} vectors of size {self.d}"]
+        if self.d > 1024:
+            lines.append(
+                "indexing this many dimensions is hard, please consider "
+                "dimensionality reduction (with PCAMatrix)")
+        nan = np.isnan(x)
+        inf = np.isinf(x)
+        valid = ~(nan | inf)
+        self.per_dim = dict(
+            n_nan=nan.sum(0), n_inf=inf.sum(0),
+            n0=((x == 0) & valid).sum(0),
+            min=np.where(valid, x, np.inf).min(0),
+            max=np.where(valid, x, -np.inf).max(0),
+            mean=np.nanmean(np.where(inf, np.nan, x), axis=0),
+            stddev=np.nanstd(np.where(inf, np.nan, x), axis=0),
+        )
+        sum2 = np.einsum("ij,ij->i", x.astype(np.float64),
+                         x.astype(np.float64))
+        finite = np.isfinite(sum2)
+        self.n_valid = int(finite.sum())
+        nz = finite & (sum2 > 0)
+        self.n0 = int((finite & (sum2 == 0)).sum())
+        self.min_norm2 = float(np.sqrt(sum2[nz].min())) if nz.any() else 0.0
+        self.max_norm2 = float(np.sqrt(sum2[nz].max())) if nz.any() else 0.0
+        if self.n_valid == self.n:
+            lines.append("no NaN or Infs in data")
+        else:
+            lines.append(
+                f"{self.n - self.n_valid} vectors contain NaN or Inf, "
+                "expect bad results with indexing!")
+        # duplicate detection: exact row uniqueness (the reference hashes
+        # rows and reports the most-copied vector)
+        _, first, counts = np.unique(x, axis=0, return_index=True,
+                                     return_counts=True)
+        self.n_distinct = int(counts.size)
+        if self.n_distinct == self.n:
+            lines.append("all vectors are distinct")
+        else:
+            lines.append(f"{self.n_distinct} vectors are distinct "
+                         f"({100.0 * self.n_distinct / self.n:.2f}%)")
+            top = int(np.argmax(counts))
+            lines.append(f"vector {int(first[top])} has "
+                         f"{int(counts[top])} copies")
+        lines.append(f"range of L2 norms=[{self.min_norm2:g}, "
+                     f"{self.max_norm2:g}] ({self.n0} null vectors)")
+        if self.max_norm2 < self.min_norm2 * 1.0001:
+            lines.append("vectors are normalized, inner product and L2 "
+                         "search are equivalent")
+        if self.max_norm2 > self.min_norm2 * 100:
+            lines.append("vectors have very large differences in norms, "
+                         "is this normal?")
+        rng0 = (self.per_dim["max"] == self.per_dim["min"]).sum()
+        if rng0:
+            lines.append(f"{int(rng0)} dimensions have constant values")
+        self.comments = "\n".join(lines) + "\n"
+
+    def __str__(self):
+        return self.comments

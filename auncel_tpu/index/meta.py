@@ -131,6 +131,71 @@ class IndexShards(Index):
             s.reset()
 
 
+class IndexSplitVectors(Index):
+    """Dimension-sliced federation (reference ``IndexSplitVectors``,
+    MetaIndexes.h:82 / MetaIndexes.cpp:224-297): each sub-index owns a
+    contiguous slice of the input dimensions; a k=1 search runs every
+    sub-index on its slice and composes the result as a multi-index
+    quantizer cell — label = sum(label_i * prod(ntotal of earlier subs)),
+    distance = sum of sub-distances. ``add``/``train`` are unsupported,
+    matching the reference (sub-indexes are populated directly)."""
+
+    def __init__(self, d: int, threaded: bool = False):
+        self.d = d
+        self.threaded = threaded  # API parity; composition is host-side
+        self.metric = Metric.L2
+        self.sub_indexes: list[Index] = []
+        self.sum_d = 0
+        self.is_trained = True
+
+    @property
+    def ntotal(self):
+        if not self.sub_indexes:
+            return 0
+        n = 1
+        for s in self.sub_indexes:
+            n *= s.ntotal
+        return n
+
+    def add_sub_index(self, index: Index):
+        self.sub_indexes.append(index)
+        self.sum_d += index.d
+
+    def add(self, x, ids=None):
+        raise NotImplementedError(
+            "IndexSplitVectors: add sub-indexes, not vectors "
+            "(MetaIndexes.cpp:218)")
+
+    def train(self, x):
+        raise NotImplementedError("not implemented (MetaIndexes.cpp:299)")
+
+    def search(self, q, k):
+        assert k == 1, "search implemented only for k=1 (reference parity)"
+        assert self.sum_d == self.d, \
+            "not enough indexes compared to # dimensions"
+        q = np.asarray(q, np.float32)
+        n = q.shape[0]
+        vals = np.zeros((n, 1), np.float32)
+        ids = np.zeros((n, 1), np.int64)
+        ofs, factor = 0, 1
+        for i, sub in enumerate(self.sub_indexes):
+            v, lab = sub.search(q[:, ofs:ofs + sub.d], 1)
+            lab = np.asarray(lab, np.int64)
+            if i == 0:
+                vals, ids = np.array(v), lab
+            else:
+                bad = (ids < 0) | (lab < 0)
+                ids = np.where(bad, -1, ids + lab * factor)
+                vals = np.where(bad, np.nan, vals + v)
+            ofs += sub.d
+            factor *= sub.ntotal
+        return vals, ids
+
+    def reset(self):
+        for s in self.sub_indexes:
+            s.reset()
+
+
 class IndexReplicas(Index):
     """Round-robin queries across identical replicas (IndexReplicas.h).
     On a single host this is a throughput construct; results from any

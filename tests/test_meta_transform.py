@@ -124,3 +124,48 @@ def test_factory_transform_grammar(ds):
     idx2.add(ds.xb)
     v, _ = idx2.search(ds.xq[:2], 3)
     assert np.all(v <= 1.0 + 1e-5)
+
+
+def test_index_split_vectors(ds):
+    """Dimension-sliced composition (MetaIndexes.cpp:224-297): the
+    composite label encodes per-slice nearest cells mixed-radix, and the
+    composite distance is the sum of slice distances."""
+    from auncel_tpu.index.meta import IndexSplitVectors
+    d0 = 16
+    sub1 = FlatIndex(d0)
+    sub2 = FlatIndex(ds.d - d0)
+    cells = ds.xb[:50]
+    sub1.add(cells[:, :d0])
+    sub2.add(cells[:, d0:])
+    sp = IndexSplitVectors(ds.d)
+    sp.add_sub_index(sub1)
+    sp.add_sub_index(sub2)
+    assert sp.ntotal == 50 * 50
+    v, i = sp.search(ds.xq, 1)
+    # reproduce by brute force on each slice
+    for r in range(4):
+        q = ds.xq[r]
+        d1 = ((cells[:, :d0] - q[:d0]) ** 2).sum(1)
+        d2 = ((cells[:, d0:] - q[d0:]) ** 2).sum(1)
+        lab = int(np.argmin(d1)) + int(np.argmin(d2)) * 50
+        assert i[r, 0] == lab
+        np.testing.assert_allclose(v[r, 0], d1.min() + d2.min(), rtol=1e-4)
+    with pytest.raises(NotImplementedError):
+        sp.add(ds.xb[:1])
+    with pytest.raises(AssertionError):
+        sp.search(ds.xq, 2)
+
+
+def test_matrix_stats(ds):
+    from auncel_tpu.autotune import MatrixStats
+    x = ds.xb[:500].copy()
+    x[7] = x[3]
+    st = MatrixStats(x)
+    assert st.n_distinct == 499
+    assert "499 vectors are distinct" in st.comments
+    assert "vector 3 has 2 copies" in st.comments
+    xn = x / np.linalg.norm(x, axis=1, keepdims=True)
+    assert "vectors are normalized" in MatrixStats(xn).comments
+    bad = x.copy()
+    bad[0, 0] = np.nan
+    assert "NaN or Inf" in MatrixStats(bad).comments
