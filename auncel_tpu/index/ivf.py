@@ -105,6 +105,8 @@ class IVFFlatIndex(Index):
         storage: str = "f32",
         pq_residual: bool = True,
         coarse: str = "kmeans",
+        polysemous: bool = False,
+        polysemous_ht: int = 0,
     ):
         """``storage``: "f32" (raw), "bf16", "sq8"/"sq4" (per-dim affine
         scalar quantization, the reference's IndexIVFScalarQuantizer
@@ -136,6 +138,10 @@ class IVFFlatIndex(Index):
         self.kmeans_params = kmeans_params or KmeansParams()
         self.cap_quantile = cap_quantile
         self.pq_residual = pq_residual
+        # polysemous filter on PQ storage (reference IndexIVFPQ
+        # ST_polysemous; ht=0 = filter off, IndexPQ.h:24)
+        self.polysemous = polysemous
+        self.polysemous_ht = polysemous_ht
         self.is_trained = False
         self.nprobe = 1  # default for plain search() (IndexIVF.h default)
         self.centroids: np.ndarray | None = None
@@ -349,6 +355,18 @@ class IVFFlatIndex(Index):
                 target = xd
                 sample = x[:nt]
             pq = train_pq(sample, M)
+            if self.polysemous:
+                # reorder each subquantizer so code Hamming distance
+                # tracks centroid distance (PolysemousTraining::
+                # optimize_pq_for_hamming; same SA reordering IndexPQ uses)
+                from auncel_tpu.ops.polysemous import reorder_codebook
+                from auncel_tpu.ops.pq import PQCodebooks
+                books = np.asarray(pq.codebooks)
+                out = np.empty_like(books)
+                for m in range(M):
+                    perm = reorder_codebook(books[m], seed=123 + m)
+                    out[m, perm] = books[m]
+                pq = PQCodebooks(jnp.asarray(out))
             pq_books = pq.codebooks
             codes_d = encode_pq(pq, target)
             db_dev, _ = _scatter_pack(codes_d, li, si, self.nlist, cap,
@@ -458,6 +476,12 @@ class IVFFlatIndex(Index):
         ndis = q.shape[0] * nprobe * self.arrays.cap
         if self.coarse_hnsw_m:
             res = self._search_hnsw_coarse(q, k, nprobe)
+        elif (self.polysemous_ht and
+              self.arrays.pq_codebooks is not None):
+            from auncel_tpu.index.scan import ivf_search_fixed_ht
+            res = ivf_search_fixed_ht(self.arrays, q, k, nprobe,
+                                      jnp.int32(self.polysemous_ht),
+                                      self.metric)
         elif self.multirow is not None:
             from auncel_tpu.index.multirow import multirow_search_fixed
             mr = self.multirow

@@ -136,8 +136,17 @@ def scan_probe_range(
     metric: Metric,
     probe_chunk: int | None = None,
     merge_every: int = 8,
+    qcodes: jax.Array | None = None,  # [B, n_slots, M] per-slot query codes
+    ht: jax.Array | None = None,      # polysemous Hamming threshold
 ):
     """Scan probe slots [start, start+width) for every query in the batch.
+
+    ``qcodes``/``ht`` enable the polysemous Hamming filter on PQ storage
+    (reference IndexIVFPQ polysemous search): a stored code more than
+    ``ht`` Hamming away from the query's per-list (residual) code is
+    excluded before exact evaluation. On TPU the block is computed anyway
+    and masked — the capability (identical filtered result sets), not the
+    FLOP skip, is what carries over.
 
     ``start`` may be a per-query [B] array: each query then scans ITS OWN
     slot range [start[b], start[b]+width), still masked by ``limit``. The
@@ -178,6 +187,7 @@ def scan_probe_range(
         sub = arrays.db[lists]            # [B, C, cap, d|M] gather
         sub_sq = arrays.db_sq[lists]      # [B, C, cap]
         sub_ids = arrays.vec_ids[lists]   # [B, C, cap]
+        raw = sub                         # stored codes (Hamming filter)
         sub = arrays.decode_block(sub)    # codec hook (raw/SQ8/PQ)
         if arrays.pq_residual is not None:
             # residual PQ: stored r approximates x - c_list, so
@@ -210,6 +220,13 @@ def scan_probe_range(
                 scores = dots
         active = ((iks[:, :, None] < limit[:, None, None]) &
                   slot_ok[:, :, None] & (sub_ids >= 0))
+        if qcodes is not None:
+            from auncel_tpu.ops.polysemous import POPCOUNT8
+            qc = jnp.take_along_axis(
+                qcodes, safe_iks[:, :, None], axis=1)      # [B, C, M]
+            ham = jnp.sum(jnp.asarray(POPCOUNT8)[
+                (raw ^ qc[:, :, None, :]).astype(jnp.int32)], axis=-1)
+            active = active & (ham <= ht)
         scores = jnp.where(active, scores, worst).reshape(B, C * cap)
         sub_ids = jnp.where(active, sub_ids, -1).reshape(B, C * cap)
         return scores, sub_ids
@@ -330,3 +347,36 @@ def ivf_search_fixed(
     vals, ids = scan_probe_range(
         arrays, q, q_sq, cids, vals, ids, limit, 0, nprobe, metric)
     return vals, ids
+
+
+@functools.partial(jax.jit, static_argnames=("k", "nprobe", "metric"))
+def ivf_search_fixed_ht(
+    arrays: IVFArrays,
+    q: jax.Array,
+    k: int,
+    nprobe: int,
+    ht: jax.Array,
+    metric: Metric,
+):
+    """Fixed-nprobe IVF-PQ search with the polysemous Hamming filter —
+    the reference applies the ht knob to IVFPQ too (IndexIVFPQ polysemous
+    branch; ParameterSpace ranges, AutoTune.cpp:353-408). The query's
+    code is encoded per probed list (residual PQ: the code of
+    q - centroid[list], matching what the stored codes approximate)."""
+    from auncel_tpu.ops.distance import sqnorms
+    from auncel_tpu.ops.pq import PQCodebooks, encode_pq
+    B, d = q.shape
+    q_sq = sqnorms(q)
+    cdis, cids = coarse_rank(arrays, q, metric, q_sq=q_sq)
+    lists = cids[:, :nprobe]
+    pq = PQCodebooks(arrays.pq_codebooks)
+    if arrays.pq_residual is not None:
+        target = q[:, None, :] - arrays.centroids[lists]
+    else:
+        target = jnp.broadcast_to(q[:, None, :], (B, nprobe, d))
+    qcodes = encode_pq(pq, target.reshape(B * nprobe, d)).reshape(
+        B, nprobe, -1)
+    vals, ids = init_topk((B,), k, metric)
+    limit = jnp.full((B,), nprobe, jnp.int32)
+    return scan_probe_range(arrays, q, q_sq, lists, vals, ids, limit, 0,
+                            nprobe, metric, qcodes=qcodes, ht=ht)

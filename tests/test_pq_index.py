@@ -114,3 +114,34 @@ def test_parameter_space_efsearch(ds, gt):
     idx.add(ds.xb)
     ps = ParameterSpace(idx)
     assert ps.parameter_ranges()[0][0] == "efSearch"
+
+
+def test_ivfpq_polysemous_ht():
+    """The ht knob on the IVFPQ path (reference applies it there too,
+    AutoTune.cpp:353-408): ht = full code width == unfiltered results;
+    recall grows monotonically with ht; small ht really filters."""
+    from auncel_tpu.data.synthetic import make_clustered_dataset
+    from auncel_tpu.index.ivf import IVFFlatIndex
+    from auncel_tpu.autotune import ParameterSpace
+    ds = make_clustered_dataset(nb=6000, nq=16, d=32, n_clusters=16,
+                                seed=13)
+    idx = IVFFlatIndex(ds.d, nlist=16, storage="pq8", polysemous=True)
+    idx.train(ds.xb[:3000])
+    idx.add(ds.xb)
+    v0, i0 = idx.search(ds.xq, 10, nprobe=16)      # ht=0: filter off
+    idx.polysemous_ht = 64                          # 8 codes * 8 bits
+    v1, i1 = idx.search(ds.xq, 10, nprobe=16)
+    np.testing.assert_array_equal(i0, i1)           # max ht == no filter
+    hits = []
+    for ht in (8, 24, 64):
+        idx.polysemous_ht = ht
+        _, ih = idx.search(ds.xq, 10, nprobe=16)
+        hits.append(np.mean([len(set(a) & set(b)) / 10
+                             for a, b in zip(ih.tolist(), i0.tolist())]))
+    assert hits == sorted(hits)
+    assert hits[0] < 1.0                            # small ht filters
+    # autotune sweeps (nprobe x ht) on this index family
+    ps = ParameterSpace(idx)
+    dims = dict(ps.parameter_ranges())
+    assert "ht" in dims and "nprobe" in dims
+    idx.polysemous_ht = 0
