@@ -171,6 +171,31 @@ def beam_search(
     return cand_ids, cand_d
 
 
+@functools.partial(jax.jit, static_argnames=("out_k", "metric"))
+def _merge_ranked(ids_a, d_a, ids_b, d_b, self_ids, out_k, metric):
+    """Merge two candidate sets per row, drop duplicates and self-links,
+    return the best ``out_k`` sorted best-first."""
+    B = ids_a.shape[0]
+    worst = worst_value(metric)
+    sign = 1.0 if metric.lower_is_better else -1.0
+    ids_all = jnp.concatenate([ids_a, ids_b], axis=1)
+    d_all = jnp.concatenate([d_a, d_b], axis=1)
+    bad = (ids_all < 0) | (ids_all == self_ids[:, None])
+    big = jnp.int32(2_147_000_000)
+    key = jnp.where(bad, big, ids_all)
+    order = jnp.argsort(key, axis=1)
+    ids_s = jnp.take_along_axis(ids_all, order, 1)
+    d_s = jnp.take_along_axis(d_all, order, 1)
+    dup = jnp.concatenate(
+        [jnp.zeros((B, 1), bool), ids_s[:, 1:] == ids_s[:, :-1]], axis=1)
+    bad2 = dup | (ids_s < 0) | (ids_s == self_ids[:, None])
+    d_s = jnp.where(bad2, worst, d_s)
+    ids_s = jnp.where(bad2, -1, ids_s)
+    order2 = jnp.argsort(sign * d_s, axis=1)[:, :out_k]
+    return (jnp.take_along_axis(ids_s, order2, 1),
+            jnp.take_along_axis(d_s, order2, 1))
+
+
 @functools.partial(jax.jit, static_argnames=("M", "metric"))
 def heuristic_keep(
     xb: jax.Array,
@@ -218,12 +243,13 @@ class HNSWIndex(Index):
 
     def __init__(self, d: int, M: int = 32, metric: Metric = Metric.L2,
                  ef_construction: int = 40, ef_search: int = 16,
-                 seed: int = 1234):
+                 seed: int = 1234, refine_passes: int = 1):
         self.d = d
         self.M = int(M)
         self.metric = Metric.parse(metric)
         self.ef_construction = int(ef_construction)
         self.ef_search = int(ef_search)
+        self.refine_passes = int(refine_passes)
         self.level_mult = 1.0 / np.log(self.M)  # set_default_probas
         self.rng = np.random.RandomState(seed)
         self.is_trained = True
@@ -304,6 +330,128 @@ class HNSWIndex(Index):
             self._insert_batch(rest[done:done + bs])
             done += bs
         self._built = True
+        if self.refine_passes:
+            self.refine(self.refine_passes)
+
+    def refine(self, passes: int = 1, ef: int | None = None,
+               batch: int = 8192) -> None:
+        """Second-pass graph refinement: re-search the FINISHED graph for
+        every node, re-select its neighbors from (beam candidates ∪
+        current links) with the occlusion heuristic, then symmetrize with
+        overflow re-pruning. Recovers the recall the frozen-batch build
+        loses at scale — points inside one insertion batch never link to
+        each other, while the reference inserts per point with immediate
+        reverse links (HNSW.cpp add_links_starting_from /
+        shrink_neighbor_list); one batched re-link round against the
+        complete graph restores those missing edges."""
+        assert self._built
+        if self.ntotal <= 1:
+            return
+        ef = int(ef if ef is not None else
+                 max(self.ef_construction, 2 * self.M, 64))
+        for _ in range(passes):
+            xb_d, tables_d = self._dev
+            for l in range(self.max_level + 1):
+                members = np.where(self.levels >= l)[0].astype(np.int64)
+                if members.size <= 1:
+                    continue
+                table = self.nb_tables[l]
+                g2u = self.g2u[l]
+                sel_all = np.full((members.size, self.M), -1, np.int32)
+                for c0 in range(0, members.size, batch):
+                    chunk = members[c0:c0 + batch]
+                    bs = next((b for b in (1,) + BUILD_BATCHES
+                               if chunk.size <= b), chunk.size)
+                    pad = np.full(bs, chunk[0], np.int64)
+                    pad[: chunk.size] = chunk
+                    q = jnp.asarray(self._xb[pad])
+                    cur = jnp.full((bs,), self.entry_point, jnp.int32)
+                    cur_d = _block_dist(q, xb_d[cur][:, None, :],
+                                        self.metric)[:, 0]
+                    for lv in range(self.max_level, l, -1):
+                        tb, gg = tables_d[lv]
+                        if tb.shape[0]:
+                            cur, cur_d = greedy_descent(
+                                xb_d, tb, gg, q, cur, cur_d, 16,
+                                self.metric)
+                    tb, gg = tables_d[l]
+                    cand_ids, cand_d = beam_search(
+                        xb_d, tb, gg, q, cur, cur_d, ef, ef, self.metric)
+                    nbrs = jnp.asarray(table[g2u[pad]])
+                    nd = _block_dist(q, xb_d[jnp.maximum(nbrs, 0)],
+                                     self.metric)
+                    nd = jnp.where(nbrs >= 0, nd,
+                                   worst_value(self.metric))
+                    m_ids, m_d = _merge_ranked(
+                        cand_ids, cand_d, nbrs, nd,
+                        jnp.asarray(pad.astype(np.int32)), ef, self.metric)
+                    keep = heuristic_keep(xb_d, q, m_ids, m_d, self.M,
+                                          self.metric)
+                    m_np, k_np = np.asarray(m_ids), np.asarray(keep)
+                    for i in range(chunk.size):
+                        s = m_np[i][k_np[i] & (m_np[i] >= 0)][: self.M]
+                        sel_all[c0 + i, : s.size] = s
+                self._rebuild_level(l, members, sel_all)
+            self._push_dev()
+
+    def _rebuild_level(self, level: int, members: np.ndarray,
+                       sel: np.ndarray) -> None:
+        """ADD the refined selections (and their reverse edges) to the
+        level's existing links; only rows overflowing the level cap are
+        re-pruned with the occlusion heuristic (reference shrink-on-
+        overflow semantics, HNSW.cpp add_link). Additive on purpose: a
+        wholesale replace was measured to DESTROY recall at scale — the
+        beam candidates on an imperfect graph are not a superset of the
+        links the incremental build got right, and dropping those links
+        loses more navigability than the new edges add."""
+        g2u = self.g2u[level]
+        cap = self._caps(level)
+        old = self.nb_tables[level]
+        uu = np.repeat(members, self.M)
+        vv = sel.ravel().astype(np.int64)
+        ok = vv >= 0
+        ou = np.repeat(members, old.shape[1])
+        ov = old[g2u[members]].ravel().astype(np.int64)
+        ook = ov >= 0
+        e_from = np.concatenate([uu[ok], vv[ok], ou[ook]])
+        e_to = np.concatenate([vv[ok], uu[ok], ov[ook]])
+        rows = g2u[e_from].astype(np.int64)
+        # dedup (row, neighbor) pairs
+        key = rows * (self.ntotal + 1) + e_to
+        key = np.unique(key)
+        rows_u = (key // (self.ntotal + 1)).astype(np.int64)
+        to_u = (key % (self.ntotal + 1)).astype(np.int32)
+        counts = np.bincount(rows_u, minlength=members.size)
+        table = np.full((members.size, cap), -1, np.int32)
+        starts = np.concatenate([[0], np.cumsum(counts)])
+        fit = counts <= cap
+        for r in np.where(fit & (counts > 0))[0]:
+            table[r, : counts[r]] = to_u[starts[r]:starts[r + 1]]
+        over_rows = np.where(~fit)[0]
+        if over_rows.size:
+            maxk = int(counts[over_rows].max())
+            maxk = min(((maxk + 7) // 8) * 8, max(cap * 8, 64))
+            cand = np.full((over_rows.size, maxk), -1, np.int32)
+            for i, r in enumerate(over_rows):
+                lst = to_u[starts[r]:starts[r + 1]][:maxk]
+                cand[i, : lst.size] = lst
+            xb_d = self._dev[0]
+            nodes = members[over_rows]
+            qv = jnp.asarray(self._xb[nodes])
+            d = _block_dist(qv, xb_d[jnp.maximum(jnp.asarray(cand), 0)],
+                            self.metric)
+            d = jnp.where(jnp.asarray(cand) >= 0, d,
+                          worst_value(self.metric))
+            sign = 1.0 if self.metric.lower_is_better else -1.0
+            order = jnp.argsort(sign * d, axis=1)
+            cand_s = jnp.take_along_axis(jnp.asarray(cand), order, 1)
+            d_s = jnp.take_along_axis(d, order, 1)
+            keep = heuristic_keep(xb_d, qv, cand_s, d_s, cap, self.metric)
+            cand_np, keep_np = np.asarray(cand_s), np.asarray(keep)
+            for i, r in enumerate(over_rows):
+                s = cand_np[i][keep_np[i] & (cand_np[i] >= 0)][:cap]
+                table[r, : s.size] = s
+        self.nb_tables[level] = table
 
     def _insert_batch(self, pts: np.ndarray) -> None:
         if pts.size == 0:

@@ -88,6 +88,26 @@ def test_hnsw_save_load(built, ds, tmp_path, gt):
     np.testing.assert_array_equal(i1, i2)
 
 
+@pytest.mark.skipif(not __import__("os").environ.get("AUNCEL_TEST_SCALE"),
+                    reason="200K-scale recall check (set AUNCEL_TEST_SCALE=1;"
+                           " minutes-long, run on TPU)")
+def test_hnsw_recall_at_scale():
+    """Reference-grade quality at 200K (VERDICT round-2 gap: the
+    frozen-batch build read 0.80 @ ef=64; the additive refinement pass
+    restores the reverse links the batch build misses)."""
+    ds = make_clustered_dataset(nb=200_000, nq=128, d=128, n_clusters=600,
+                                seed=3)
+    flat = FlatIndex(ds.d)
+    flat.add(ds.xb)
+    _, gti = flat.search(ds.xq, 10)
+    idx = HNSWIndex(ds.d, M=16, ef_construction=40, refine_passes=2)
+    idx.add(ds.xb)
+    idx.build()
+    _, i = idx.search(ds.xq, 10, ef=64)
+    rec = _recall(i, gti, 10)
+    assert rec >= 0.95, rec
+
+
 def test_factory_hnsw_cells(ds):
     idx = index_factory(ds.d, "HNSW16")
     assert isinstance(idx, HNSWIndex) and idx.M == 16
