@@ -330,6 +330,9 @@ class HNSWIndex(Index):
             self._insert_batch(rest[done:done + bs])
             done += bs
         self._built = True
+        for l in range(self.max_level + 1):
+            self._repair_connectivity(l)
+        self._push_dev()
         if self.refine_passes:
             self.refine(self.refine_passes)
 
@@ -392,7 +395,88 @@ class HNSWIndex(Index):
                         s = m_np[i][k_np[i] & (m_np[i] >= 0)][: self.M]
                         sel_all[c0 + i, : s.size] = s
                 self._rebuild_level(l, members, sel_all)
+            for l in range(self.max_level + 1):
+                # the overflow re-prune can strand outliers again
+                self._repair_connectivity(l)
             self._push_dev()
+
+    def _repair_connectivity(self, level: int = 0,
+                             max_rounds: int = 8) -> int:
+        """Make every node reachable from the entry point at this level.
+
+        The occlusion prune can strand outliers: a far node's reverse
+        edge is always the farthest candidate in its neighbor's full row
+        and loses the shrink every time, leaving in-degree 0 — beam
+        search can then NEVER find it, which caps recall (measured: 105
+        of 512 k-means centroids unreachable, costing 12% of top-1
+        probes; the reference's per-point insertion has the same hole in
+        principle but hits it rarely). Repair: BFS over out-edges from
+        the entry, then for each unreachable node add an edge from its
+        nearest REACHABLE node, replacing the farthest slot when the row
+        is full. Returns the number of edges added."""
+        table = self.nb_tables[level]
+        g2u = self.g2u[level]
+        members = np.where(self.levels >= level)[0].astype(np.int64)
+        if members.size <= 1:
+            return 0
+        xb = self._xb
+        added = 0
+        # slots written by THIS repair call are protected from replacement:
+        # outliers often share the same nearest anchor, and replacing its
+        # farthest slot repeatedly would let each repair overwrite the last
+        protected: set = set()
+        for _ in range(max_rounds):
+            # frontier BFS from the entry over out-edges (vectorized on
+            # host; runs a handful of times per build)
+            seen = np.zeros(self.ntotal, bool)
+            frontier = np.asarray([self.entry_point], np.int64)
+            seen[frontier] = True
+            while frontier.size:
+                nxt = table[g2u[frontier]].ravel()
+                nxt = np.unique(nxt[nxt >= 0])
+                nxt = nxt[~seen[nxt]]
+                seen[nxt] = True
+                frontier = nxt
+            unreach = members[~seen[members]]
+            if unreach.size == 0:
+                break
+            reach = members[seen[members]]
+            # nearest reachable node per unreachable node: chunked device
+            # matmul ([chunk, |reach|] scores, never a 3-d blowup)
+            rr = jnp.asarray(xb[reach])
+            rr_sq = jnp.sum(jnp.square(rr), axis=1)
+            j = np.empty(unreach.size, np.int64)
+            for c0 in range(0, unreach.size, 1024):
+                xu = jnp.asarray(xb[unreach[c0:c0 + 1024]])
+                dots = jnp.einsum("ud,rd->ur", xu, rr,
+                                  preferred_element_type=jnp.float32,
+                                  precision=jax.lax.Precision.HIGHEST)
+                if self.metric.lower_is_better:
+                    sc = (jnp.sum(jnp.square(xu), 1)[:, None] + rr_sq
+                          - 2.0 * dots)
+                    j[c0:c0 + 1024] = np.asarray(jnp.argmin(sc, axis=1))
+                else:
+                    j[c0:c0 + 1024] = np.asarray(jnp.argmax(dots, axis=1))
+            for ui, u in enumerate(unreach):
+                r = int(reach[j[ui]])
+                row = g2u[r]
+                lst = table[row]
+                free = np.where(lst < 0)[0]
+                if free.size:
+                    slot = int(free[0])
+                else:
+                    # replace the farthest unprotected neighbor (keeps
+                    # r's nearest links; guarantees u becomes reachable)
+                    dr = ((xb[lst] - xb[r]) ** 2).sum(1)
+                    cand = [int(s) for s in np.argsort(dr)[::-1]
+                            if (row, int(s)) not in protected]
+                    if not cand:
+                        continue  # row saturated by repairs; next round
+                    slot = cand[0]
+                table[row, slot] = u
+                protected.add((row, slot))
+                added += 1
+        return added
 
     def _rebuild_level(self, level: int, members: np.ndarray,
                        sel: np.ndarray) -> None:

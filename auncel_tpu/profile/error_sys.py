@@ -559,6 +559,20 @@ class ErrorSys:
                 best_cost = cost
                 best_pair = (min(m * safety, max_multipler), float(sm))
         self.multipler, self.std_m = best_pair
+        # Validate the FINAL (safety-inflated) multipler on the held-out
+        # half and escalate until it passes — applying the margin after
+        # selection without re-checking left the shipped config unproven
+        # (measured on synthHard1M: picked cells missed the bound held-out
+        # while a validated one at the same cost grid held it).
+        m = self.multipler
+        while m <= max_multipler:
+            self.multipler = m
+            D, _ = self.search(start + half, size - half)
+            if (self._min_recall(D, start + half, size - half)
+                    >= target_bound):
+                break
+            m *= 1.25
+        self.multipler = min(m, max_multipler)
         return self.multipler
 
     def _min_recall(self, D: np.ndarray, start: int, size: int) -> float:

@@ -67,6 +67,26 @@ def test_hnsw_graph_degrees(built):
         assert t.shape[1] == built.M
 
 
+def test_hnsw_every_node_reachable(built):
+    """Connectivity guarantee: the occlusion prune can strand outliers
+    (in-degree 0 -> beam search can never find them; measured 105/512
+    unreachable k-means centroids before the repair pass). After build,
+    BFS from the entry point must reach every level-0 node."""
+    t0 = built.nb_tables[0]
+    g2u = built.g2u[0]
+    n = built.ntotal
+    seen = np.zeros(n, bool)
+    frontier = np.asarray([built.entry_point])
+    seen[frontier] = True
+    while frontier.size:
+        nxt = t0[g2u[frontier]].ravel()
+        nxt = np.unique(nxt[nxt >= 0])
+        nxt = nxt[~seen[nxt]]
+        seen[nxt] = True
+        frontier = nxt
+    assert seen.all(), f"{(~seen).sum()} unreachable nodes"
+
+
 def test_hnsw_ip_metric(ds):
     xb = ds.xb / np.linalg.norm(ds.xb, axis=1, keepdims=True)
     xq = ds.xq / np.linalg.norm(ds.xq, axis=1, keepdims=True)
