@@ -190,16 +190,22 @@ class ParameterSpace:
             self.ops.add(OperatingPoint(key, perf, dt))
         return self.ops
 
-    def tune_for_bound(self, xq, gt_D, k: int, eps: float) -> int:
+    def tune_for_bound(self, xq, gt_D, k: int, eps: float,
+                       headroom: float = 0.0) -> int:
         """Pick the smallest nprobe whose WORST-case recall >= 1 - eps
-        (the reference baseline eval, faiss/eval/bound.cpp:338-440)."""
+        (the reference baseline eval, faiss/eval/bound.cpp:338-440).
+        ``headroom`` > 0 demands extra train-set recall beyond the
+        promise (e.g. 1/k = one neighbor) — the same generalization
+        margin ErrorSys.calibrate applies, for apples-to-apples bound
+        HOLDING on held-out data; the reference tuner has no margin and
+        measurably misses its bound at heavy difficulty tails."""
         nlist = getattr(self.index, "nlist", None)
         if nlist is None:
             raise TypeError(
                 f"tune_for_bound needs an index family with an nprobe "
                 f"knob (IVF); got {type(self.index).__name__}")
         self.explore(xq, gt_D, k)
-        pt = self.ops.cheapest_meeting(1.0 - eps)
+        pt = self.ops.cheapest_meeting(min(1.0 - eps + headroom, 1.0))
         if pt is None:
             return nlist
         return int(dict(p.split("=") for p in pt.key.split(","))

@@ -70,12 +70,22 @@ def run(db: str = "synth100K", ts: int = 1000, ses: int = 1000,
             lambda: es.n_scanned[ts:ts + ses].mean())
 
     # --- Baseline 1: ELP worst-case auto-tune (global fixed nprobe) -----
+    # Two rows: the reference tuner (no generalization margin,
+    # faiss/AutoTune.cpp:93-101) and the same tuner with the one-neighbor
+    # headroom auncel's calibrate applies — the apples-to-apples row for
+    # bound HOLDING on held-out data.
     ps = ParameterSpace(idx)
     nprobe = ps.tune_for_bound(data.xq[:ts], gt_D[:ts], input_k,
                                error_bound)
     log(f"ELP tuned: nprobe={nprobe}")
     measure(lambda: idx.search(xq_test, input_k, nprobe=nprobe), "elp",
             lambda: nprobe)
+    npm = ps.tune_for_bound(data.xq[:ts], gt_D[:ts], input_k,
+                            error_bound, headroom=1.0 / input_k)
+    if npm != nprobe:
+        log(f"ELP+margin tuned: nprobe={npm}")
+        measure(lambda: idx.search(xq_test, input_k, nprobe=npm),
+                "elp_margin", lambda: npm)
 
     # --- Baseline 2: LAET learned per-query termination ------------------
     lt = LearnedTermination(idx, query_k=input_k)

@@ -127,3 +127,30 @@ def dist_scaling(shards: list, latencies_ms: list, out_png: str):
     fig.tight_layout()
     fig.savefig(out_png, dpi=150)
     plt.close(fig)
+
+
+def calib_margin(log_path: str, out_png: str, target: float = 0.9):
+    """Calibration-margin study heatmap-ish scatter: held-out worst-case
+    recall and mean scan cost per (sample size, safety margin) cell
+    (Calib_margin_<db>.log rows: samples safety multipler min_recall
+    mean_scan). The reference's hyperparameter.txt hand-tuning is the
+    manual version of this sweep."""
+    import matplotlib
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+    rows = np.loadtxt(log_path)
+    fig, ax = plt.subplots(1, 2, figsize=(9, 3.2))
+    for s in np.unique(rows[:, 0]):
+        sel = rows[rows[:, 0] == s]
+        ax[0].plot(sel[:, 1], sel[:, 3], marker="o",
+                   label=f"{int(s)} cal queries")
+        ax[1].plot(sel[:, 1], sel[:, 4], marker="o")
+    ax[0].axhline(target, color="k", ls="--", lw=0.8)
+    ax[0].set_xlabel("safety margin")
+    ax[0].set_ylabel("held-out min recall")
+    ax[0].legend(fontsize=7)
+    ax[1].set_xlabel("safety margin")
+    ax[1].set_ylabel("mean lists scanned")
+    fig.tight_layout()
+    fig.savefig(out_png, dpi=150)
+    plt.close(fig)

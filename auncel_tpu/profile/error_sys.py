@@ -507,7 +507,8 @@ class ErrorSys:
 
     def calibrate(self, start: int, size: int, target_bound: float,
                   max_multipler: float = 64.0, safety: float = 1.5,
-                  std_m_grid: tuple = (0.2, 1.0, 4.0, 8.0, 12.0)) -> float:
+                  std_m_grid: tuple = (0.2, 1.0, 4.0, 8.0, 12.0),
+                  headroom: float | None = None) -> float:
         """Auto-tune ``(multipler, std_m)`` on held-out queries — the two
         knobs the reference hand-tunes per workload into hyperparameter.txt
         (its shipped std_m values span 0.2..12.0!). For each std_m in the
@@ -517,10 +518,30 @@ class ErrorSys:
         ``safety`` margin covers the worst-case generalization gap of a
         finite calibration sample."""
         assert self.gt_D is not None and self.gt_I is not None
+        # Optional headroom demands extra holdout recall beyond the
+        # promise (e.g. 1/query_k = one neighbor). Measured at the
+        # synthHard1M difficulty tail: even +1/k headroom (mean scan
+        # 3x, multipler 22.6) leaves the NEXT thousand queries' worst
+        # case at target - 1/k — the worst-case statistic of a finite
+        # holdout does not generalize there for ANY tuner (the reference
+        # hand-tunes hyperparameter.txt per workload, i.e. on its
+        # reported set). Default 0 = reference-parity; the margin study
+        # (scripts/calib_margin_study.py) quantifies what headroom buys.
+        if headroom is None:
+            headroom = 0.0
+        holdout_target = min(target_bound + headroom, 1.0)
         half = size // 2
         best_cost = np.inf
         best_pair = (max_multipler, 1.0)
-        for sm in std_m_grid:
+        # Iterate std_m LARGEST-first and only switch to a smaller-std_m
+        # cell for a clearly lower cost: std_m inflates U per query where
+        # the trace is uncertain (shape conservativeness) while multipler
+        # scales every budget globally, and cells that pass the holdout
+        # on a big multipler + small std_m were measured to generalize
+        # WORSE at the 1M difficulty tail than equal-holdout cells with
+        # large std_m (synthHard1M: (22.6, low) missed the test bound
+        # that (5.2, 12) holds at half the scan cost).
+        for sm in sorted(std_m_grid, reverse=True):
             self.std_m = float(sm)
             lo, hi = 1.0, max_multipler
             best = None
@@ -544,7 +565,7 @@ class ErrorSys:
                 self.multipler = m
                 D, I = self.search(start + half, size - half)
                 if (self._min_recall(D, start + half, size - half)
-                        >= target_bound):
+                        >= holdout_target):
                     ok = True
                     break
                 m *= 1.5
@@ -555,7 +576,7 @@ class ErrorSys:
             # holds whatever multipler the binary search last wrote there,
             # so averaging over both halves would mix states.
             cost = float(self.n_scanned[start + half:start + size].mean())
-            if cost < best_cost:
+            if cost < best_cost * 0.85:
                 best_cost = cost
                 best_pair = (min(m * safety, max_multipler), float(sm))
         self.multipler, self.std_m = best_pair
@@ -569,7 +590,7 @@ class ErrorSys:
             self.multipler = m
             D, _ = self.search(start + half, size - half)
             if (self._min_recall(D, start + half, size - half)
-                    >= target_bound):
+                    >= holdout_target):
                 break
             m *= 1.25
         self.multipler = min(m, max_multipler)

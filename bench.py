@@ -9,12 +9,29 @@ ONE JSON line:
     {"metric": "bounded_search_qps", "value": <QPS>, "unit": "qps",
      "vs_baseline": <QPS / BASELINE_QPS>}
 
-BASELINE_QPS is an estimate of the reference's single-node c5.metal
-throughput for this workload class: its per-query bounded-search latencies
-are millisecond-scale (figures 10-12 are plotted from per-query latency logs;
-LAET's tuned config scans avg ~75/1024 lists of a 10M corpus at ~1-3 ms per
-query on c5.metal). For the 1M corpus used here we credit the baseline 2 ms
-per query => 500 QPS. BASELINE.json's north star is >= 10x this on one v5e.
+BASELINE_QPS derivation (the reference publishes no absolute numbers;
+BASELINE.json: published={}). Two bounding estimates for the reference's
+single-node bounded-search throughput on this workload class:
+  * From its own eval regime: the reference measures per-query (batch=1,
+    single-thread in the timed section, faiss/eval/bound.cpp:383)
+    bounded search on 10M-scale corpora at millisecond-scale latencies
+    (figures 10-12 are per-query latency logs; LAET's tuned configs scan
+    ~75-488/1024 lists of 10M = 0.7-4.8M vector evals/query ~ 2-20 ms on
+    AVX). Scaling the corpus to 1M (mean list 977) with Auncel's own
+    per-query early termination (~5-10 probes on a uniform workload)
+    gives ~10K vector evals of scan, but the tune branch re-sorts the
+    top-100 heap and evaluates the phi/U predicate after EVERY list
+    (IndexIVF.cpp:551-633) and re-ranks all 1024 centroids up front, so
+    per-query wall-clock is overhead-dominated: ~0.5-2 ms => 500-2000
+    qps. We credit 2 ms => 500 QPS as the series baseline (kept fixed
+    across rounds for comparability).
+  * The stronger cross-check is IN-FRAMEWORK: the worst-case-tuned ELP
+    baseline measured on the SAME TPU rides the same row-layout engine
+    (eval_harness/compare.py; RESULTS_r3.md) — on the uniform 1M-class
+    workloads it reads ~12.7K qps, i.e. the honest "fixed-nprobe on this
+    hardware" comparator, and the bounded engine's value is the 2-3x
+    scan-work reduction at equal worst-case recall, not a qps win over
+    an untuned scan.
 
 Stages and their timings go to stderr; only the JSON line goes to stdout.
 """
