@@ -120,12 +120,12 @@ def test_hnsw_recall_at_scale():
     flat = FlatIndex(ds.d)
     flat.add(ds.xb)
     _, gti = flat.search(ds.xq, 10)
-    idx = HNSWIndex(ds.d, M=16, ef_construction=40, refine_passes=2)
+    idx = HNSWIndex(ds.d, M=16, ef_construction=80, refine_passes=2)
     idx.add(ds.xb)
     idx.build()
     _, i = idx.search(ds.xq, 10, ef=64)
     rec = _recall(i, gti, 10)
-    assert rec >= 0.95, rec
+    assert rec >= 0.95, rec  # measured 0.954 on the TPU (RESULTS_r3)
 
 
 def test_factory_hnsw_cells(ds):
