@@ -62,6 +62,20 @@ def index_factory(d: int, description: str,
         # standalone PQ index (AutoTune.cpp:906-918 "PQ%d" cell)
         from auncel_tpu.index.pq_index import IndexPQ
         index = IndexPQ(cur_d, M=int(desc[2:]), metric=metric)
+    elif re.fullmatch(r"LSH(\d+)?(r)?(t)?", desc):
+        # sign-bit signatures; r = rotate input, t = train thresholds
+        # (IndexLSH.h:21; later-faiss factory syntax)
+        m = re.fullmatch(r"LSH(\d+)?(r)?(t)?", desc)
+        from auncel_tpu.index.lsh import IndexLSH
+        index = IndexLSH(cur_d, nbits=int(m.group(1) or cur_d),
+                         rotate_data=bool(m.group(2)),
+                         train_thresholds=bool(m.group(3)))
+    elif re.fullmatch(r"IVF(\d+),SH(\d+)?", desc):
+        # IVF over spectral-hash codes (IndexIVFSpectralHash.h:30)
+        m = re.fullmatch(r"IVF(\d+),SH(\d+)?", desc)
+        from auncel_tpu.index.lsh import IVFSpectralHashIndex
+        index = IVFSpectralHashIndex(cur_d, nlist=int(m.group(1)),
+                                     nbit=int(m.group(2) or cur_d))
     else:
         coarse = "kmeans"
         m = re.fullmatch(r"IMI2x(\d+),(\w+)", desc)
