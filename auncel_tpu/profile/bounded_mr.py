@@ -404,7 +404,15 @@ def _tail_rounds(arrays, mr, q, q_sq, vals, ids, frontier, covered, target,
     its target, sort unfinished queries to the front, advance their row
     frontiers to their own targets over cond-skipped geometric waves, and
     scatter back. Pure scanning — shared by the bounded engine's tail and
-    the latency-budget mode."""
+    the latency-budget mode.
+
+    Rounds compact by REMAINING WORK, largest first: a wave's gather
+    cost is width x sub-batch regardless of masks, and the geometric
+    ladder runs until the sub-batch's LARGEST goal is covered — sorting
+    big-budget queries into the first round lets later rounds
+    ``lax.cond``-skip most of the ladder instead of every round paying
+    the batch-max ladder span (measured: unsorted compaction made the
+    hard-tail rounds all worst-case)."""
     nlist = arrays.nlist
 
     def t_cond(st):
@@ -412,7 +420,9 @@ def _tail_rounds(arrays, mr, q, q_sq, vals, ids, frontier, covered, target,
 
     def t_body(st):
         vals, ids, frontier, covered = st
-        idx = jnp.argsort(covered >= target)[:tail_cap]
+        finished = covered >= target
+        remaining = target - covered
+        idx = jnp.argsort(finished * (2 * nlist) - remaining)[:tail_cap]
         subq = q[idx]
         sub_sq = q_sq[idx]
         cdis, cids = coarse_rank(arrays, subq, metric, q_sq=sub_sq)
@@ -510,6 +520,21 @@ def bounded_oneshot_mr(
                            False, decide_only=True)
 
     if plan.a2.waves:
+        # Adaptive: when MOST of the batch is still undecided after A1
+        # (hard-tail workloads), compacting to a2_cap-query sub-batches
+        # multiplies the per-wave fixed costs by ceil(B/a2_cap) for the
+        # same gather volume — run the A2 waves once FULL-BATCH first;
+        # the compacted loop then mops up only the true stragglers.
+        def a2_full(st):
+            out, _ = _mr_impl(
+                arrays, mr, traces, q, require_acc, multipler, std_m, z,
+                query_k, max_topk, metric, plan.a2, False,
+                decide_only=True, init=st)
+            return out
+
+        state = jax.lax.cond(jnp.sum(state[2] == 0) > B // 2, a2_full,
+                             lambda s: s, state)
+
         def a2_cond(st):
             return jnp.any(st[2] == 0)
 
