@@ -14,8 +14,11 @@ Writes Calib_margin_<db>.log: one row
         "samples safety multipler heldout_min_recall mean_scan" per cell.
 """
 
+import os
 import sys
 import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), os.pardir))
 
 import numpy as np
 
