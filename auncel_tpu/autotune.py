@@ -96,6 +96,9 @@ def set_index_parameter(index, name: str, value) -> None:
     elif (name in ("ht", "polysemous_ht")
           and isinstance(index, (IndexPQ, IVFFlatIndex))):
         index.polysemous_ht = int(value)
+    elif name == "max_codes" and isinstance(index, IVFFlatIndex):
+        # infinity -> unlimited (AutoTune.cpp:539-541 maps inf to 0)
+        index.max_codes = 0 if not np.isfinite(value) else int(value)
     else:
         raise ValueError(
             f"parameter {name!r} not applicable to {type(index).__name__}")
@@ -142,6 +145,13 @@ class ParameterSpace:
             return [("k_factor", [1, 2, 4, 8])] + inner
         if isinstance(index, IVFFlatIndex):
             dims = [("nprobe", self.candidate_nprobes())]
+            if getattr(index, "coarse", "kmeans") == "imi":
+                # the reference adds a max_codes range only when the coarse
+                # quantizer is a MultiIndexQuantizer (AutoTune.cpp:388-399:
+                # 2^8..2^19 plus infinity); IMI cells are tiny/raggy, so a
+                # code-visit cap is the knob that actually bounds work
+                dims.append(("max_codes",
+                             [1 << i for i in range(8, 20)] + [np.inf]))
             if getattr(index, "polysemous", False):
                 # the reference sweeps ht on the IVFPQ path too
                 # (ParameterSpace ranges, AutoTune.cpp:353-408)

@@ -227,3 +227,49 @@ class BinaryHNSWIndex(Index):
 
     def reset(self) -> None:
         self._g.reset()
+
+
+class IndexBinaryFromFloat(Index):
+    """Binary index backed by an arbitrary FLOAT index (reference
+    IndexBinaryFromFloat.h:28 / .cpp): codes are mapped bit -> ±1 floats
+    (``binary_to_real``, utils.cpp:1564), train/add/search run on the
+    float index, and returned L2 distances divide by 4 back into integer
+    Hamming distances ((±1 difference)^2 contributes 4 per differing
+    bit). Lets any float family (IVF, HNSW, ...) serve binary data."""
+
+    def __init__(self, sub: Index, d: int):
+        assert d % 8 == 0, "binary dimension must be a multiple of 8 bits"
+        assert sub.d == d, "float sub-index dimension must equal bit count"
+        self.d = d
+        self.metric = Metric.L2
+        self.sub = sub
+
+    @property
+    def is_trained(self):
+        return self.sub.is_trained
+
+    @is_trained.setter
+    def is_trained(self, v):  # pragma: no cover - keeps Index contract
+        pass
+
+    @property
+    def ntotal(self) -> int:
+        return self.sub.ntotal
+
+    def _to_real(self, codes: np.ndarray) -> np.ndarray:
+        bits = unpack_bits(np.asarray(codes, np.uint8), self.d)
+        return (2.0 * bits - 1.0).astype(np.float32)
+
+    def train(self, codes: np.ndarray) -> None:
+        self.sub.train(self._to_real(codes))
+
+    def add(self, codes: np.ndarray, ids=None) -> None:
+        self.sub.add(self._to_real(codes), ids) if ids is not None \
+            else self.sub.add(self._to_real(codes))
+
+    def search(self, q_codes: np.ndarray, k: int, **kw):
+        vals, ids = self.sub.search(self._to_real(q_codes), k, **kw)
+        return np.rint(np.asarray(vals) / 4.0).astype(np.int32), ids
+
+    def reset(self) -> None:
+        self.sub.reset()

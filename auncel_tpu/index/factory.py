@@ -62,6 +62,14 @@ def index_factory(d: int, description: str,
         # standalone PQ index (AutoTune.cpp:906-918 "PQ%d" cell)
         from auncel_tpu.index.pq_index import IndexPQ
         index = IndexPQ(cur_d, M=int(desc[2:]), metric=metric)
+    elif desc in ("SQ8", "SQ4", "SQfp16", "SQbf16"):
+        # standalone scalar-quantized flat index (the reference's
+        # "SQ8"/"SQ4"/"SQfp16" cells -> IndexScalarQuantizer,
+        # AutoTune.cpp factory; fp16 maps to the TPU-native bf16)
+        from auncel_tpu.index.flat import IndexScalarQuantizer
+        qt = {"SQ8": "sq8", "SQ4": "sq4",
+              "SQfp16": "bf16", "SQbf16": "bf16"}[desc]
+        index = IndexScalarQuantizer(cur_d, qtype=qt, metric=metric)
     elif re.fullmatch(r"LSH(\d+)?(r)?(t)?", desc):
         # sign-bit signatures; r = rotate input, t = train thresholds
         # (IndexLSH.h:21; later-faiss factory syntax)

@@ -200,3 +200,133 @@ class IndexFlat1D(Index):
         self._vals = np.zeros(0, np.float32)
         self._ids = np.zeros(0, np.int64)
         self._sorted = False
+
+
+class IndexScalarQuantizer(Index):
+    """Standalone (non-IVF) scalar-quantized flat index — the reference's
+    ``IndexScalarQuantizer`` (IndexScalarQuantizer.h:92): corpus stored as
+    SQ codes, searched by exhaustive decode+compare.
+
+    TPU recast: codes are packed into fixed ``row_cap``-wide rows of an
+    ``IVFArrays`` (rows play the role of lists, like the multirow layout)
+    and searched with the existing blocked full-scan — each code block is
+    read from HBM once per batch, decoded in-scan through the shared
+    ``decode_block`` codec, and contracted on the MXU. ``qtype``:
+    "sq8"/"sq4" (per-dim affine, trained min/max like the IVF storage
+    path) or "bf16" (the reference's QT_fp16 capability in the TPU-native
+    16-bit float format)."""
+
+    position_keyed_ids = True
+    ROW_CAP = 512
+
+    def __init__(self, d: int, qtype: str = "sq8",
+                 metric: Metric = Metric.L2):
+        assert qtype in ("sq8", "sq4", "bf16"), qtype
+        if qtype == "sq4":
+            assert d % 2 == 0, "SQ4 needs an even dimension"
+        self.d = d
+        self.qtype = qtype
+        self.metric = Metric.parse(metric)
+        self.is_trained = qtype == "bf16"  # bf16 is training-free
+        self._scale: np.ndarray | None = None
+        self._vmin: np.ndarray | None = None
+        self._codes = None                 # host [n, d_code]
+        self._arrays = None
+
+    @property
+    def ntotal(self) -> int:
+        return 0 if self._codes is None else self._codes.shape[0]
+
+    def train(self, x: np.ndarray) -> None:
+        """Per-dimension affine range from the training set (the
+        reference's ScalarQuantizer::train RangeStat semantics)."""
+        if self.qtype == "bf16":
+            return
+        x = np.asarray(x, np.float32)
+        levels = 255.0 if self.qtype == "sq8" else 15.0
+        self._vmin = x.min(0).astype(np.float32)
+        self._scale = np.maximum((x.max(0) - self._vmin) / levels,
+                                 1e-10).astype(np.float32)
+        self.is_trained = True
+
+    def _encode(self, x: np.ndarray) -> np.ndarray:
+        if self.qtype == "bf16":
+            import jax.numpy as jnp
+            return np.asarray(jnp.asarray(x).astype(jnp.bfloat16))
+        levels = 255.0 if self.qtype == "sq8" else 15.0
+        codes = np.clip(np.rint((x - self._vmin) / self._scale), 0,
+                        levels).astype(np.uint8)
+        if self.qtype == "sq4":
+            codes = codes[:, 0::2] | (codes[:, 1::2] << 4)
+        return codes
+
+    def add(self, x: np.ndarray, ids=None) -> None:
+        assert ids is None, "IndexScalarQuantizer stores sequential ids"
+        assert self.is_trained, "train before add"
+        x = np.asarray(x, np.float32)
+        codes = self._encode(x)
+        self._codes = (codes if self._codes is None
+                       else np.concatenate([self._codes, codes]))
+        self._arrays = None
+
+    def _pack(self):
+        """Rows-of-codes IVFArrays for the blocked full scan."""
+        import jax.numpy as jnp
+        from auncel_tpu.index.scan import IVFArrays
+        if self._arrays is not None:
+            return self._arrays
+        n = self.ntotal
+        rc = self.ROW_CAP
+        n_rows = max(-(-n // rc), 1)
+        n_rows = ((n_rows + 7) // 8) * 8   # full scan chunks rows by 8
+        d_code = self._codes.shape[1] if n else (
+            self.d // 2 if self.qtype == "sq4" else self.d)
+        dt = self._codes.dtype if n else np.uint8
+        codes = np.zeros((n_rows * rc, d_code), dt)
+        if n:
+            codes[:n] = self._codes
+        vec_ids = np.full(n_rows * rc, -1, np.int32)
+        vec_ids[:n] = np.arange(n, dtype=np.int32)
+        db = jnp.asarray(codes).reshape(n_rows, rc, d_code)
+        a = IVFArrays(
+            centroids=jnp.zeros((n_rows, self.d), jnp.float32),
+            cent_sq=jnp.zeros((n_rows,), jnp.float32),
+            db=db,
+            db_sq=jnp.zeros((n_rows, rc), jnp.float32),
+            vec_ids=jnp.asarray(vec_ids).reshape(n_rows, rc),
+            list_sizes=jnp.zeros((n_rows,), jnp.int32),
+            interdis=jnp.zeros((1, 1), jnp.float32),
+            sq_scale=(None if self.qtype == "bf16"
+                      else jnp.asarray(self._scale)),
+            sq_bias=(None if self.qtype == "bf16"
+                     else jnp.asarray(self._vmin)),
+        )
+        # decoded norms (padding rows decode to bias values; they are
+        # masked by vec_ids == -1 in the scan, but keep db_sq exact for
+        # the real slots)
+        dec = a.decode_block(db).astype(jnp.float32)
+        a = a._replace(db_sq=jnp.sum(jnp.square(dec), -1) *
+                       (a.vec_ids >= 0))
+        self._arrays = a
+        return a
+
+    def search(self, q: np.ndarray, k: int):
+        import jax
+        import jax.numpy as jnp
+        from auncel_tpu.index.scan import ivf_full_scan
+        a = self._pack()
+        q = jnp.asarray(np.asarray(q, np.float32))
+        vals, ids = jax.device_get(
+            ivf_full_scan(a, q, k, self.metric,
+                          list_chunk=min(8, a.db.shape[0])))
+        return vals, ids.astype(np.int64)
+
+    def reconstruct(self, key: int) -> np.ndarray:
+        a = self._pack()
+        rc = self.ROW_CAP
+        blk = a.db[key // rc, key % rc][None, None]
+        return np.asarray(a.decode_block(blk), np.float32)[0, 0]
+
+    def reset(self) -> None:
+        self._codes = None
+        self._arrays = None

@@ -144,6 +144,10 @@ class IVFFlatIndex(Index):
         self.polysemous_ht = polysemous_ht
         self.is_trained = False
         self.nprobe = 1  # default for plain search() (IndexIVF.h default)
+        # max nb of codes to visit per query; 0 = unlimited (IndexIVF.h:69
+        # — the reference breaks the scan loop after the list that crosses
+        # the budget; its ParameterSpace sweeps this for IMI quantizers)
+        self.max_codes = 0
         self.centroids: np.ndarray | None = None
         self.interdis: np.ndarray | None = None
         self._pending: list[tuple[np.ndarray, np.ndarray]] = []
@@ -486,11 +490,15 @@ class IVFFlatIndex(Index):
             from auncel_tpu.index.multirow import multirow_search_fixed
             mr = self.multirow
             out_slots = self._mr_out_slots(nprobe)
-            res = multirow_search_fixed(mr, q, k, nprobe, out_slots,
-                                        self.metric)
+            res = multirow_search_fixed(
+                mr, q, k, nprobe, out_slots, self.metric,
+                code_sizes=(self.arrays.list_sizes if self.max_codes
+                            else None),
+                max_codes=int(self.max_codes))
             ndis = q.shape[0] * out_slots * mr.rows.db.shape[1]
         else:
-            res = ivf_search_fixed(self.arrays, q, k, nprobe, self.metric)
+            res = ivf_search_fixed(self.arrays, q, k, nprobe, self.metric,
+                                   max_codes=int(self.max_codes))
         vals, ids = jax.device_get(res)  # one tunnel round-trip
         out = vals, ids.astype(np.int64)
         # global counters (reference indexIVF_stats, IndexIVF.h:361-374)

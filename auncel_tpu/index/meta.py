@@ -58,6 +58,39 @@ class IndexIDMap(Index):
         self._ids = np.zeros(0, np.int64)
 
 
+class IndexIDMap2(IndexIDMap):
+    """IndexIDMap with an id -> sequential-position reverse map for
+    efficient reconstruction by user id (MetaIndexes.h:59-77:
+    ``rev_map`` + ``reconstruct``)."""
+
+    def __init__(self, sub: Index):
+        super().__init__(sub)
+        self._rev: dict[int, int] = {}
+
+    def construct_rev_map(self) -> None:
+        """Rebuild the reverse map from scratch (MetaIndexes.cpp
+        ``construct_rev_map``) — e.g. after loading state."""
+        self._rev = {int(u): i for i, u in enumerate(self._ids)}
+
+    def add(self, x, ids=None):
+        base = self._ids.shape[0]
+        super().add(x, ids)
+        for i, u in enumerate(self._ids[base:]):
+            self._rev[int(u)] = base + i
+
+    def reconstruct(self, key: int) -> np.ndarray:
+        """Decode the stored vector for user id ``key`` via the reverse
+        map (one dict lookup, not a scan of _ids)."""
+        pos = self._rev.get(int(key))
+        if pos is None:
+            raise KeyError(f"id {key} not in IndexIDMap2")
+        return self.sub.reconstruct(pos)
+
+    def reset(self):
+        super().reset()
+        self._rev = {}
+
+
 class IndexShards(Index):
     """Fan out to every shard, merge top-k by value (IndexShards.h:20).
     successive_ids: shard i's ids are offset by the preceding shards'

@@ -175,18 +175,30 @@ def multirow_search_fixed(
     nprobe: int,
     out_slots: int,
     metric: Metric,
+    code_sizes: jax.Array | None = None,
+    max_codes=0,
 ):
     """Fixed-nprobe search over the multi-row layout: identical results to
     ivf_search_fixed, ~cap/row_cap times less gather traffic on skewed
     lists. ``out_slots`` bounds the expanded row count (nprobe * mean rows
     per list + slack; unexpanded tail rows are dropped — callers size it
-    generously)."""
+    generously). ``max_codes`` > 0 (with ``code_sizes`` = the [nlist]
+    per-list code counts) applies the reference's code-visit budget
+    (IndexIVF.h:69): a query stops after the ranked list that crosses it —
+    whole lists only, so the row budget is that prefix's full row count."""
     B = q.shape[0]
     q_sq = sqnorms(q)
     cdis, cids = coarse_rank(mr.rows, q, metric, q_sq=q_sq)
     row_slots, offsets = expand_probes(mr, cids, nprobe, out_slots)
-    # per-query row budget: all rows of the first nprobe lists
-    row_limit = offsets[:, nprobe - 1]
+    if code_sizes is not None:
+        from auncel_tpu.index.scan import maxcodes_limit
+        g = maxcodes_limit(code_sizes[cids[:, :nprobe]], nprobe,
+                           jnp.asarray(max_codes, jnp.int32))
+        row_limit = jnp.take_along_axis(offsets, (g - 1)[:, None],
+                                        axis=1)[:, 0]
+    else:
+        # per-query row budget: all rows of the first nprobe lists
+        row_limit = offsets[:, nprobe - 1]
     # clamp -1 padding to row 0; rows beyond row_limit are limit-masked,
     # and row 0's vectors can't be double-counted because slots below the
     # limit are real row ids by construction

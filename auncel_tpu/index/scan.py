@@ -327,6 +327,18 @@ def ivf_full_scan(
     return jax.lax.fori_loop(0, n_chunks, body, init)
 
 
+def maxcodes_limit(sizes: jax.Array, nprobe: int, max_codes) -> jax.Array:
+    """Per-query probe limit under a code-visit budget: the reference scans
+    list ik then breaks once ``nscan >= max_codes`` (IndexIVF.cpp:539-541),
+    so the number of lists scanned is 1 + #(strict-prefix sums <
+    max_codes), capped at nprobe. ``sizes`` [B, nprobe] are the probed
+    lists' code counts in rank order; ``max_codes`` 0 disables (traced, so
+    one compiled program serves every budget)."""
+    cum = jnp.cumsum(sizes, axis=1)
+    g = jnp.minimum(nprobe, jnp.sum(cum < max_codes, axis=1) + 1)
+    return jnp.where(max_codes > 0, g, nprobe).astype(jnp.int32)
+
+
 @functools.partial(jax.jit, static_argnames=("k", "nprobe", "metric"))
 def ivf_search_fixed(
     arrays: IVFArrays,
@@ -334,16 +346,20 @@ def ivf_search_fixed(
     k: int,
     nprobe: int,
     metric: Metric,
+    max_codes=0,
 ):
     """Fixed-nprobe IVF-Flat search (the reference's untuned
     ``search_preassigned`` path). Returns (vals [B,k], ids [B,k]) sorted
-    best-first."""
+    best-first. ``max_codes`` > 0 stops each query after the ranked list
+    that crosses the code budget (IndexIVF.h:69, the knob the reference's
+    ParameterSpace sweeps for IMI quantizers, AutoTune.cpp:388-399)."""
     from auncel_tpu.ops.distance import sqnorms
     B = q.shape[0]
     q_sq = sqnorms(q)
     cdis, cids = coarse_rank(arrays, q, metric, q_sq=q_sq)
     vals, ids = init_topk((B,), k, metric)
-    limit = jnp.full((B,), nprobe, jnp.int32)
+    limit = maxcodes_limit(arrays.list_sizes[cids[:, :nprobe]], nprobe,
+                           jnp.asarray(max_codes, jnp.int32))
     vals, ids = scan_probe_range(
         arrays, q, q_sq, cids, vals, ids, limit, 0, nprobe, metric)
     return vals, ids
