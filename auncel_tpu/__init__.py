@@ -20,6 +20,28 @@ Design stance (TPU-first, not a port):
     merge over ICI.
 """
 
+import os as _os
+
+import jax as _jax
+
+# Persistent XLA compilation cache. On the axon-tunneled TPU an identical
+# program compiles in 1 s - 10 min (server-side lottery); caching the
+# serialized executable makes every process after the first hit warm
+# (measured: 592 s first compile -> 0.30 s from a fresh process). Opt out
+# with AUNCEL_NO_COMPILE_CACHE=1; relocate with AUNCEL_COMPILE_CACHE_DIR.
+if not _os.environ.get("AUNCEL_NO_COMPILE_CACHE"):
+    _cache_dir = _os.environ.get(
+        "AUNCEL_COMPILE_CACHE_DIR",
+        _os.path.join(_os.path.dirname(_os.path.abspath(__file__)),
+                      _os.pardir, ".jax_cache"))
+    try:
+        _jax.config.update("jax_compilation_cache_dir", _cache_dir)
+        _jax.config.update("jax_persistent_cache_min_compile_time_secs",
+                           0.5)
+        _jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+    except Exception:  # pragma: no cover - older jax without the knobs
+        pass
+
 from auncel_tpu.types import Metric
 from auncel_tpu.index.flat import FlatIndex
 from auncel_tpu.index.ivf import IVFFlatIndex

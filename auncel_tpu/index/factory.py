@@ -58,6 +58,17 @@ def index_factory(d: int, description: str,
         m = re.fullmatch(r"HNSW(\d+)?(,Flat)?", desc)
         from auncel_tpu.index.hnsw import HNSWIndex
         index = HNSWIndex(cur_d, M=int(m.group(1) or 32), metric=metric)
+    elif re.fullmatch(r"HNSW(\d+)_SQ8", desc):
+        # compressed-storage graph (AutoTune.cpp:908-910; SQ8 only there)
+        m = re.fullmatch(r"HNSW(\d+)_SQ8", desc)
+        from auncel_tpu.index.hnsw import IndexHNSWSQ
+        index = IndexHNSWSQ(cur_d, M=int(m.group(1)), metric=metric)
+    elif re.fullmatch(r"HNSW(\d+)_PQ(\d+)", desc):
+        # PQ-coded graph storage (AutoTune.cpp:902-904)
+        m = re.fullmatch(r"HNSW(\d+)_PQ(\d+)", desc)
+        from auncel_tpu.index.hnsw import IndexHNSWPQ
+        index = IndexHNSWPQ(cur_d, pq_m=int(m.group(2)),
+                            M=int(m.group(1)), metric=metric)
     elif re.fullmatch(r"PQ(\d+)", desc):
         # standalone PQ index (AutoTune.cpp:906-918 "PQ%d" cell)
         from auncel_tpu.index.pq_index import IndexPQ

@@ -32,6 +32,7 @@ pointer-and-heap code:
 """
 
 import functools
+from typing import NamedTuple
 
 import numpy as np
 import jax
@@ -64,6 +65,27 @@ def _block_dist(q, blocks, metric: Metric):
     return dots
 
 
+class HNSWCodec(NamedTuple):
+    """Device-storage codec for compressed HNSW variants (reference
+    IndexHNSWSQ / IndexHNSWPQ, IndexHNSW.h:147-166: the graph's
+    DistanceComputer decodes stored codes asymmetrically against raw
+    float queries). Exactly one of (scale+bias) or books is set; the
+    pytree structure keeps the variant STATIC under jit."""
+    scale: jax.Array | None = None   # [d] SQ8 affine
+    bias: jax.Array | None = None    # [d]
+    books: jax.Array | None = None   # [M, 256, d/M] PQ codebooks
+
+
+def storage_decode(x: jax.Array, codec: HNSWCodec | None) -> jax.Array:
+    """Gathered storage block [..., d_code] -> f32 vectors [..., d]."""
+    if codec is None:
+        return x
+    if codec.books is not None:
+        from auncel_tpu.ops.pq import decode_pq, PQCodebooks
+        return decode_pq(PQCodebooks(codec.books), x)
+    return x.astype(jnp.float32) * codec.scale + codec.bias
+
+
 @functools.partial(jax.jit, static_argnames=("iters", "metric"))
 def greedy_descent(
     xb: jax.Array,        # [N, d]
@@ -74,6 +96,7 @@ def greedy_descent(
     cur_d: jax.Array,     # [B] their metric values
     iters: int,
     metric: Metric,
+    codec: HNSWCodec | None = None,
 ):
     """Reference ``greedy_update_nearest``: move to the best neighbor while
     it improves; batched with a fixed iteration cap (the walk length is
@@ -85,7 +108,8 @@ def greedy_descent(
         up = g2u[cur]
         nbrs = table[jnp.maximum(up, 0)]                   # [B, M]
         valid = (nbrs >= 0) & (up >= 0)[:, None]
-        d = _block_dist(q, xb[jnp.maximum(nbrs, 0)], metric)
+        d = _block_dist(q, storage_decode(xb[jnp.maximum(nbrs, 0)], codec),
+                        metric)
         d = jnp.where(valid, d, worst)
         if metric.lower_is_better:
             j = jnp.argmin(d, axis=1)
@@ -111,6 +135,7 @@ def beam_search(
     ef: int,
     iters: int,
     metric: Metric,
+    codec: HNSWCodec | None = None,
 ):
     """ef-bounded exploration (reference ``search_from_candidates``).
     Returns (cand_ids [B, ef], cand_d [B, ef]) sorted best-first."""
@@ -137,7 +162,8 @@ def beam_search(
         up = g2u[jnp.maximum(node, 0)]
         nbrs = table[jnp.maximum(up, 0)]                    # [B, K]
         valid = ((nbrs >= 0) & (up >= 0)[:, None] & active[:, None])
-        nd = _block_dist(q, xb[jnp.maximum(nbrs, 0)], metric)
+        nd = _block_dist(q, storage_decode(xb[jnp.maximum(nbrs, 0)], codec),
+                         metric)
         nd = jnp.where(valid, nd, worst)
         nbrs = jnp.where(valid, nbrs, -1)
         expanded = expanded.at[jnp.arange(B), pos].set(
@@ -204,12 +230,13 @@ def heuristic_keep(
     cand_d: jax.Array,     # [Q, K]
     M: int,
     metric: Metric,
+    codec: HNSWCodec | None = None,
 ):
     """Vectorized occlusion heuristic (``shrink_neighbor_list``): walk
     candidates nearest-first, keep v iff dist(q, v) beats dist(v, s) for
     every already-kept s; stop at M. Returns keep mask [Q, K]."""
     Q, K = cand_ids.shape
-    vecs = xb[jnp.maximum(cand_ids, 0)]                    # [Q, K, d]
+    vecs = storage_decode(xb[jnp.maximum(cand_ids, 0)], codec)  # [Q, K, d]
     dots = jnp.einsum("qkd,qjd->qkj", vecs, vecs,
                       preferred_element_type=jnp.float32,
                       precision=jax.lax.Precision.HIGHEST)
@@ -255,6 +282,7 @@ class HNSWIndex(Index):
         self.is_trained = True
         self._xb = np.zeros((0, d), np.float32)
         self._built = False
+        self._codec: HNSWCodec | None = None  # compressed-storage decode
         # graph state (host mirrors + device copies)
         self.levels: np.ndarray | None = None
         self.entry_point = -1
@@ -289,8 +317,13 @@ class HNSWIndex(Index):
 
     # ------------------------------------------------------------- build
 
+    def _device_storage(self):
+        """What lives on device as the vector table: raw f32 for the flat
+        index; codes for the compressed variants (decoded at gather)."""
+        return jnp.asarray(self._xb)
+
     def _push_dev(self):
-        self._dev = (jnp.asarray(self._xb),
+        self._dev = (self._device_storage(),
                      [(jnp.asarray(t), jnp.asarray(g))
                       for t, g in zip(self.nb_tables, self.g2u)])
 
@@ -369,27 +402,31 @@ class HNSWIndex(Index):
                     pad[: chunk.size] = chunk
                     q = jnp.asarray(self._xb[pad])
                     cur = jnp.full((bs,), self.entry_point, jnp.int32)
-                    cur_d = _block_dist(q, xb_d[cur][:, None, :],
-                                        self.metric)[:, 0]
+                    cur_d = _block_dist(
+                        q, storage_decode(xb_d[cur],
+                                          self._codec)[:, None, :],
+                        self.metric)[:, 0]
                     for lv in range(self.max_level, l, -1):
                         tb, gg = tables_d[lv]
                         if tb.shape[0]:
                             cur, cur_d = greedy_descent(
                                 xb_d, tb, gg, q, cur, cur_d, 16,
-                                self.metric)
+                                self.metric, self._codec)
                     tb, gg = tables_d[l]
                     cand_ids, cand_d = beam_search(
-                        xb_d, tb, gg, q, cur, cur_d, ef, ef, self.metric)
+                        xb_d, tb, gg, q, cur, cur_d, ef, ef, self.metric,
+                        self._codec)
                     nbrs = jnp.asarray(table[g2u[pad]])
-                    nd = _block_dist(q, xb_d[jnp.maximum(nbrs, 0)],
-                                     self.metric)
+                    nd = _block_dist(
+                        q, storage_decode(xb_d[jnp.maximum(nbrs, 0)],
+                                          self._codec), self.metric)
                     nd = jnp.where(nbrs >= 0, nd,
                                    worst_value(self.metric))
                     m_ids, m_d = _merge_ranked(
                         cand_ids, cand_d, nbrs, nd,
                         jnp.asarray(pad.astype(np.int32)), ef, self.metric)
                     keep = heuristic_keep(xb_d, q, m_ids, m_d, self.M,
-                                          self.metric)
+                                          self.metric, self._codec)
                     m_np, k_np = np.asarray(m_ids), np.asarray(keep)
                     for i in range(chunk.size):
                         s = m_np[i][k_np[i] & (m_np[i] >= 0)][: self.M]
@@ -522,15 +559,17 @@ class HNSWIndex(Index):
             xb_d = self._dev[0]
             nodes = members[over_rows]
             qv = jnp.asarray(self._xb[nodes])
-            d = _block_dist(qv, xb_d[jnp.maximum(jnp.asarray(cand), 0)],
-                            self.metric)
+            d = _block_dist(qv, storage_decode(
+                xb_d[jnp.maximum(jnp.asarray(cand), 0)], self._codec),
+                self.metric)
             d = jnp.where(jnp.asarray(cand) >= 0, d,
                           worst_value(self.metric))
             sign = 1.0 if self.metric.lower_is_better else -1.0
             order = jnp.argsort(sign * d, axis=1)
             cand_s = jnp.take_along_axis(jnp.asarray(cand), order, 1)
             d_s = jnp.take_along_axis(d, order, 1)
-            keep = heuristic_keep(xb_d, qv, cand_s, d_s, cap, self.metric)
+            keep = heuristic_keep(xb_d, qv, cand_s, d_s, cap, self.metric,
+                              self._codec)
             cand_np, keep_np = np.asarray(cand_s), np.asarray(keep)
             for i, r in enumerate(over_rows):
                 s = cand_np[i][keep_np[i] & (cand_np[i] >= 0)][:cap]
@@ -552,7 +591,8 @@ class HNSWIndex(Index):
         q = jnp.asarray(self._xb[pts_pad])
         B = bs
         cur = jnp.full((B,), self.entry_point, jnp.int32)
-        cur_d = _block_dist(q, xb_d[cur][:, None, :], self.metric)[:, 0]
+        cur_d = _block_dist(q, storage_decode(xb_d[cur], self._codec)[:, None, :],
+                            self.metric)[:, 0]
         efc = self.ef_construction
         new_edges = {}   # level -> (src pts, candidates, keep mask)
         for l in range(self.max_level, -1, -1):
@@ -561,15 +601,16 @@ class HNSWIndex(Index):
                 continue
             # queries whose target < l only descend greedily
             cur, cur_d = greedy_descent(
-                xb_d, table_d, g2u_d, q, cur, cur_d, 16, self.metric)
+                xb_d, table_d, g2u_d, q, cur, cur_d, 16, self.metric,
+                self._codec)
             link = tgt >= l
             if not link.any():
                 continue
             cand_ids, cand_d = beam_search(
                 xb_d, table_d, g2u_d, q, cur, cur_d, efc,
-                efc, self.metric)
+                efc, self.metric, self._codec)
             keep = heuristic_keep(xb_d, q, cand_ids, cand_d, self.M,
-                                  self.metric)
+                                  self.metric, self._codec)
             cand_np = np.asarray(cand_ids)
             keep_np = np.asarray(keep) & (cand_np >= 0) & link[:, None]
             # a point must not link to itself (it is not in the frozen
@@ -626,14 +667,16 @@ class HNSWIndex(Index):
             cand[i, : len(lst)] = lst
         xb_d = self._dev[0]
         qv = jnp.asarray(self._xb[nodes])
-        d = _block_dist(qv, xb_d[jnp.maximum(jnp.asarray(cand), 0)],
-                        self.metric)
+        d = _block_dist(qv, storage_decode(
+            xb_d[jnp.maximum(jnp.asarray(cand), 0)], self._codec),
+            self.metric)
         d = jnp.where(jnp.asarray(cand) >= 0, d, worst_value(self.metric))
         sign = 1.0 if self.metric.lower_is_better else -1.0
         order = jnp.argsort(sign * d, axis=1)
         cand_s = jnp.take_along_axis(jnp.asarray(cand), order, 1)
         d_s = jnp.take_along_axis(d, order, 1)
-        keep = heuristic_keep(xb_d, qv, cand_s, d_s, cap, self.metric)
+        keep = heuristic_keep(xb_d, qv, cand_s, d_s, cap, self.metric,
+                              self._codec)
         cand_np, keep_np = np.asarray(cand_s), np.asarray(keep)
         for i, v in enumerate(nodes):
             sel = cand_np[i][keep_np[i] & (cand_np[i] >= 0)][:cap]
@@ -656,15 +699,18 @@ class HNSWIndex(Index):
         qd = jnp.asarray(q)
         B = q.shape[0]
         cur = jnp.full((B,), self.entry_point, jnp.int32)
-        cur_d = _block_dist(qd, xb_d[cur][:, None, :], self.metric)[:, 0]
+        cur_d = _block_dist(qd, storage_decode(xb_d[cur], self._codec)[:, None, :],
+                            self.metric)[:, 0]
         for l in range(self.max_level, 0, -1):
             table_d, g2u_d = tables_d[l]
             if table_d.shape[0]:
                 cur, cur_d = greedy_descent(
-                    xb_d, table_d, g2u_d, qd, cur, cur_d, 16, self.metric)
+                    xb_d, table_d, g2u_d, qd, cur, cur_d, 16, self.metric,
+                    self._codec)
         table_d, g2u_d = tables_d[0]
         cand_ids, cand_d = beam_search(
-            xb_d, table_d, g2u_d, qd, cur, cur_d, ef, ef, self.metric)
+            xb_d, table_d, g2u_d, qd, cur, cur_d, ef, ef, self.metric,
+            self._codec)
         vals = np.asarray(cand_d[:, :k])
         ids = np.asarray(cand_ids[:, :k]).astype(np.int64)
         return vals, ids
@@ -696,3 +742,86 @@ class HNSWIndex(Index):
             idx._push_dev()
             idx._built = True
         return idx
+
+
+class IndexHNSWSQ(HNSWIndex):
+    """HNSW over SQ8-coded storage (reference IndexHNSWSQ,
+    IndexHNSW.h:158; the factory accepts "HNSW%d_SQ8" only,
+    AutoTune.cpp:908-910). Device memory holds uint8 codes (4x less than
+    f32); every graph kernel decodes gathered codes through the shared
+    affine codec — distances are asymmetric (raw float query vs decoded
+    codes), exactly the reference's SQ DistanceComputer. The host mirror
+    ``_xb`` keeps the DECODED values, so host-side graph surgery
+    (connectivity repair, refinement queries) sees the same numbers the
+    device computes."""
+
+    def __init__(self, d: int, M: int = 16, **kw):
+        super().__init__(d, M=M, **kw)
+        self.is_trained = False
+        self._scale: np.ndarray | None = None
+        self._vmin: np.ndarray | None = None
+        self._codes = np.zeros((0, d), np.uint8)
+
+    def train(self, x: np.ndarray) -> None:
+        x = np.asarray(x, np.float32)
+        self._vmin = x.min(0).astype(np.float32)
+        self._scale = np.maximum((x.max(0) - self._vmin) / 255.0,
+                                 1e-10).astype(np.float32)
+        self._codec = HNSWCodec(scale=jnp.asarray(self._scale),
+                                bias=jnp.asarray(self._vmin))
+        self.is_trained = True
+
+    def add(self, x: np.ndarray, ids=None) -> None:
+        assert self.is_trained, "train before add"
+        x = np.asarray(x, np.float32)
+        codes = np.clip(np.rint((x - self._vmin) / self._scale), 0,
+                        255).astype(np.uint8)
+        self._codes = np.concatenate([self._codes, codes], 0)
+        # host mirror stores decoded values (same f32 affine the device
+        # applies, so host/device arithmetic agree bitwise)
+        super().add(codes.astype(np.float32) * self._scale + self._vmin)
+
+    def _device_storage(self):
+        return jnp.asarray(self._codes)
+
+    def reset(self):
+        super().reset()
+        self._codes = np.zeros((0, self.d), np.uint8)
+
+
+class IndexHNSWPQ(HNSWIndex):
+    """HNSW over PQ codes (reference IndexHNSWPQ, IndexHNSW.h:147;
+    factory "HNSW%d_PQ%d", AutoTune.cpp:902-904). Device memory holds
+    pq_m bytes per vector; gathered codes decode through the codebooks
+    (one small gather) before the MXU distance block — the reference's
+    PQ DistanceComputer as a decode+contract instead of LUT sums."""
+
+    def __init__(self, d: int, pq_m: int = 8, M: int = 16, **kw):
+        assert d % pq_m == 0, f"d={d} must divide into pq_m={pq_m}"
+        super().__init__(d, M=M, **kw)
+        self.is_trained = False
+        self.pq_m = int(pq_m)
+        self._pq = None
+        self._codes = np.zeros((0, pq_m), np.uint8)
+
+    def train(self, x: np.ndarray) -> None:
+        from auncel_tpu.ops.pq import train_pq
+        self._pq = train_pq(np.asarray(x, np.float32), self.pq_m)
+        self._codec = HNSWCodec(books=self._pq.codebooks)
+        self.is_trained = True
+
+    def add(self, x: np.ndarray, ids=None) -> None:
+        from auncel_tpu.ops.pq import encode_pq, decode_pq
+        assert self.is_trained, "train before add"
+        x = np.asarray(x, np.float32)
+        codes = np.asarray(encode_pq(self._pq, jnp.asarray(x)))
+        self._codes = np.concatenate([self._codes, codes], 0)
+        super().add(np.asarray(decode_pq(self._pq, jnp.asarray(codes)),
+                               np.float32))
+
+    def _device_storage(self):
+        return jnp.asarray(self._codes)
+
+    def reset(self):
+        super().reset()
+        self._codes = np.zeros((0, self.pq_m), np.uint8)

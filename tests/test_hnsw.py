@@ -147,3 +147,59 @@ def test_factory_ivf_hnsw_coarse(ds, gt):
     for row in i:
         real = row[row >= 0]
         assert len(set(real.tolist())) == real.size
+
+
+def test_hnsw_sq_storage_recall():
+    """IndexHNSWSQ (IndexHNSW.h:158): graph over uint8 codes, decoded at
+    gather — recall stays near the flat-storage graph because SQ8 noise
+    is small; codes (not floats) live on device."""
+    import jax.numpy as jnp
+    from auncel_tpu.index.hnsw import IndexHNSWSQ
+    from auncel_tpu.ops.knn import knn
+    rng = np.random.RandomState(5)
+    xb = rng.randn(5000, 32).astype(np.float32)
+    xq = rng.randn(50, 32).astype(np.float32)
+    idx = IndexHNSWSQ(32, M=16)
+    idx.train(xb)
+    idx.add(xb)
+    idx.build()
+    assert idx._dev[0].dtype == jnp.uint8  # codes on device, not floats
+    _, I = idx.search(xq, 10, ef=64)
+    gt = knn(xq, xb, 10, Metric.L2)
+    rec = np.mean([len(set(a) & set(b)) / 10
+                   for a, b in zip(I.tolist(), gt.ids.tolist())])
+    assert rec >= 0.85, rec
+    # distances are computed on DECODED values: spot-check one result
+    v, i = idx.search(xq[:1], 1, ef=64)
+    dec = idx._xb[i[0, 0]]
+    np.testing.assert_allclose(
+        v[0, 0], ((xq[0] - dec) ** 2).sum(), rtol=1e-4)
+
+
+def test_hnsw_pq_storage_recall():
+    from auncel_tpu.index.hnsw import IndexHNSWPQ
+    from auncel_tpu.ops.knn import knn
+    rng = np.random.RandomState(6)
+    xb = rng.randn(5000, 32).astype(np.float32)
+    xq = rng.randn(50, 32).astype(np.float32)
+    idx = IndexHNSWPQ(32, pq_m=8, M=16)
+    idx.train(xb[:2000])
+    idx.add(xb)
+    idx.build()
+    assert idx._dev[0].shape[1] == 8  # pq_m bytes per vector on device
+    _, I = idx.search(xq, 10, ef=64)
+    # PQ reconstruction error moves neighbors: compare against GT over the
+    # DECODED corpus (what the index can possibly rank by)
+    gt = knn(xq, idx._xb, 10, Metric.L2)
+    rec = np.mean([len(set(a) & set(b)) / 10
+                   for a, b in zip(I.tolist(), gt.ids.tolist())])
+    assert rec >= 0.8, rec
+
+
+def test_hnsw_compressed_factory_cells():
+    import auncel_tpu as at
+    from auncel_tpu.index.hnsw import IndexHNSWSQ, IndexHNSWPQ
+    idx = at.index_factory(32, "HNSW16_SQ8")
+    assert isinstance(idx, IndexHNSWSQ) and idx.M == 16
+    idx = at.index_factory(32, "HNSW16_PQ8")
+    assert isinstance(idx, IndexHNSWPQ) and idx.pq_m == 8
