@@ -32,3 +32,23 @@ import pytest  # noqa: E402
 @pytest.fixture(scope="session")
 def rng():
     return np.random.RandomState(1234)
+
+
+@pytest.fixture(autouse=True, scope="module")
+def _clear_jax_caches_between_modules():
+    """Drop compiled-executable references after each test module.
+
+    The suite compiles ~1000 XLA:CPU modules across all files; holding
+    every executable live for the whole run was observed to segfault
+    LLVM inside a later compile (deterministically at the same test,
+    crash site varying between unrelated programs — classic resource
+    exhaustion, reproduced with and without the persistent compile
+    cache, gone when any large module is dropped from the sequence).
+    Recompiles after a clear are cheap: the persistent compile cache
+    (auncel_tpu/__init__.py) turns them into disk hits.
+    """
+    yield
+    import gc
+    import jax as _jax
+    _jax.clear_caches()
+    gc.collect()
