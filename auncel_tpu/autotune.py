@@ -78,6 +78,26 @@ def worst_case_recall(D: np.ndarray, gt_D: np.ndarray, k: int,
     return float(recall_counts(D, gt_D, k, metric).min() / k)
 
 
+def one_recall_at_r(I: np.ndarray, gt_I: np.ndarray, R: int) -> float:
+    """Fraction of queries whose TRUE nearest neighbor appears in the
+    first R results (reference OneRecallAtRCriterion::evaluate,
+    AutoTune.cpp:75-91 — the criterion the reference's 1-recall@R plots
+    use)."""
+    nn = gt_I[:, 0][:, None]
+    return float(np.mean((I[:, :R] == nn).any(1)))
+
+
+def intersection_at_r(I: np.ndarray, gt_I: np.ndarray, R: int) -> float:
+    """Mean |top-R results ∩ top-R GT| / R by ids (reference
+    IntersectionCriterion::evaluate, AutoTune.cpp:93-113 — the MEAN
+    criterion; worst_case_recall above is its per-query min by distance
+    threshold, the form the bound checker needs)."""
+    hits = 0
+    for r, g in zip(I[:, :R], gt_I[:, :R]):
+        hits += len(set(r.tolist()) & set(g.tolist()))
+    return hits / (len(I) * R)
+
+
 def set_index_parameter(index, name: str, value) -> None:
     """Single-knob setter (reference ParameterSpace::set_index_parameter,
     AutoTune.cpp:455-520) for the implemented index families."""
@@ -89,6 +109,11 @@ def set_index_parameter(index, name: str, value) -> None:
         return
     if isinstance(index, IndexRefineFlat):
         return set_index_parameter(index.base, name, value)
+    from auncel_tpu.index.ivfpqr import IndexIVFPQR
+    if name == "k_factor" and isinstance(index, IndexIVFPQR):
+        # AutoTune.cpp:534-538 (IVFPQR k_factor knob)
+        index.k_factor = float(value)
+        return
     if name == "nprobe" and isinstance(index, IVFFlatIndex):
         index.nprobe = int(value)
     elif name == "efSearch" and isinstance(index, HNSWIndex):
@@ -145,6 +170,10 @@ class ParameterSpace:
             return [("k_factor", [1, 2, 4, 8])] + inner
         if isinstance(index, IVFFlatIndex):
             dims = [("nprobe", self.candidate_nprobes())]
+            from auncel_tpu.index.ivfpqr import IndexIVFPQR
+            if isinstance(index, IndexIVFPQR):
+                # AutoTune.cpp:401-406: k_factor 1..64 powers of two
+                dims.append(("k_factor", [1 << i for i in range(7)]))
             if getattr(index, "coarse", "kmeans") == "imi":
                 # the reference adds a max_codes range only when the coarse
                 # quantizer is a MultiIndexQuantizer (AutoTune.cpp:388-399:

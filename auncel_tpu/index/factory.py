@@ -69,6 +69,23 @@ def index_factory(d: int, description: str,
         from auncel_tpu.index.hnsw import IndexHNSWPQ
         index = IndexHNSWPQ(cur_d, pq_m=int(m.group(2)),
                             M=int(m.group(1)), metric=metric)
+    elif re.fullmatch(r"HNSW(\d+)_(\d+)\+PQ(\d+)", desc):
+        # graph over 2-level codes, k-means coarse (AutoTune.cpp:886-891)
+        m = re.fullmatch(r"HNSW(\d+)_(\d+)\+PQ(\d+)", desc)
+        from auncel_tpu.index.hnsw import IndexHNSW2Level
+        index = IndexHNSW2Level(cur_d, nlist=int(m.group(2)),
+                                pq_m=int(m.group(3)), M=int(m.group(1)),
+                                metric=metric)
+    elif re.fullmatch(r"HNSW(\d+)_2x(\d+)\+PQ(\d+)", desc):
+        # graph over 2-level codes, IMI product coarse (AutoTune.cpp:893-899)
+        m = re.fullmatch(r"HNSW(\d+)_2x(\d+)\+PQ(\d+)", desc)
+        from auncel_tpu.index.hnsw import IndexHNSW2Level
+        from auncel_tpu.index.twolayer import IMICoarseQuantizer
+        nbit = int(m.group(2))
+        index = IndexHNSW2Level(
+            cur_d, nlist=(1 << nbit) ** 2, pq_m=int(m.group(3)),
+            M=int(m.group(1)), metric=metric,
+            quantizer=IMICoarseQuantizer(cur_d, nbit, metric))
     elif re.fullmatch(r"PQ(\d+)", desc):
         # standalone PQ index (AutoTune.cpp:906-918 "PQ%d" cell)
         from auncel_tpu.index.pq_index import IndexPQ
@@ -95,6 +112,13 @@ def index_factory(d: int, description: str,
         from auncel_tpu.index.lsh import IVFSpectralHashIndex
         index = IVFSpectralHashIndex(cur_d, nlist=int(m.group(1)),
                                      nbit=int(m.group(2) or cur_d))
+    elif re.fullmatch(r"IVF(\d+),PQ(\d+)\+(\d+)", desc):
+        # IVFPQ + refinement PQ re-rank (AutoTune.cpp:854-866 "PQ%d+%d";
+        # rejected under inner product there, mirrored in IndexIVFPQR)
+        m = re.fullmatch(r"IVF(\d+),PQ(\d+)\+(\d+)", desc)
+        from auncel_tpu.index.ivfpqr import IndexIVFPQR
+        index = IndexIVFPQR(cur_d, int(m.group(1)), M=int(m.group(2)),
+                            M_refine=int(m.group(3)), metric=metric)
     else:
         coarse = "kmeans"
         m = re.fullmatch(r"IMI2x(\d+),(\w+)", desc)

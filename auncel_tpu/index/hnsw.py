@@ -74,12 +74,23 @@ class HNSWCodec(NamedTuple):
     scale: jax.Array | None = None   # [d] SQ8 affine
     bias: jax.Array | None = None    # [d]
     books: jax.Array | None = None   # [M, 256, d/M] PQ codebooks
+    # 2-level codes (reference Index2Layer storage behind IndexHNSW2Level,
+    # IndexHNSW.cpp:1054-1100): first 4 code bytes = little-endian coarse
+    # centroid id, remaining M bytes = PQ(residual) code.
+    centroids: jax.Array | None = None  # [nlist, d] float32
 
 
 def storage_decode(x: jax.Array, codec: HNSWCodec | None) -> jax.Array:
     """Gathered storage block [..., d_code] -> f32 vectors [..., d]."""
     if codec is None:
         return x
+    if codec.centroids is not None:
+        from auncel_tpu.ops.pq import decode_pq, PQCodebooks
+        b = x.astype(jnp.int32)
+        lid = (b[..., 0] | (b[..., 1] << 8) | (b[..., 2] << 16)
+               | (b[..., 3] << 24))
+        resid = decode_pq(PQCodebooks(codec.books), x[..., 4:])
+        return codec.centroids[lid] + resid
     if codec.books is not None:
         from auncel_tpu.ops.pq import decode_pq, PQCodebooks
         return decode_pq(PQCodebooks(codec.books), x)
@@ -283,6 +294,8 @@ class HNSWIndex(Index):
         self._xb = np.zeros((0, d), np.float32)
         self._built = False
         self._codec: HNSWCodec | None = None  # compressed-storage decode
+        # optional refined re-rank hook (reference IndexHNSW.h:80)
+        self.reconstruct_from_neighbors = None
         # graph state (host mirrors + device copies)
         self.levels: np.ndarray | None = None
         self.entry_point = -1
@@ -711,8 +724,19 @@ class HNSWIndex(Index):
         cand_ids, cand_d = beam_search(
             xb_d, table_d, g2u_d, qd, cur, cur_d, ef, ef, self.metric,
             self._codec)
-        vals = np.asarray(cand_d[:, :k])
+        vals = np.array(cand_d[:, :k])
         ids = np.asarray(cand_ids[:, :k]).astype(np.int64)
+        rfn = getattr(self, "reconstruct_from_neighbors", None)
+        if rfn is not None and getattr(rfn, "k_reorder", -1) != 0:
+            # re-rank the top k_reorder through the refined neighbor
+            # reconstructions (reference IndexHNSW::search,
+            # IndexHNSW.cpp:260-285)
+            kr = getattr(rfn, "k_reorder", -1)
+            kr = k if (kr == -1 or kr > k) else int(kr)
+            d2 = rfn.compute_distances(q, ids[:, :kr])
+            order = np.argsort(d2, axis=1, kind="stable")
+            ids[:, :kr] = np.take_along_axis(ids[:, :kr], order, 1)
+            vals[:, :kr] = np.take_along_axis(d2, order, 1)
         return vals, ids
 
     # ---------------------------------------------------------------- io
@@ -825,3 +849,62 @@ class IndexHNSWPQ(HNSWIndex):
     def reset(self):
         super().reset()
         self._codes = np.zeros((0, self.pq_m), np.uint8)
+
+
+class IndexHNSW2Level(HNSWIndex):
+    """HNSW graph over two-level coded storage (reference IndexHNSW2Level,
+    IndexHNSW.h / IndexHNSW.cpp:1054-1100: an IndexHNSW whose storage is
+    an Index2Layer, distances computed by the Distance2Level
+    reconstructor; factory cells "HNSW%d_%d+PQ%d" and "HNSW%d_2x%d+PQ%d",
+    AutoTune.cpp:886-899). Device memory holds 4 + pq_m bytes per vector
+    (little-endian coarse id + PQ(residual) code); every graph kernel
+    decodes through the shared 2-level codec. The host mirror keeps the
+    DECODED reconstructions so host-side graph surgery sees the device's
+    numbers. ``storage`` exposes the underlying Index2Layer (the
+    reference's ``transfer_to_IVFPQ`` big-build recipe works from it).
+
+    The reference seeds level-0 search from the quantizer's nearest
+    centroids (IndexHNSW2Level::search, IndexHNSW.cpp:1316); here the
+    standard batched greedy+beam over the full hierarchy provides the
+    same capability with one code path.
+    """
+
+    def __init__(self, d: int, nlist: int, pq_m: int = 8, M: int = 16,
+                 quantizer=None, **kw):
+        super().__init__(d, M=M, **kw)
+        from auncel_tpu.index.twolayer import Index2Layer
+        self.is_trained = False
+        self.storage = Index2Layer(d, nlist, pq_m, metric=self.metric,
+                                   quantizer=quantizer)
+        self._codes = np.zeros((0, 4 + pq_m), np.uint8)
+
+    def train(self, x: np.ndarray) -> None:
+        self.storage.train(x)
+        self._codec = HNSWCodec(
+            books=self.storage._pq.codebooks,
+            centroids=jnp.asarray(self.storage.centroids))
+        self.is_trained = True
+
+    def add(self, x: np.ndarray, ids=None) -> None:
+        assert self.is_trained, "train before add"
+        x = np.asarray(x, np.float32)
+        n0 = self.storage.ntotal
+        self.storage.add(x)
+        lid = self.storage.list_ids[n0:].astype(np.uint32)
+        packed = np.empty((x.shape[0], 4 + self.storage.M), np.uint8)
+        packed[:, 0] = lid & 0xFF
+        packed[:, 1] = (lid >> 8) & 0xFF
+        packed[:, 2] = (lid >> 16) & 0xFF
+        packed[:, 3] = (lid >> 24) & 0xFF
+        packed[:, 4:] = self.storage.codes[n0:]
+        self._codes = np.concatenate([self._codes, packed], 0)
+        # host mirror = decoded reconstructions (centroid + pq decode)
+        super().add(self.storage.reconstruct_n(n0))
+
+    def _device_storage(self):
+        return jnp.asarray(self._codes)
+
+    def reset(self):
+        super().reset()
+        self.storage.reset()
+        self._codes = np.zeros((0, 4 + self.storage.M), np.uint8)

@@ -129,6 +129,61 @@ class NormalizationTransform(VectorTransform):
         return x / np.maximum(n, 1e-20)
 
 
+class CenteringTransform(VectorTransform):
+    """Subtract the training mean (reference CenteringTransform,
+    VectorTransform.h:249-266)."""
+
+    def __init__(self, d: int):
+        self.d_in = self.d_out = d
+        self.mean: np.ndarray | None = None
+
+    def train(self, x: np.ndarray) -> None:
+        self.mean = np.asarray(x, np.float32).mean(0)
+
+    def apply(self, x: np.ndarray) -> np.ndarray:
+        assert self.mean is not None, "train before apply"
+        return np.asarray(x, np.float32) - self.mean
+
+    def reverse(self, xt: np.ndarray) -> np.ndarray:
+        return np.asarray(xt, np.float32) + self.mean
+
+
+class RemapDimensionsTransform(VectorTransform):
+    """Dimension remap / pad (reference RemapDimensionsTransform,
+    VectorTransform.h:213-232: map[out] = in index or -1 for a zero
+    output; the uniform constructor spreads kept dimensions evenly)."""
+
+    def __init__(self, d_in: int, d_out: int,
+                 dim_map: np.ndarray | None = None, uniform: bool = True):
+        self.d_in, self.d_out = d_in, d_out
+        if dim_map is not None:
+            dim_map = np.asarray(dim_map, np.int64)
+            assert dim_map.shape == (d_out,)
+            assert np.all(dim_map < d_in)
+        elif uniform:
+            # VectorTransform.cpp uniform spread: i * d_in / d_out
+            dim_map = (np.arange(d_out) * d_in // d_out).astype(np.int64)
+        else:
+            # first d_out dims kept, -1 (zero) beyond d_in
+            dim_map = np.arange(d_out, dtype=np.int64)
+            dim_map[dim_map >= d_in] = -1
+        self.dim_map = dim_map
+
+    def apply(self, x: np.ndarray) -> np.ndarray:
+        x = np.asarray(x, np.float32)
+        out = x[:, np.maximum(self.dim_map, 0)]
+        out[:, self.dim_map < 0] = 0.0
+        return out
+
+    def reverse(self, xt: np.ndarray) -> np.ndarray:
+        """Correct only for permutation maps (VectorTransform.h:228-229)."""
+        xt = np.asarray(xt, np.float32)
+        out = np.zeros((xt.shape[0], self.d_in), np.float32)
+        keep = self.dim_map >= 0
+        out[:, self.dim_map[keep]] = xt[:, keep]
+        return out
+
+
 class IndexPreTransform(Index):
     """Apply a chain of transforms before the wrapped index
     (reference IndexPreTransform)."""

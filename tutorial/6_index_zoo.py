@@ -41,3 +41,23 @@ with tempfile.TemporaryDirectory() as tmp:
     od = OnDiskIVFIndex(path)
     D, I = od.search(ds.xq, k=4, nprobe=16)
     print("on-disk IVF128:", I[0])
+
+# IVFPQR: IVFPQ plus a refinement PQ — candidates are re-ranked through a
+# finer two-stage reconstruction (k_factor * k candidates per query).
+pqr = at.index_factory(64, "IVF128,PQ8+8")
+pqr.train(ds.xb[:20_000])
+pqr.add(ds.xb)
+D, I = pqr.search(ds.xq, k=4, nprobe=16)
+print("IVF128,PQ8+8:", I[0])
+
+# HNSW over two-level codes: 4+8 bytes per vector (coarse id + PQ residual),
+# the big-build recipe — transfer the codes into a real IVFPQ afterwards.
+h2l = at.index_factory(64, "HNSW16_128+PQ8")
+h2l.train(ds.xb[:20_000])
+h2l.add(ds.xb)
+h2l.build()
+D, I = h2l.search(ds.xq, k=4, ef=64)
+print("HNSW16_128+PQ8:", I[0])
+ivfpq = h2l.storage.transfer_to_ivfpq()      # codes move, not re-encoded
+D, I = ivfpq.search(ds.xq, k=4, nprobe=16)
+print("transferred IVFPQ:", I[0])
