@@ -213,16 +213,18 @@ class IndexScalarQuantizer(Index):
     read from HBM once per batch, decoded in-scan through the shared
     ``decode_block`` codec, and contracted on the MXU. ``qtype``:
     "sq8"/"sq4" (per-dim affine, trained min/max like the IVF storage
-    path) or "bf16" (the reference's QT_fp16 capability in the TPU-native
-    16-bit float format)."""
+    path), "sq8u"/"sq4u" (ONE shared range for all dimensions — the
+    reference's QT_8bit_uniform / QT_4bit_uniform,
+    IndexScalarQuantizer.h:37-38) or "bf16" (the reference's QT_fp16
+    capability in the TPU-native 16-bit float format)."""
 
     position_keyed_ids = True
     ROW_CAP = 512
 
     def __init__(self, d: int, qtype: str = "sq8",
                  metric: Metric = Metric.L2):
-        assert qtype in ("sq8", "sq4", "bf16"), qtype
-        if qtype == "sq4":
+        assert qtype in ("sq8", "sq4", "sq8u", "sq4u", "bf16"), qtype
+        if qtype.startswith("sq4"):
             assert d % 2 == 0, "SQ4 needs an even dimension"
         self.d = d
         self.qtype = qtype
@@ -243,9 +245,14 @@ class IndexScalarQuantizer(Index):
         if self.qtype == "bf16":
             return
         x = np.asarray(x, np.float32)
-        levels = 255.0 if self.qtype == "sq8" else 15.0
-        self._vmin = x.min(0).astype(np.float32)
-        self._scale = np.maximum((x.max(0) - self._vmin) / levels,
+        levels = 255.0 if self.qtype.startswith("sq8") else 15.0
+        if self.qtype.endswith("u"):
+            self._vmin = np.full(self.d, x.min(), np.float32)
+            vmax = np.full(self.d, x.max(), np.float32)
+        else:
+            self._vmin = x.min(0).astype(np.float32)
+            vmax = x.max(0).astype(np.float32)
+        self._scale = np.maximum((vmax - self._vmin) / levels,
                                  1e-10).astype(np.float32)
         self.is_trained = True
 
@@ -253,10 +260,10 @@ class IndexScalarQuantizer(Index):
         if self.qtype == "bf16":
             import jax.numpy as jnp
             return np.asarray(jnp.asarray(x).astype(jnp.bfloat16))
-        levels = 255.0 if self.qtype == "sq8" else 15.0
+        levels = 255.0 if self.qtype.startswith("sq8") else 15.0
         codes = np.clip(np.rint((x - self._vmin) / self._scale), 0,
                         levels).astype(np.uint8)
-        if self.qtype == "sq4":
+        if self.qtype.startswith("sq4"):
             codes = codes[:, 0::2] | (codes[:, 1::2] << 4)
         return codes
 
@@ -280,7 +287,7 @@ class IndexScalarQuantizer(Index):
         n_rows = max(-(-n // rc), 1)
         n_rows = ((n_rows + 7) // 8) * 8   # full scan chunks rows by 8
         d_code = self._codes.shape[1] if n else (
-            self.d // 2 if self.qtype == "sq4" else self.d)
+            self.d // 2 if self.qtype.startswith("sq4") else self.d)
         dt = self._codes.dtype if n else np.uint8
         codes = np.zeros((n_rows * rc, d_code), dt)
         if n:

@@ -741,21 +741,44 @@ class HNSWIndex(Index):
 
     # ---------------------------------------------------------------- io
 
+    def _io_extra(self) -> dict:
+        """Subclass hook: storage payloads beyond the graph (codes,
+        codebooks) — the reference's write_index serializes the storage
+        sub-index alongside the link structure (index_io.cpp)."""
+        return {}
+
+    def _io_restore(self, z) -> None:
+        """Subclass hook: rebuild codec/storage state from _io_extra
+        payloads. Runs before the device push."""
+
     def save(self, path: str) -> None:
         assert self._built or self.ntotal == 0
-        np.savez(path, xb=self._xb, levels=self.levels,
+        np.savez(path, kind=type(self).__name__,
+                 xb=self._xb, levels=self.levels,
                  entry=self.entry_point, max_level=self.max_level,
                  M=self.M, ef_search=self.ef_search,
                  metric=self.metric.value,
                  **{f"table{l}": t for l, t in enumerate(self.nb_tables)},
-                 **{f"g2u{l}": g for l, g in enumerate(self.g2u)})
+                 **{f"g2u{l}": g for l, g in enumerate(self.g2u)},
+                 **self._io_extra())
+
+    @classmethod
+    def _from_io(cls, z) -> "HNSWIndex":
+        """Construct an empty instance with the right ctor args (subclass
+        hook — compressed variants recover pq_m/nlist from payloads)."""
+        return cls(int(z["xb"].shape[1]), M=int(z["M"]),
+                   metric=Metric(str(z["metric"])),
+                   ef_search=int(z["ef_search"]))
 
     @classmethod
     def load(cls, path: str) -> "HNSWIndex":
         with np.load(path) as z:
-            idx = cls(int(z["xb"].shape[1]), M=int(z["M"]),
-                      metric=Metric(str(z["metric"])),
-                      ef_search=int(z["ef_search"]))
+            kind = str(z["kind"]) if "kind" in z else "HNSWIndex"
+            variants = {c.__name__: c for c in
+                        (HNSWIndex, IndexHNSWSQ, IndexHNSWPQ,
+                         IndexHNSW2Level)}
+            klass = variants.get(kind, cls)
+            idx = klass._from_io(z)
             idx._xb = z["xb"]
             idx.levels = z["levels"]
             idx.entry_point = int(z["entry"])
@@ -763,6 +786,7 @@ class HNSWIndex(Index):
             idx.nb_tables = [z[f"table{l}"]
                              for l in range(idx.max_level + 1)]
             idx.g2u = [z[f"g2u{l}"] for l in range(idx.max_level + 1)]
+            idx._io_restore(z)
             idx._push_dev()
             idx._built = True
         return idx
@@ -812,6 +836,18 @@ class IndexHNSWSQ(HNSWIndex):
         super().reset()
         self._codes = np.zeros((0, self.d), np.uint8)
 
+    def _io_extra(self):
+        return dict(sq_scale=self._scale, sq_vmin=self._vmin,
+                    sq_codes=self._codes)
+
+    def _io_restore(self, z):
+        self._scale = np.asarray(z["sq_scale"], np.float32)
+        self._vmin = np.asarray(z["sq_vmin"], np.float32)
+        self._codes = np.asarray(z["sq_codes"], np.uint8)
+        self._codec = HNSWCodec(scale=jnp.asarray(self._scale),
+                                bias=jnp.asarray(self._vmin))
+        self.is_trained = True
+
 
 class IndexHNSWPQ(HNSWIndex):
     """HNSW over PQ codes (reference IndexHNSWPQ, IndexHNSW.h:147;
@@ -849,6 +885,24 @@ class IndexHNSWPQ(HNSWIndex):
     def reset(self):
         super().reset()
         self._codes = np.zeros((0, self.pq_m), np.uint8)
+
+    def _io_extra(self):
+        return dict(pq_books=np.asarray(self._pq.codebooks),
+                    pq_codes=self._codes)
+
+    @classmethod
+    def _from_io(cls, z):
+        return cls(int(z["xb"].shape[1]),
+                   pq_m=int(z["pq_books"].shape[0]), M=int(z["M"]),
+                   metric=Metric(str(z["metric"])),
+                   ef_search=int(z["ef_search"]))
+
+    def _io_restore(self, z):
+        from auncel_tpu.ops.pq import PQCodebooks
+        self._pq = PQCodebooks(jnp.asarray(z["pq_books"]))
+        self._codes = np.asarray(z["pq_codes"], np.uint8)
+        self._codec = HNSWCodec(books=self._pq.codebooks)
+        self.is_trained = True
 
 
 class IndexHNSW2Level(HNSWIndex):
@@ -908,3 +962,31 @@ class IndexHNSW2Level(HNSWIndex):
         super().reset()
         self.storage.reset()
         self._codes = np.zeros((0, 4 + self.storage.M), np.uint8)
+
+    def _io_extra(self):
+        return dict(tl_centroids=self.storage.centroids,
+                    tl_books=np.asarray(self.storage._pq.codebooks),
+                    tl_list_ids=self.storage.list_ids,
+                    tl_codes=self.storage.codes,
+                    packed_codes=self._codes)
+
+    @classmethod
+    def _from_io(cls, z):
+        return cls(int(z["xb"].shape[1]),
+                   nlist=int(z["tl_centroids"].shape[0]),
+                   pq_m=int(z["tl_books"].shape[0]), M=int(z["M"]),
+                   metric=Metric(str(z["metric"])),
+                   ef_search=int(z["ef_search"]))
+
+    def _io_restore(self, z):
+        from auncel_tpu.ops.pq import PQCodebooks
+        st = self.storage
+        st.centroids = np.asarray(z["tl_centroids"], np.float32)
+        st._pq = PQCodebooks(jnp.asarray(z["tl_books"]))
+        st.list_ids = np.asarray(z["tl_list_ids"], np.int32)
+        st.codes = np.asarray(z["tl_codes"], np.uint8)
+        st.is_trained = True
+        self._codes = np.asarray(z["packed_codes"], np.uint8)
+        self._codec = HNSWCodec(books=st._pq.codebooks,
+                                centroids=jnp.asarray(st.centroids))
+        self.is_trained = True

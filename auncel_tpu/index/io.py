@@ -32,6 +32,30 @@ def save_index(index: Index, path: str) -> None:
                       metric=index.metric.value)
         np.savez(path, header=json.dumps(header), xb=index.xb)
         return
+    from auncel_tpu.index.ivfpqr import IndexIVFPQR
+    if isinstance(index, IndexIVFPQR):
+        # EXACT serialization (both PQ stages' codes round-trip
+        # bit-for-bit, like the reference's write_index for IndexIVFPQR,
+        # index_io.cpp). The loaded index serves searches/reconstructions
+        # identically; growing it needs the original vectors, so add()
+        # after an exact-code load raises (our PQ trains at pack time,
+        # unlike the reference's train-once codebooks).
+        sorted_ids, pos, codes, books = index._ensure_refine()
+        a = index.arrays
+        header = dict(version=_FORMAT_VERSION, kind="IVFPQR", d=index.d,
+                      metric=index.metric.value, nlist=index.nlist,
+                      M=int(index.storage[2:]), M_refine=index.M_refine,
+                      k_factor=index.k_factor, ntotal=index.ntotal)
+        np.savez(path, header=json.dumps(header),
+                 centroids=index.centroids,
+                 db=np.asarray(a.db), vec_ids=np.asarray(a.vec_ids),
+                 list_sizes=np.asarray(a.list_sizes),
+                 pq_books=np.asarray(a.pq_codebooks),
+                 refine_books=np.asarray(books),
+                 refine_codes=np.asarray(codes),
+                 refine_sorted_ids=np.asarray(sorted_ids),
+                 refine_pos=np.asarray(pos))
+        return
     if isinstance(index, IVFFlatIndex):
         # Quantized indexes are serialized as their DECODED values: search
         # results round-trip exactly; PQ indexes reload as f32 storage
@@ -55,6 +79,21 @@ def save_index(index: Index, path: str) -> None:
             payload["db"] = db.astype(np.float32)
             payload["vec_ids"] = np.asarray(a.vec_ids)
             payload["list_sizes"] = np.asarray(a.list_sizes)
+        np.savez(path, **payload)
+        return
+    from auncel_tpu.index.twolayer import Index2Layer
+    if isinstance(index, Index2Layer):
+        # exact: codes round-trip bit-for-bit (reference write_index for
+        # Index2Layer keeps codes too, index_io.cpp)
+        header = dict(version=_FORMAT_VERSION, kind="2Layer", d=index.d,
+                      metric=index.metric.value, nlist=index.nlist,
+                      M=index.M, trained=index.is_trained)
+        payload = dict(header=json.dumps(header))
+        if index.is_trained:
+            payload["centroids"] = index.centroids
+            payload["books"] = np.asarray(index._pq.codebooks)
+        payload["list_ids"] = index.list_ids
+        payload["codes"] = index.codes
         np.savez(path, **payload)
         return
     raise NotImplementedError(f"cannot serialize {type(index).__name__}")
@@ -125,4 +164,59 @@ def load_index(path: str) -> Index:
                 flat_ids = vec_ids[mask].astype(np.int64)
                 idx.add(flat_x, flat_ids)
             return idx
+        if header["kind"] == "IVFPQR":
+            from auncel_tpu.index.ivfpqr import IndexIVFPQR
+            from auncel_tpu.index.scan import IVFArrays
+            from auncel_tpu.ops.distance import sqnorms
+            import jax.numpy as jnp
+            idx = IndexIVFPQR(header["d"], header["nlist"],
+                              M=header["M"], M_refine=header["M_refine"],
+                              k_factor=header["k_factor"], metric=metric)
+            idx.set_centroids(np.asarray(z["centroids"], np.float32))
+            db = jnp.asarray(z["db"])
+            vec_ids = jnp.asarray(z["vec_ids"])
+            cents = jnp.asarray(idx.centroids)
+            arrays = IVFArrays(
+                centroids=cents, cent_sq=sqnorms(cents), db=db,
+                db_sq=jnp.zeros(db.shape[:2], jnp.float32),
+                vec_ids=vec_ids,
+                list_sizes=jnp.asarray(z["list_sizes"]),
+                interdis=(jnp.asarray(idx.interdis) if idx.interdis is
+                          not None else jnp.zeros((1, 1), jnp.float32)),
+                sq_scale=None, sq_bias=None,
+                pq_codebooks=jnp.asarray(z["pq_books"]),
+                pq_residual=())
+            dec = arrays.decode_block(db)
+            db_sq = jnp.sum(jnp.square(dec), -1) * (vec_ids >= 0)
+            idx._arrays = arrays._replace(db_sq=db_sq)
+            idx._ntotal = header["ntotal"]
+            idx._refine = (np.asarray(z["refine_sorted_ids"]),
+                           jnp.asarray(z["refine_pos"]),
+                           jnp.asarray(z["refine_codes"]),
+                           jnp.asarray(z["refine_books"]))
+            idx._refine_of = idx._arrays
+            idx._frozen_codes = True
+            return idx
+        if header["kind"] == "2Layer":
+            from auncel_tpu.index.twolayer import Index2Layer
+            from auncel_tpu.ops.pq import PQCodebooks
+            import jax.numpy as jnp
+            idx = Index2Layer(header["d"], header["nlist"],
+                              M=header["M"], metric=metric)
+            if header["trained"]:
+                idx.centroids = np.asarray(z["centroids"], np.float32)
+                idx._pq = PQCodebooks(jnp.asarray(z["books"]))
+                idx.is_trained = True
+            idx.list_ids = np.asarray(z["list_ids"], np.int32)
+            idx.codes = np.asarray(z["codes"], np.uint8)
+            return idx
     raise ValueError(f"unrecognized index file {path}")
+
+
+def clone_index(index: Index) -> Index:
+    """Deep, independent copy (reference ``clone_index``/``Cloner``,
+    index_io.h:73). Device arrays are immutable in JAX so they are shared
+    by reference — mutating operations (add/train/reset) on either copy
+    repack their own state without touching the other."""
+    import copy
+    return copy.deepcopy(index)

@@ -110,7 +110,9 @@ class IVFFlatIndex(Index):
     ):
         """``storage``: "f32" (raw), "bf16", "sq8"/"sq4" (per-dim affine
         scalar quantization, the reference's IndexIVFScalarQuantizer
-        capability, SURVEY.md §2 #17), or "pqM" (product quantization,
+        capability, SURVEY.md §2 #17), "sq8u"/"sq4u" (one range shared by
+        all dimensions — QT_8bit_uniform / QT_4bit_uniform,
+        IndexScalarQuantizer.h:37-38), or "pqM" (product quantization,
         #16). All distances are computed on decoded values. Caveat measured
         on the 1M benchmark: bf16's ~0.4% rounding noise can dominate
         neighbor ordering when clusters are tight relative to coordinate
@@ -251,16 +253,24 @@ class IVFFlatIndex(Index):
             if n_pad != n:
                 x = np.concatenate(
                     [x, np.broadcast_to(x[:1], (n_pad - n, self.d))])
-            if self.storage in ("sq8", "sq4"):
-                levels = 255.0 if self.storage == "sq8" else 15.0
-                vmin = x.min(0)
-                scale = np.maximum((x.max(0) - vmin) / levels,
+            if self.storage in ("sq8", "sq4", "sq8u", "sq4u"):
+                levels = 255.0 if self.storage.startswith("sq8") else 15.0
+                if self.storage.endswith("u"):
+                    # uniform variants: ONE range shared by every
+                    # dimension (reference QT_8bit_uniform /
+                    # QT_4bit_uniform, IndexScalarQuantizer.h:37-38) —
+                    # broadcast to [d] so the decode codec is unchanged
+                    vmin = np.full(self.d, x.min(), np.float32)
+                    vmax = np.full(self.d, x.max(), np.float32)
+                else:
+                    vmin, vmax = x.min(0), x.max(0)
+                scale = np.maximum((vmax - vmin) / levels,
                                    1e-10).astype(np.float32)
                 codes = np.clip(np.rint((x - vmin) / scale), 0,
                                 levels).astype(np.uint8)
                 sq_scale = jnp.asarray(scale)
                 sq_bias = jnp.asarray(vmin.astype(np.float32))
-                if self.storage == "sq4":
+                if self.storage.startswith("sq4"):
                     assert self.d % 2 == 0, "SQ4 needs an even dimension"
                     packed = (codes[:, 0::2] | (codes[:, 1::2] << 4))
                     codes_d = jnp.asarray(packed)
@@ -330,12 +340,12 @@ class IVFFlatIndex(Index):
             starts[:-1], sizes)
         vec_ids = np.full((self.nlist, cap), -1, np.int32)
         vec_ids[assign, slot] = vid.astype(np.int32)
-        if n and self.storage in ("sq8", "sq4"):
+        if n and self.storage in ("sq8", "sq4", "sq8u", "sq4u"):
             li = jnp.asarray(assign.astype(np.int32))
             si = jnp.asarray(slot.astype(np.int32))
             db_dev, _ = _scatter_pack(codes_d, li, si, self.nlist, cap,
                                       jnp.uint8)
-            if self.storage == "sq4":
+            if self.storage.startswith("sq4"):
                 lo = (db_dev & 0xF).astype(jnp.float32)
                 hi = (db_dev >> 4).astype(jnp.float32)
                 dec = jnp.stack([lo, hi], -1).reshape(

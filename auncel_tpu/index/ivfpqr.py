@@ -56,6 +56,10 @@ class IndexIVFPQR(IVFFlatIndex):
     # ------------------------------------------------------------ add
 
     def add(self, x: np.ndarray, ids: np.ndarray | None = None) -> None:
+        if getattr(self, "_frozen_codes", False):
+            raise RuntimeError(
+                "this IndexIVFPQR was loaded from exact codes; growing it "
+                "requires the original vectors (re-add to a fresh index)")
         x = np.asarray(x, np.float32)
         if ids is None:
             ids = np.arange(self._ntotal, self._ntotal + x.shape[0],

@@ -100,3 +100,37 @@ def test_sq4_recall_and_consistency(ds, gt):
         for v, i in zip(v4[q], i4[q]):
             if (q, int(i)) in lut:
                 assert abs(lut[(q, int(i))] - v) <= 1e-4 * max(abs(v), 1.0)
+
+
+def test_uniform_sq_variants():
+    """QT_8bit_uniform / QT_4bit_uniform (IndexScalarQuantizer.h:37-38):
+    one shared range across dimensions; decode stays value-consistent
+    (same codec), recall close to per-dim SQ on well-scaled data."""
+    import numpy as np
+    from auncel_tpu.index.ivf import IVFFlatIndex
+    from auncel_tpu.index.flat import IndexScalarQuantizer
+    from auncel_tpu.ops.knn import knn
+    from auncel_tpu.types import Metric
+    rng = np.random.RandomState(2)
+    xb = rng.randn(3000, 16).astype(np.float32)
+    xq = rng.randn(32, 16).astype(np.float32)
+    gt = knn(xq, xb, 10, Metric.L2).ids
+    for storage in ("sq8u", "sq4u"):
+        idx = IVFFlatIndex(16, 8, storage=storage)
+        idx.train(xb)
+        idx.add(xb)
+        a = idx.arrays
+        # uniform: every dimension shares one (scale, bias)
+        assert np.unique(np.asarray(a.sq_scale)).size == 1
+        assert np.unique(np.asarray(a.sq_bias)).size == 1
+        _, ids = idx.search(xq, 10, nprobe=8)
+        rec = np.mean([len(set(r.tolist()) & set(g.tolist())) / 10
+                       for r, g in zip(ids, gt)])
+        assert rec > (0.85 if storage == "sq8u" else 0.5), (storage, rec)
+    flat = IndexScalarQuantizer(16, qtype="sq8u")
+    flat.train(xb)
+    flat.add(xb)
+    _, ids = flat.search(xq, 10)
+    rec = np.mean([len(set(r.tolist()) & set(g.tolist())) / 10
+                   for r, g in zip(ids, gt)])
+    assert rec > 0.9, rec

@@ -201,3 +201,62 @@ def test_reconstruct_from_neighbors(data):
     idx.reconstruct_from_neighbors = None
     v0, i0 = idx.search(xq, 10, ef=64)
     assert np.array_equal(np.sort(i0, 1), np.sort(i1, 1))  # same members
+
+
+def test_io_roundtrip_new_families(data, tmp_path):
+    """Exact serialization for IndexIVFPQR and Index2Layer
+    (reference index_io.cpp writes codes for both)."""
+    from auncel_tpu.index.io import save_index, load_index
+    xb, xq, gt = data
+    pqr = IndexIVFPQR(32, 8, M=4, M_refine=8, k_factor=4.0)
+    pqr.train(xb)
+    pqr.add(xb)
+    v0, i0 = pqr.search(xq, 10, nprobe=4)
+    p = str(tmp_path / "pqr.npz")
+    save_index(pqr, p)
+    back = load_index(p)
+    v1, i1 = back.search(xq, 10, nprobe=4)
+    np.testing.assert_array_equal(i0, i1)
+    np.testing.assert_allclose(v0, v1, rtol=1e-6)
+    np.testing.assert_array_equal(back.reconstruct_batch(
+        np.arange(20, dtype=np.int64)),
+        pqr.reconstruct_batch(np.arange(20, dtype=np.int64)))
+    with pytest.raises(RuntimeError):
+        back.add(xb[:1])
+
+    tl = Index2Layer(32, 16, M=8)
+    tl.train(xb)
+    tl.add(xb)
+    p2 = str(tmp_path / "tl.npz")
+    save_index(tl, p2)
+    tl2 = load_index(p2)
+    np.testing.assert_array_equal(tl2.codes, tl.codes)
+    np.testing.assert_array_equal(tl2.list_ids, tl.list_ids)
+    np.testing.assert_array_equal(tl2.reconstruct_n(0, 100),
+                                  tl.reconstruct_n(0, 100))
+    # a loaded 2Layer can still grow (codebooks travel with it)
+    tl2.add(xb[:10])
+    assert tl2.ntotal == tl.ntotal + 10
+
+
+def test_hnsw_compressed_save_load(data, tmp_path):
+    """Compressed-storage HNSW variants round-trip through save/load
+    with their codecs (reference write_index serializes IndexHNSW*
+    storage alongside the graph, index_io.cpp)."""
+    from auncel_tpu.index.hnsw import (HNSWIndex, IndexHNSWSQ,
+                                       IndexHNSWPQ)
+    xb, xq, gt = data
+    for cls, kw in ((IndexHNSWSQ, {}), (IndexHNSWPQ, dict(pq_m=4)),
+                    (IndexHNSW2Level, dict(nlist=8, pq_m=4))):
+        idx = cls(32, M=8, **kw)
+        idx.train(xb[:2000])
+        idx.add(xb[:2000])
+        idx.build()
+        v0, i0 = idx.search(xq, 5, ef=48)
+        p = str(tmp_path / f"{cls.__name__}.npz")
+        idx.save(p)
+        back = HNSWIndex.load(p)
+        assert type(back) is cls
+        v1, i1 = back.search(xq, 5, ef=48)
+        np.testing.assert_array_equal(i0, i1)
+        np.testing.assert_allclose(v0, v1, rtol=1e-6)
