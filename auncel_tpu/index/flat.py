@@ -222,10 +222,20 @@ class IndexScalarQuantizer(Index):
     ROW_CAP = 512
 
     def __init__(self, d: int, qtype: str = "sq8",
-                 metric: Metric = Metric.L2):
+                 metric: Metric = Metric.L2,
+                 rangestat: str = "minmax", rangestat_arg: float = 0.0):
         assert qtype in ("sq8", "sq4", "sq8u", "sq4u", "bf16"), qtype
         if qtype.startswith("sq4"):
             assert d % 2 == 0, "SQ4 needs an even dimension"
+        # range-training statistic (reference ScalarQuantizer::RangeStat,
+        # IndexScalarQuantizer.h:51-56): "minmax" = [min-rs*(max-min),
+        # max+rs*(max-min)], "meanstd" = [mean-rs*std, mean+rs*std],
+        # "quantiles" = [Q(rs), Q(1-rs)]. RS_optim (alternate optimization)
+        # is a CPU-side refinement of minmax the reference itself defaults
+        # away from; "minmax" is its starting point here.
+        assert rangestat in ("minmax", "meanstd", "quantiles"), rangestat
+        self.rangestat = rangestat
+        self.rangestat_arg = float(rangestat_arg)
         self.d = d
         self.qtype = qtype
         self.metric = Metric.parse(metric)
@@ -246,12 +256,25 @@ class IndexScalarQuantizer(Index):
             return
         x = np.asarray(x, np.float32)
         levels = 255.0 if self.qtype.startswith("sq8") else 15.0
-        if self.qtype.endswith("u"):
-            self._vmin = np.full(self.d, x.min(), np.float32)
-            vmax = np.full(self.d, x.max(), np.float32)
+        # uniform qtypes share ONE range: compute the statistic over the
+        # flattened training set instead of per dimension
+        xs = x.reshape(-1, 1) if self.qtype.endswith("u") else x
+        rs = self.rangestat_arg
+        if self.rangestat == "meanstd":
+            mu, sd = xs.mean(0), xs.std(0)
+            rs = rs if rs > 0 else 1.0   # reference uses rs*std directly
+            vmin, vmax = mu - sd * rs, mu + sd * rs
+        elif self.rangestat == "quantiles":
+            q = rs if rs > 0 else 0.01
+            vmin = np.quantile(xs, q, axis=0)
+            vmax = np.quantile(xs, 1.0 - q, axis=0)
         else:
-            self._vmin = x.min(0).astype(np.float32)
-            vmax = x.max(0).astype(np.float32)
+            vmin, vmax = xs.min(0), xs.max(0)
+            vmin, vmax = vmin - rs * (vmax - vmin), vmax + rs * (vmax - vmin)
+        if self.qtype.endswith("u"):
+            vmin = np.full(self.d, vmin[0], np.float32)
+            vmax = np.full(self.d, vmax[0], np.float32)
+        self._vmin = vmin.astype(np.float32)
         self._scale = np.maximum((vmax - self._vmin) / levels,
                                  1e-10).astype(np.float32)
         self.is_trained = True

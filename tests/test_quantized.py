@@ -134,3 +134,39 @@ def test_uniform_sq_variants():
     rec = np.mean([len(set(r.tolist()) & set(g.tolist())) / 10
                    for r, g in zip(ids, gt)])
     assert rec > 0.9, rec
+
+
+def test_sq_rangestat_modes():
+    """ScalarQuantizer range-training statistics (RangeStat,
+    IndexScalarQuantizer.h:51-56): with heavy-tailed data, a quantile or
+    mean/std range ignores outliers and quantizes the bulk finer than
+    min/max."""
+    import numpy as np
+    from auncel_tpu.index.flat import IndexScalarQuantizer
+    rng = np.random.RandomState(4)
+    x = rng.randn(4000, 16).astype(np.float32)
+    x[:8] *= 100.0                       # a few extreme outliers
+    bulk = x[8:]
+
+    def recon_mse(rangestat, arg=0.0):
+        sq = IndexScalarQuantizer(16, qtype="sq4", rangestat=rangestat,
+                                  rangestat_arg=arg)
+        sq.train(x)
+        codes = sq._encode(bulk)
+        lo = (codes & 0xF).astype(np.float32)
+        hi = (codes >> 4).astype(np.float32)
+        dec = np.stack([lo, hi], -1).reshape(-1, 16) * sq._scale + sq._vmin
+        return float(np.square(dec - bulk).mean())
+
+    e_minmax = recon_mse("minmax")
+    e_quant = recon_mse("quantiles", 0.01)
+    e_meanstd = recon_mse("meanstd", 3.0)
+    assert e_quant < 0.25 * e_minmax, (e_quant, e_minmax)
+    assert e_meanstd < 0.25 * e_minmax, (e_meanstd, e_minmax)
+    # the trained index still searches end to end
+    sq = IndexScalarQuantizer(16, qtype="sq8", rangestat="quantiles",
+                              rangestat_arg=0.01)
+    sq.train(x)
+    sq.add(x)
+    v, i = sq.search(x[:4], 3)
+    assert (i[:, 0] == np.arange(4)).all()
