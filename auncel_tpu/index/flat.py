@@ -202,6 +202,41 @@ class IndexFlat1D(Index):
         self._sorted = False
 
 
+def sq_train_range(x: np.ndarray, qtype: str, rangestat: str = "minmax",
+                   rangestat_arg: float = 0.0):
+    """Affine SQ range from a training set -> (vmin [d], scale [d]) f32.
+
+    One trainer for both the standalone IndexScalarQuantizer and the IVF
+    storage codecs. ``rangestat`` follows the reference ScalarQuantizer::
+    RangeStat (IndexScalarQuantizer.h:51-56): "minmax" = [min-rs*(max-min),
+    max+rs*(max-min)], "meanstd" = [mean-rs*std, mean+rs*std],
+    "quantiles" = [Q(rs), Q(1-rs)]. Uniform qtypes ("sq8u"/"sq4u")
+    compute the statistic over the flattened set (one shared range)."""
+    assert rangestat in ("minmax", "meanstd", "quantiles"), rangestat
+    x = np.asarray(x, np.float32)
+    d = x.shape[1]
+    levels = 255.0 if qtype.startswith("sq8") else 15.0
+    xs = x.reshape(-1, 1) if qtype.endswith("u") else x
+    rs = float(rangestat_arg)
+    if rangestat == "meanstd":
+        mu, sd = xs.mean(0), xs.std(0)
+        rs = rs if rs > 0 else 1.0   # reference uses rs*std directly
+        vmin, vmax = mu - sd * rs, mu + sd * rs
+    elif rangestat == "quantiles":
+        q = rs if rs > 0 else 0.01
+        vmin = np.quantile(xs, q, axis=0)
+        vmax = np.quantile(xs, 1.0 - q, axis=0)
+    else:
+        vmin, vmax = xs.min(0), xs.max(0)
+        vmin, vmax = vmin - rs * (vmax - vmin), vmax + rs * (vmax - vmin)
+    if qtype.endswith("u"):
+        vmin = np.full(d, vmin[0], np.float32)
+        vmax = np.full(d, vmax[0], np.float32)
+    vmin = vmin.astype(np.float32)
+    scale = np.maximum((vmax - vmin) / levels, 1e-10).astype(np.float32)
+    return vmin, scale
+
+
 class IndexScalarQuantizer(Index):
     """Standalone (non-IVF) scalar-quantized flat index — the reference's
     ``IndexScalarQuantizer`` (IndexScalarQuantizer.h:92): corpus stored as
@@ -254,29 +289,8 @@ class IndexScalarQuantizer(Index):
         reference's ScalarQuantizer::train RangeStat semantics)."""
         if self.qtype == "bf16":
             return
-        x = np.asarray(x, np.float32)
-        levels = 255.0 if self.qtype.startswith("sq8") else 15.0
-        # uniform qtypes share ONE range: compute the statistic over the
-        # flattened training set instead of per dimension
-        xs = x.reshape(-1, 1) if self.qtype.endswith("u") else x
-        rs = self.rangestat_arg
-        if self.rangestat == "meanstd":
-            mu, sd = xs.mean(0), xs.std(0)
-            rs = rs if rs > 0 else 1.0   # reference uses rs*std directly
-            vmin, vmax = mu - sd * rs, mu + sd * rs
-        elif self.rangestat == "quantiles":
-            q = rs if rs > 0 else 0.01
-            vmin = np.quantile(xs, q, axis=0)
-            vmax = np.quantile(xs, 1.0 - q, axis=0)
-        else:
-            vmin, vmax = xs.min(0), xs.max(0)
-            vmin, vmax = vmin - rs * (vmax - vmin), vmax + rs * (vmax - vmin)
-        if self.qtype.endswith("u"):
-            vmin = np.full(self.d, vmin[0], np.float32)
-            vmax = np.full(self.d, vmax[0], np.float32)
-        self._vmin = vmin.astype(np.float32)
-        self._scale = np.maximum((vmax - self._vmin) / levels,
-                                 1e-10).astype(np.float32)
+        self._vmin, self._scale = sq_train_range(
+            x, self.qtype, self.rangestat, self.rangestat_arg)
         self.is_trained = True
 
     def _encode(self, x: np.ndarray) -> np.ndarray:

@@ -730,7 +730,11 @@ class HNSWIndex(Index):
         if rfn is not None and getattr(rfn, "k_reorder", -1) != 0:
             # re-rank the top k_reorder through the refined neighbor
             # reconstructions (reference IndexHNSW::search,
-            # IndexHNSW.cpp:260-285)
+            # IndexHNSW.cpp:260-285). L2 only, like the reference's
+            # compute_distances (fvec_L2sqr) — mixing metrics would
+            # silently reorder by the wrong objective.
+            assert self.metric is Metric.L2, \
+                "reconstruct_from_neighbors re-rank is L2-only"
             kr = getattr(rfn, "k_reorder", -1)
             kr = k if (kr == -1 or kr > k) else int(kr)
             d2 = rfn.compute_distances(q, ids[:, :kr])
@@ -744,30 +748,45 @@ class HNSWIndex(Index):
     def _io_extra(self) -> dict:
         """Subclass hook: storage payloads beyond the graph (codes,
         codebooks) — the reference's write_index serializes the storage
-        sub-index alongside the link structure (index_io.cpp)."""
+        sub-index alongside the link structure (index_io.cpp). Only
+        called on a trained index."""
         return {}
 
     def _io_restore(self, z) -> None:
         """Subclass hook: rebuild codec/storage state from _io_extra
-        payloads. Runs before the device push."""
+        payloads. Runs before the device push. Must tolerate missing
+        payloads (untrained saves)."""
+
+    def _io_rebuild_xb(self):
+        """Subclass hook: reconstruct the decoded host mirror from the
+        restored codes (compressed variants do NOT serialize xb — it is
+        a pure function of the codes; storing it would make the file
+        ~code_size/4d x larger than the codes it compresses). None = xb
+        was serialized directly (the flat base)."""
+        return None
 
     def save(self, path: str) -> None:
         assert self._built or self.ntotal == 0
+        extra = self._io_extra() if self.is_trained else {}
+        payload = {} if self._io_rebuild_xb() is not None else \
+            dict(xb=self._xb)
+        levels = (self.levels if self.levels is not None
+                  else np.zeros((0,), np.int32))  # never-built empty index
         np.savez(path, kind=type(self).__name__,
-                 xb=self._xb, levels=self.levels,
+                 d=self.d, levels=levels,
                  entry=self.entry_point, max_level=self.max_level,
                  M=self.M, ef_search=self.ef_search,
                  metric=self.metric.value,
                  **{f"table{l}": t for l, t in enumerate(self.nb_tables)},
                  **{f"g2u{l}": g for l, g in enumerate(self.g2u)},
-                 **self._io_extra())
+                 **payload, **extra)
 
     @classmethod
     def _from_io(cls, z) -> "HNSWIndex":
         """Construct an empty instance with the right ctor args (subclass
         hook — compressed variants recover pq_m/nlist from payloads)."""
-        return cls(int(z["xb"].shape[1]), M=int(z["M"]),
-                   metric=Metric(str(z["metric"])),
+        d = int(z["d"]) if "d" in z else int(z["xb"].shape[1])
+        return cls(d, M=int(z["M"]), metric=Metric(str(z["metric"])),
                    ef_search=int(z["ef_search"]))
 
     @classmethod
@@ -779,7 +798,6 @@ class HNSWIndex(Index):
                          IndexHNSW2Level)}
             klass = variants.get(kind, cls)
             idx = klass._from_io(z)
-            idx._xb = z["xb"]
             idx.levels = z["levels"]
             idx.entry_point = int(z["entry"])
             idx.max_level = int(z["max_level"])
@@ -787,6 +805,12 @@ class HNSWIndex(Index):
                              for l in range(idx.max_level + 1)]
             idx.g2u = [z[f"g2u{l}"] for l in range(idx.max_level + 1)]
             idx._io_restore(z)
+            if "xb" in z:
+                idx._xb = z["xb"]
+            else:
+                xb = idx._io_rebuild_xb()
+                assert xb is not None, "file has neither xb nor codes"
+                idx._xb = xb
             idx._push_dev()
             idx._built = True
         return idx
@@ -841,12 +865,19 @@ class IndexHNSWSQ(HNSWIndex):
                     sq_codes=self._codes)
 
     def _io_restore(self, z):
+        if "sq_scale" not in z:      # untrained save
+            return
         self._scale = np.asarray(z["sq_scale"], np.float32)
         self._vmin = np.asarray(z["sq_vmin"], np.float32)
         self._codes = np.asarray(z["sq_codes"], np.uint8)
         self._codec = HNSWCodec(scale=jnp.asarray(self._scale),
                                 bias=jnp.asarray(self._vmin))
         self.is_trained = True
+
+    def _io_rebuild_xb(self):
+        if not self.is_trained:
+            return None
+        return self._codes.astype(np.float32) * self._scale + self._vmin
 
 
 class IndexHNSWPQ(HNSWIndex):
@@ -892,17 +923,27 @@ class IndexHNSWPQ(HNSWIndex):
 
     @classmethod
     def _from_io(cls, z):
-        return cls(int(z["xb"].shape[1]),
-                   pq_m=int(z["pq_books"].shape[0]), M=int(z["M"]),
+        d = int(z["d"]) if "d" in z else int(z["xb"].shape[1])
+        pq_m = int(z["pq_books"].shape[0]) if "pq_books" in z else 8
+        return cls(d, pq_m=pq_m, M=int(z["M"]),
                    metric=Metric(str(z["metric"])),
                    ef_search=int(z["ef_search"]))
 
     def _io_restore(self, z):
+        if "pq_books" not in z:      # untrained save
+            return
         from auncel_tpu.ops.pq import PQCodebooks
         self._pq = PQCodebooks(jnp.asarray(z["pq_books"]))
         self._codes = np.asarray(z["pq_codes"], np.uint8)
         self._codec = HNSWCodec(books=self._pq.codebooks)
         self.is_trained = True
+
+    def _io_rebuild_xb(self):
+        if not self.is_trained:
+            return None
+        from auncel_tpu.ops.pq import decode_pq
+        return np.asarray(decode_pq(self._pq, jnp.asarray(self._codes)),
+                          np.float32)
 
 
 class IndexHNSW2Level(HNSWIndex):
@@ -964,21 +1005,26 @@ class IndexHNSW2Level(HNSWIndex):
         self._codes = np.zeros((0, 4 + self.storage.M), np.uint8)
 
     def _io_extra(self):
+        # packed_codes are NOT stored: they are a pure byte-packing of
+        # (tl_list_ids, tl_codes), rebuilt in _io_restore
         return dict(tl_centroids=self.storage.centroids,
                     tl_books=np.asarray(self.storage._pq.codebooks),
                     tl_list_ids=self.storage.list_ids,
-                    tl_codes=self.storage.codes,
-                    packed_codes=self._codes)
+                    tl_codes=self.storage.codes)
 
     @classmethod
     def _from_io(cls, z):
-        return cls(int(z["xb"].shape[1]),
-                   nlist=int(z["tl_centroids"].shape[0]),
-                   pq_m=int(z["tl_books"].shape[0]), M=int(z["M"]),
+        d = int(z["d"]) if "d" in z else int(z["xb"].shape[1])
+        nlist = int(z["tl_centroids"].shape[0]) if "tl_centroids" in z \
+            else 1
+        pq_m = int(z["tl_books"].shape[0]) if "tl_books" in z else 8
+        return cls(d, nlist=nlist, pq_m=pq_m, M=int(z["M"]),
                    metric=Metric(str(z["metric"])),
                    ef_search=int(z["ef_search"]))
 
     def _io_restore(self, z):
+        if "tl_centroids" not in z:  # untrained save
+            return
         from auncel_tpu.ops.pq import PQCodebooks
         st = self.storage
         st.centroids = np.asarray(z["tl_centroids"], np.float32)
@@ -986,7 +1032,19 @@ class IndexHNSW2Level(HNSWIndex):
         st.list_ids = np.asarray(z["tl_list_ids"], np.int32)
         st.codes = np.asarray(z["tl_codes"], np.uint8)
         st.is_trained = True
-        self._codes = np.asarray(z["packed_codes"], np.uint8)
+        lid = st.list_ids.astype(np.uint32)
+        packed = np.empty((len(lid), 4 + st.M), np.uint8)
+        packed[:, 0] = lid & 0xFF
+        packed[:, 1] = (lid >> 8) & 0xFF
+        packed[:, 2] = (lid >> 16) & 0xFF
+        packed[:, 3] = (lid >> 24) & 0xFF
+        packed[:, 4:] = st.codes
+        self._codes = packed
         self._codec = HNSWCodec(books=st._pq.codebooks,
                                 centroids=jnp.asarray(st.centroids))
         self.is_trained = True
+
+    def _io_rebuild_xb(self):
+        if not self.is_trained:
+            return None
+        return self.storage.reconstruct_n(0)

@@ -67,11 +67,12 @@ def _build(centroids: np.ndarray, lists, proto: IVFArrays) -> IVFArrays:
         interdis=jnp.zeros((1, 1), jnp.float32),
         sq_scale=proto.sq_scale, sq_bias=proto.sq_bias,
         pq_codebooks=proto.pq_codebooks, pq_residual=proto.pq_residual)
-    dec = out.decode_block(db_d)
-    if out.pq_residual is not None:
-        dec = dec + cents[:, None, :]
-        # residual codes change meaning across centroid sets; callers
-        # guarantee matching centroids (asserted by hstack/masked)
+    # db_sq is the norm of the DECODED STORED value — the residual r for
+    # residual-PQ storage (the scan kernels add the centroid terms
+    # themselves, scan.py:192-203) — and must stay f32 regardless of the
+    # storage dtype (the 1e-5 value-consistency invariant; bf16 norms
+    # would be ~3e-2 off).
+    dec = out.decode_block(db_d).astype(jnp.float32)
     db_sq = jnp.sum(jnp.square(dec), -1) * (jnp.asarray(vec_ids) >= 0)
     return out._replace(db_sq=db_sq)
 

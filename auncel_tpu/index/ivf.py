@@ -107,6 +107,8 @@ class IVFFlatIndex(Index):
         coarse: str = "kmeans",
         polysemous: bool = False,
         polysemous_ht: int = 0,
+        sq_rangestat: str = "minmax",
+        sq_rangestat_arg: float = 0.0,
     ):
         """``storage``: "f32" (raw), "bf16", "sq8"/"sq4" (per-dim affine
         scalar quantization, the reference's IndexIVFScalarQuantizer
@@ -144,6 +146,10 @@ class IVFFlatIndex(Index):
         # ST_polysemous; ht=0 = filter off, IndexPQ.h:24)
         self.polysemous = polysemous
         self.polysemous_ht = polysemous_ht
+        # SQ range-training statistic (shared sq_train_range helper;
+        # reference ScalarQuantizer::RangeStat, IndexScalarQuantizer.h:51)
+        self.sq_rangestat = sq_rangestat
+        self.sq_rangestat_arg = float(sq_rangestat_arg)
         self.is_trained = False
         self.nprobe = 1  # default for plain search() (IndexIVF.h default)
         # max nb of codes to visit per query; 0 = unlimited (IndexIVF.h:69
@@ -254,18 +260,11 @@ class IVFFlatIndex(Index):
                 x = np.concatenate(
                     [x, np.broadcast_to(x[:1], (n_pad - n, self.d))])
             if self.storage in ("sq8", "sq4", "sq8u", "sq4u"):
+                from auncel_tpu.index.flat import sq_train_range
                 levels = 255.0 if self.storage.startswith("sq8") else 15.0
-                if self.storage.endswith("u"):
-                    # uniform variants: ONE range shared by every
-                    # dimension (reference QT_8bit_uniform /
-                    # QT_4bit_uniform, IndexScalarQuantizer.h:37-38) —
-                    # broadcast to [d] so the decode codec is unchanged
-                    vmin = np.full(self.d, x.min(), np.float32)
-                    vmax = np.full(self.d, x.max(), np.float32)
-                else:
-                    vmin, vmax = x.min(0), x.max(0)
-                scale = np.maximum((vmax - vmin) / levels,
-                                   1e-10).astype(np.float32)
+                vmin, scale = sq_train_range(x, self.storage,
+                                             self.sq_rangestat,
+                                             self.sq_rangestat_arg)
                 codes = np.clip(np.rint((x - vmin) / scale), 0,
                                 levels).astype(np.uint8)
                 sq_scale = jnp.asarray(scale)

@@ -75,6 +75,9 @@ class IndexIVFPQR(IVFFlatIndex):
         self._raw_ids = np.zeros((0,), np.int64)
         self._refine = None
         self._refine_of = None
+        # an emptied index holds no frozen codes: growing it again is
+        # exactly the fresh-index case
+        self._frozen_codes = False
 
     # --------------------------------------------------------- refine PQ
 
@@ -124,9 +127,15 @@ class IndexIVFPQR(IVFFlatIndex):
     def search(self, q: np.ndarray, k: int, nprobe: int | None = None):
         """k_factor*k IVFPQ candidates -> one-device-program re-rank
         (IndexIVFPQ.cpp IndexIVFPQR::search_preassigned)."""
+        q = np.asarray(q, np.float32)
+        if self.ntotal == 0:
+            # match the base index's empty-index padding contract
+            return (np.full((q.shape[0], k), np.inf, np.float32),
+                    np.full((q.shape[0], k), -1, np.int64))
         sorted_ids, pos_d, codes_d, books = self._ensure_refine()
+        # k2 >= k always: the base search pads beyond ntotal with -1
+        # (masked to inf below), so top_k's width stays >= k
         k2 = max(int(round(self.k_factor * k)), k)
-        k2 = min(k2, int(self.ntotal)) if self.ntotal else k
         base_v, base_i = super().search(q, k2, nprobe)
 
         # map candidate user ids -> refine rows (host; ids are already on
@@ -135,7 +144,7 @@ class IndexIVFPQR(IVFFlatIndex):
         rows = np.searchsorted(sorted_ids, np.maximum(base_i, 0))
         rows = np.clip(rows, 0, len(sorted_ids) - 1)
         ok = (base_i >= 0) & (sorted_ids[rows] == np.maximum(base_i, 0))
-        qd = jnp.asarray(np.asarray(q, np.float32))
+        qd = jnp.asarray(q)
         vals, sel = _rerank(self.arrays, qd, jnp.asarray(rows.astype(
             np.int32)), pos_d, codes_d, books, jnp.asarray(ok), k)
         sel = np.asarray(sel)

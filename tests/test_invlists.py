@@ -77,3 +77,21 @@ def test_masked_override(split_indexes):
     sizes_m = np.asarray(st.list_sizes)
     expect = np.where(sizes_b > 0, sizes_b, sizes_a)
     assert np.array_equal(sizes_m, expect)
+
+
+def test_views_value_consistent_on_compressed_storage():
+    """Regression: a composed view of residual-PQ or bf16 storage must
+    return the SAME distances/ids as the source index (db_sq must be the
+    residual norm in f32, not centroid-added or storage-dtype)."""
+    rng = np.random.RandomState(3)
+    xb = rng.randn(2000, 16).astype(np.float32)
+    xq = rng.randn(16, 16).astype(np.float32)
+    for storage in ("pq4", "bf16"):
+        idx = IVFFlatIndex(16, 4, storage=storage)
+        idx.train(xb)
+        idx.add(xb)
+        view = hstack_invlists([idx.arrays])   # identity re-pack
+        v0, i0 = _search(idx.arrays, xq, nprobe=4)
+        v1, i1 = _search(view, xq, nprobe=4)
+        np.testing.assert_array_equal(i0, i1)
+        np.testing.assert_allclose(v0, v1, rtol=1e-6, atol=1e-6)

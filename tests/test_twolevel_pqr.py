@@ -260,3 +260,46 @@ def test_hnsw_compressed_save_load(data, tmp_path):
         v1, i1 = back.search(xq, 5, ef=48)
         np.testing.assert_array_equal(i0, i1)
         np.testing.assert_allclose(v0, v1, rtol=1e-6)
+
+
+def test_ivfpqr_tiny_and_empty(data):
+    """Regression: ntotal < k and ntotal == 0 follow the base index's
+    padding contract instead of crashing."""
+    xb, xq, gt = data
+    pqr = IndexIVFPQR(32, 4, M=4, M_refine=4)
+    pqr.train(xb)
+    v, i = pqr.search(xq[:4], 10)            # empty index
+    assert (i == -1).all() and np.isinf(v).all()
+    pqr.add(xb[:6])
+    v, i = pqr.search(xq[:4], 10, nprobe=4)  # fewer vectors than k
+    assert i.shape == (4, 10)
+    assert ((i >= 0).sum(1) <= 6).all() and (i[:, 0] >= 0).all()
+    # reset clears the frozen-codes guard from exact-code loads
+    pqr._frozen_codes = True
+    pqr.reset()
+    pqr.add(xb[:10])
+    assert pqr.ntotal == 10
+
+
+def test_hnsw_untrained_save_load(tmp_path):
+    """Regression: saving an untrained compressed variant must produce a
+    loadable file (no pickled None payloads)."""
+    from auncel_tpu.index.hnsw import HNSWIndex, IndexHNSWSQ
+    sq = IndexHNSWSQ(16)
+    p = str(tmp_path / "untrained.npz")
+    sq.save(p)
+    back = HNSWIndex.load(p)
+    assert type(back) is IndexHNSWSQ and not back.is_trained
+
+
+def test_rfn_hook_rejects_ip(data):
+    from auncel_tpu.index.hnsw import HNSWIndex
+    xb, xq, gt = data
+    idx = HNSWIndex(32, M=8, metric=Metric.IP)
+    idx.add(xb[:500])
+    idx.build()
+    class _FakeRfn:
+        k_reorder = -1
+    idx.reconstruct_from_neighbors = _FakeRfn()
+    with pytest.raises(AssertionError):
+        idx.search(xq[:2], 5)
