@@ -35,7 +35,7 @@ from auncel_tpu.index.ivf import IVFFlatIndex
 from auncel_tpu.index.scan import scan_probe_range, coarse_rank
 from auncel_tpu.ops.distance import sqnorms
 from auncel_tpu.ops.topk import init_topk
-from auncel_tpu.profile.bounded import budgeted_search
+from auncel_tpu.profile.bounded import nprobe_search
 
 N_COARSE_FEAT = 10
 PRED_PREFIX = 1  # probes scanned before predicting (LAET pred_thresh=1)
@@ -201,26 +201,23 @@ class LearnedTermination:
         """Per-query predicted-nprobe search (LAET search_mode=2): one
         predict dispatch + one scan dispatch + one narrow fetch."""
         nprobe_d = self._predict_dev(q)
-        # reuse the budget engine: budget == probes at unit cost
-        # (n_budget = ceil(0.95 * b - 1) with b = (n + 1) / 0.95 -> n)
-        budgets = (nprobe_d.astype(jnp.float32) + 1.0) / 0.95
+        # exact per-query probe-count replay (no float budget inversion:
+        # the ceil round-trip is off by one for ~2% of counts)
         mr = getattr(self.index, "multirow", None)
         if mr is not None:
             from auncel_tpu.profile.bounded_mr import (
-                budgeted_search_mr, plan_oneshot)
+                nprobe_search_mr, plan_oneshot)
             if self._mr_plan is None:
                 self._mr_plan = plan_oneshot(
                     np.asarray(mr.rows_per_list), self.index.nlist)
-            vals, ids, nb = budgeted_search_mr(
+            vals, ids, nb = nprobe_search_mr(
                 self.index.arrays, mr,
-                jnp.asarray(np.asarray(q, np.float32)), budgets,
-                jnp.float32(1.0), self.max_topk, self.index.metric,
-                self._mr_plan)
+                jnp.asarray(np.asarray(q, np.float32)), nprobe_d,
+                self.max_topk, self.index.metric, self._mr_plan)
         else:
-            vals, ids, nb = budgeted_search(
+            vals, ids, nb = nprobe_search(
                 self.index.arrays, jnp.asarray(np.asarray(q, np.float32)),
-                budgets, jnp.float32(1.0), self.max_topk,
-                self.index.metric)
+                nprobe_d, self.max_topk, self.index.metric)
         # one fetch for everything (nb == the predicted per-query nprobe)
         vals, ids, nb = jax.device_get((vals, ids, nb))
         return (vals[:, :k], ids[:, :k].astype(np.int64),
@@ -228,17 +225,25 @@ class LearnedTermination:
 
     def tune_multiplier(self, xq: np.ndarray, gt_D: np.ndarray,
                         target_recall: float, lo: float = 0.25,
-                        hi: float = 64.0, iters: int = 8) -> float:
-        """Binary-search the multiplier for a mean-recall target on held-out
-        queries (the reference tunes per-workload in run.sh)."""
+                        hi: float = 64.0, iters: int = 8,
+                        criterion: str = "mean") -> float:
+        """Binary-search the multiplier for a recall target (the reference
+        tunes per-workload in run.sh). ``criterion``: "mean" is LAET's own
+        average-recall objective; "worst" tunes the per-query MIN — use it
+        when comparing against systems that pay for a worst-case bound,
+        otherwise the comparison is apples-to-oranges (LAET's multiplier
+        lands far lower than a bound-holding one)."""
         from auncel_tpu.autotune import recall_counts
+        assert criterion in ("mean", "worst"), criterion
         k = self.query_k
         best = hi
         for _ in range(iters):
             mid = (lo * hi) ** 0.5
             self.multiplier = mid
             D, I, _ = self.search(xq, k)
-            rec = recall_counts(D, gt_D, k, self.index.metric).mean() / k
+            counts = recall_counts(D, gt_D, k, self.index.metric)
+            rec = (counts.min() if criterion == "worst"
+                   else counts.mean()) / k
             if rec >= target_recall:
                 best = mid
                 hi = mid

@@ -7,11 +7,11 @@ the next ``ses`` queries; verify the worst-case bound; write per-query
 latencies to ``Auncel_Latency_<db>_<k>_<eps>.log`` (same format the
 ``figures/overall`` scripts consume).
 
-Per-query latency on TPU: the axon/grpc host round-trip (~40 ms here) would
-swamp sub-ms device searches, so per-query latency is measured by timing a
-pipelined run of single-query dispatches and attributing total/N per query
-(plus a separate honest batch-1 wall-clock number). Throughput is measured
-batched. Both are reported.
+Per-query latency on TPU: each sampled query is timed as ONE synchronous
+single-query dispatch, wall clock, host round-trip included (~40 ms of the
+reported number is the axon tunnel RTT — the log line says so). Throughput
+is measured batched. Both are reported; the sustained-stream number in
+bench.py additionally overlaps dispatch/fetch across windows.
 """
 
 import argparse
@@ -85,7 +85,8 @@ def run(db: str = "synth100K", ts: int = 1000, ses: int = 1000,
         f" ms (incl. host RTT); mean scanned lists="
         f"{es.n_scanned[ts:ts + ses].mean():.1f}")
 
-    fn = f"{log_dir}/Auncel_Latency_{db}_{input_k}_{int(error_bound * 100)}.log"
+    fn = (f"{log_dir}/Auncel_Latency_{db}_{input_k}_"
+         f"{round(error_bound * 100)}.log")
     common.write_log(fn, lat.tolist())
     log(f"wrote {fn}")
     return dict(qps=qps, min_recall=minf, bound_ok=ok,

@@ -56,6 +56,9 @@ class EvalData:
     gt_I: np.ndarray | None
     gt_D: np.ndarray | None
     metric: Metric
+    # distinguishes differently-generated corpora sharing a registry name
+    # (e.g. synth100K at seed 7 vs 42) in the trained-quantizer cache
+    cache_tag: str = ""
 
 
 def elapsed():
@@ -81,8 +84,13 @@ def load_dataset(name: str, nq: int = 10000, max_topk: int = 100,
         if os.path.exists(gtd_path):
             gt_D = fvecs_read(gtd_path)
         if metric is Metric.IP:
+            # normalization changes inner products (and can reorder
+            # neighbors), so file GT computed on the raw vectors no longer
+            # describes the searched data: drop it — ensure_gt recomputes
+            # value-consistent GT on the normalized corpus
             xb = xb / np.linalg.norm(xb, axis=1, keepdims=True)
             xq = xq / np.linalg.norm(xq, axis=1, keepdims=True)
+            gt_I = gt_D = None
         return EvalData(name, xb, xq, gt_I, gt_D, metric)
     if name in SYNTH_SIZES or name in SYNTH_HARD:
         hard = name in SYNTH_HARD
@@ -93,7 +101,8 @@ def load_dataset(name: str, nq: int = 10000, max_topk: int = 100,
         ds = make_clustered_dataset(nb=nb, nq=nq, d=128,
                                     n_clusters=max(nb // 256, 64),
                                     seed=seed, metric=metric, **kw)
-        return EvalData(name, ds.xb, ds.xq, None, None, metric)
+        return EvalData(name, ds.xb, ds.xq, None, None, metric,
+                        cache_tag="" if seed == 42 else f"_s{seed}")
     raise KeyError(f"unknown dataset {name!r} "
                    f"(file: {sorted(FILE_DATASETS)}, "
                    f"synthetic: {sorted(SYNTH_SIZES) + sorted(SYNTH_HARD)})")
@@ -105,7 +114,8 @@ def build_or_load_index(data: EvalData, nlist: int = 1024,
     reference (eval/bound.cpp:265-268 writes trained_index/*.index)."""
     os.makedirs(cache_dir, exist_ok=True)
     cache = os.path.join(
-        cache_dir, f"{data.name}_IVF{nlist},Flat_trained.npz")
+        cache_dir,
+        f"{data.name}{data.cache_tag}_IVF{nlist},Flat_trained.npz")
     if os.path.exists(cache):
         idx = load_index(cache)
         assert isinstance(idx, IVFFlatIndex)
@@ -119,11 +129,25 @@ def build_or_load_index(data: EvalData, nlist: int = 1024,
 
 
 def ensure_gt(data: EvalData, idx: IVFFlatIndex, max_topk: int = 100):
-    """Use file GT when available; otherwise compute value-consistent GT
-    with the index's own full scan (dist/gt.cpp equivalent)."""
-    if data.gt_D is None or data.gt_I is None:
+    """GT always comes from the index's own full scan (dist/gt.cpp
+    equivalent): the profile trainer's kscaling match and the bound
+    checker compare DISTANCE VALUES at 1e-5 rel tolerance, so GT must be
+    computed by the same kernel family as the search path (repo
+    invariant) — file distances from a differently-shaped CPU kernel are
+    kept only as an id-overlap sanity check."""
+    file_I = data.gt_I
+    if data.gt_D is None or data.gt_D.shape[1] < max_topk             or data.gt_I is None or not getattr(data, "_gt_exact", False):
         data.gt_D, data.gt_I = idx.exact_search(data.xq, max_topk,
                                                 batch=1000)
+        data._gt_exact = True
+        if file_I is not None:
+            k = min(10, file_I.shape[1])
+            overlap = np.mean([len(set(a[:k].tolist())
+                                   & set(b[:k].tolist())) / k
+                               for a, b in zip(file_I, data.gt_I)])
+            if overlap < 0.99:
+                print(f"WARNING: file GT disagrees with exact scan "
+                      f"(overlap@{k} = {overlap:.3f})")
     return data.gt_D, data.gt_I
 
 

@@ -89,9 +89,12 @@ def run(db: str = "synth100K", ts: int = 1000, ses: int = 1000,
 
     # --- Baseline 2: LAET learned per-query termination ------------------
     lt = LearnedTermination(idx, query_k=input_k)
-    lt.train(data.xq[:ts], gt_I[:ts])
-    lt.tune_multiplier(data.xq[:ts], gt_D[:ts], target)
-    log(f"LAET tuned: multiplier={lt.multiplier:.2f}")
+    # train on the first half of the train slice; tune the multiplier on
+    # the second half (held out from the MLP fit, like run.sh's split)
+    half = max(ts // 2, 1)
+    lt.train(data.xq[:half], gt_I[:half])
+    lt.tune_multiplier(data.xq[half:ts], gt_D[half:ts], target)
+    log(f"LAET tuned (mean criterion): multiplier={lt.multiplier:.2f}")
     probes_holder = {}
 
     def laet_run():
@@ -100,6 +103,16 @@ def run(db: str = "synth100K", ts: int = 1000, ses: int = 1000,
         return D, I
 
     measure(laet_run, "laet", lambda: probes_holder.get("mean", 0.0))
+
+    # LAET tuned to the WORST-CASE target the other systems pay for —
+    # the apples-to-apples row (its mean-criterion row above shows the
+    # method as published; this row shows what holding the bound costs it)
+    lt.tune_multiplier(data.xq[half:ts], gt_D[half:ts], target,
+                       criterion="worst")
+    log(f"LAET tuned (worst-case criterion): "
+        f"multiplier={lt.multiplier:.2f}")
+    measure(laet_run, "laet_worst",
+            lambda: probes_holder.get("mean", 0.0))
 
     fn = f"{log_dir}/Compare_{db}.log"
     with open(fn, "w") as f:

@@ -81,7 +81,10 @@ def run(db: str = "synth100K", ts: int = 1000, ses: int = 1000,
     n_measure = min(n_measure, ses)
     qids = ts + (np.arange(n_measure) * (ses // max(n_measure, 1)))
     measured = _measure_batch1(es, qids)
-    model_sample = es.n_scanned[qids] * per_probe  # before floor overwrites
+    # snapshot BEFORE the floor run below overwrites these slots with ~1
+    # (time_search writes n_scanned on every call, error_sys.py)
+    probes_sample = es.n_scanned[qids].astype(np.float64).copy()
+    model_sample = probes_sample * per_probe
     # dispatch floor: the same timed loop with the minimum possible work
     # (budget below one probe's cost -> n_budget clamps to 1 probe)
     saved = es.require_acc
@@ -103,7 +106,7 @@ def run(db: str = "synth100K", ts: int = 1000, ses: int = 1000,
         f"corr {corr:.2f}")
     # refit the per-probe slope on the measurement (least squares through
     # the origin): the honest cost model this data supports
-    probes = es.n_scanned[qids].astype(np.float64)
+    probes = probes_sample
     denom2 = float((probes * probes).sum())
     slope = float((probes * measured_dev).sum() / denom2) if denom2 else 0.0
     refit = probes * slope

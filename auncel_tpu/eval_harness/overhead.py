@@ -24,7 +24,7 @@ import numpy as np
 import jax.numpy as jnp
 
 from auncel_tpu.profile.error_sys import ErrorSys
-from auncel_tpu.profile.bounded_mr import budgeted_search_mr
+from auncel_tpu.profile.bounded_mr import nprobe_search_mr
 from auncel_tpu.eval_harness import common
 
 
@@ -58,22 +58,24 @@ def run(db: str = "synth100K", ts: int = 1000, ses: int = 1000,
     # Without ELP: replay the same probe counts as a bare scan (the
     # reference times scan_one_list alone inside the same loop).
     q = jnp.asarray(data.xq[ts:ts + ses])
-    n_scanned = es.n_scanned[ts:ts + ses].astype(np.float32)
-    # invert the budget->probes model so n_budget == n_scanned exactly:
-    # ceil(0.95 * b / t - 1) == n  with  t = 1, b = (n + 1) / 0.95
-    budgets = jnp.asarray((n_scanned + 1.0) / 0.95)
-    unit = jnp.float32(1.0)
+    n_scanned = es.n_scanned[ts:ts + ses].astype(np.int32)
+    # replay the EXACT probe counts (no float budget inversion: the
+    # ceil round-trip is off by one for ~2% of counts in float32)
+    probes = jnp.asarray(n_scanned)
     plan = es._mr_oneshot_plan()
-    budgeted_search_mr(idx.arrays, idx.multirow, q, budgets, unit,
-                       max_topk, data.metric, plan)  # warm
+    nprobe_search_mr(idx.arrays, idx.multirow, q, probes,
+                     max_topk, data.metric, plan)  # warm
     t1 = time.perf_counter()
     for _ in range(reps):
-        v, i, nb = budgeted_search_mr(idx.arrays, idx.multirow, q,
-                                      budgets, unit, max_topk,
-                                      data.metric, plan)
-    np.asarray(v)
+        v, i, nb = nprobe_search_mr(idx.arrays, idx.multirow, q,
+                                    probes, max_topk,
+                                    data.metric, plan)
+        # fetch per rep so both sides pay one host round-trip per rep
+        # (es.search above device_gets every call; fetching only once
+        # here would bias the overhead metric upward)
+        np.asarray(v)
     without_elp = (time.perf_counter() - t1) / reps
-    np.testing.assert_allclose(np.asarray(nb), n_scanned)
+    np.testing.assert_array_equal(np.asarray(nb), n_scanned)
 
     ovh = (with_elp - without_elp) / max(without_elp, 1e-9)
     log(f"Without ELP search Time: {without_elp:.3f} s")

@@ -339,13 +339,27 @@ def budgeted_search(
     model: n = max(1, ceil(0.95 * budget / t - 1)) — the same stopping stage
     the reference's inequality yields for constant per-probe time t.
     """
+    n_budget = jnp.ceil(0.95 * budget_ms / per_probe_ms - 1.0)
+    return nprobe_search(arrays, q, n_budget, max_topk, metric)
+
+
+@functools.partial(jax.jit, static_argnames=("max_topk", "metric"))
+def nprobe_search(
+    arrays: IVFArrays,
+    q: jax.Array,           # [B, d]
+    n_probes: jax.Array,    # [B] per-query EXACT probe counts
+    max_topk: int,
+    metric: Metric,
+):
+    """Exact per-query probe-count scan (replay entry point — see
+    bounded_mr.nprobe_search_mr for why callers must not round-trip
+    counts through the float budget model)."""
     B = q.shape[0]
     nlist = arrays.nlist
     q_sq = sqnorms(q)
     cdis, cids = coarse_rank(arrays, q, metric, q_sq=q_sq)
     vals, ids = init_topk((B,), max_topk, metric)
-    n_budget = jnp.ceil(0.95 * budget_ms / per_probe_ms - 1.0)
-    n_budget = jnp.clip(n_budget, 1, nlist).astype(jnp.int32)
+    n_budget = jnp.clip(n_probes, 1, nlist).astype(jnp.int32)
 
     state = (vals, ids)
     prev = 0

@@ -461,18 +461,36 @@ def budgeted_search_mr(
     IndexIVF.cpp:545-549 semantics; budgets convert to probe counts up
     front like profile/bounded.py::budgeted_search, scanning goes through
     the compacted tail rounds)."""
-    B = q.shape[0]
-    nlist = arrays.nlist
-    q_sq = sqnorms(q)
     n_budget = jnp.ceil(0.95 * budget_ms / per_probe_ms - 1.0)
-    n_budget = jnp.clip(n_budget, 1, nlist).astype(jnp.int32)
+    return nprobe_search_mr(arrays, mr, q, n_budget, max_topk, metric,
+                            plan)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("max_topk", "metric", "plan"))
+def nprobe_search_mr(
+    arrays,
+    mr: MultiRowArrays,
+    q: jax.Array,
+    n_probes: jax.Array,      # [B] per-query EXACT probe counts
+    max_topk: int,
+    metric: Metric,
+    plan: MROneShotPlan,
+):
+    """Exact per-query probe-count scan — the replay entry point the
+    eval harnesses need (overhead/LAET/calibrate_time replay recorded
+    ``n_scanned`` values; inverting the budget->probe ceil in float32
+    is off by one for ~2% of counts, so callers pass counts directly)."""
+    B = q.shape[0]
+    q_sq = sqnorms(q)
+    n_probes = jnp.clip(n_probes, 1, arrays.nlist).astype(jnp.int32)
     vals, ids = init_topk((B,), max_topk, metric)
     frontier = jnp.zeros((B,), jnp.int32)
     covered = jnp.zeros((B,), jnp.int32)
     vals, ids, _, _ = _tail_rounds(
-        arrays, mr, q, q_sq, vals, ids, frontier, covered, n_budget,
+        arrays, mr, q, q_sq, vals, ids, frontier, covered, n_probes,
         plan.tail_widths, plan.tail_cap, plan.tail_out, metric)
-    return vals, ids, n_budget
+    return vals, ids, n_probes
 
 
 @functools.partial(

@@ -31,9 +31,11 @@ from auncel_tpu.profile.trainer import train_profile
 from auncel_tpu.profile.trace import (
     TraceSet, save_trace_set, load_trace_set)
 from auncel_tpu.profile.bounded import (
-    bounded_search, bounded_search_decide, finish_scan, budgeted_search)
+    bounded_search, bounded_search_decide, finish_scan, budgeted_search,
+    nprobe_search)
 from auncel_tpu.profile.bounded_mr import (
-    bounded_oneshot_mr, budgeted_search_mr, plan_oneshot)
+    bounded_oneshot_mr, budgeted_search_mr, nprobe_search_mr,
+    plan_oneshot)
 
 
 @functools.partial(
@@ -442,15 +444,16 @@ class ErrorSys:
         mr = self._mr()
 
         def run(nprobe):
-            # n_budget = ceil(0.95 * b / t - 1); t=1, b=(n+1)/0.95 -> n
-            budget = jnp.full((bsz,), (nprobe + 1.0) / 0.95, jnp.float32)
+            # exact probe counts (the float budget inversion is off by
+            # one for ~2% of counts; calibration must time what it says)
+            probes = jnp.full((bsz,), nprobe, jnp.int32)
             if mr is not None:
-                return budgeted_search_mr(
-                    self.index.arrays, mr, qd, budget, jnp.float32(1.0),
+                return nprobe_search_mr(
+                    self.index.arrays, mr, qd, probes,
                     self.max_topk, self.index.metric,
                     self._mr_oneshot_plan())
-            return budgeted_search(
-                self.index.arrays, qd, budget, jnp.float32(1.0),
+            return nprobe_search(
+                self.index.arrays, qd, probes,
                 self.max_topk, self.index.metric)
 
         def timed(nprobe):
