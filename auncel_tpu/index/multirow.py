@@ -150,7 +150,9 @@ def expand_probes(mr: MultiRowArrays, cids: jax.Array, n_slots: int,
     # serializes on TPU: a vectorized counting reduction ([B, S, P]
     # compare + sum) when the compare tensor is small, else the sort-based
     # searchsorted (O((S+P) log) per query, no giant intermediate).
-    if n_slots * out_slots <= (1 << 20):
+    if B * n_slots * out_slots <= (1 << 24):
+        # bound the [B, S, P] compare intermediate itself (~16M bool);
+        # gating on S*P alone let B=1024 inflate it to ~1 GiB
         s = jnp.sum(offsets[:, :, None] <= p[:, None, :],
                     axis=1, dtype=jnp.int32)           # [B, P] list slot
     else:

@@ -146,10 +146,13 @@ class OnDiskIVFIndex:
         (the architecture already separates them): the decide phase pages
         only the <= nlist/8 decision-prefix lists (one deduplicated batch
         upload), then phase B pages only each query's decided budget
-        beyond the prefix. Decisions (my_nprobe, result ids) match the
+        beyond the prefix. Decisions (probe counts, result ids) match the
         resident engine exactly; distance values agree within the
         framework's 1e-5 value-consistency band (chunk-shape reduce-order
-        noise). Returns (vals [B, query_k], ids, my_nprobe)."""
+        noise). Returns (vals [B, query_k], ids, n_scanned) — the third
+        value is the engine's n_scanned = min(max(my_np, decided_at),
+        nlist), the lists actually paid for, NOT the raw my_nprobe
+        decision (which can sit below decided_at or above nlist)."""
         from auncel_tpu.profile.geometry import n_boundaries
         from auncel_tpu.profile.bounded import bounded_search_decide_ranked
         assert self.traces is not None, "attach_profile first"
@@ -215,16 +218,9 @@ class OnDiskIVFIndex:
         qd = jnp.asarray(q)
         _, cids = self._coarse(qd, nprobe)
         cids = np.asarray(cids)
-        uniq, inv = np.unique(cids, return_inverse=True)
-        nb = self._bucket(uniq.size)
-        cap = self.db.shape[1]
-        blocks = np.zeros((nb, cap, self.d), np.float32)
-        block_ids = np.full((nb, cap), -1, np.int32)
-        # this indexing is what pages the touched lists from disk
-        blocks[: uniq.size] = self.db[uniq]
-        block_ids[: uniq.size] = self.vec_ids[uniq]
-        probe = inv.reshape(cids.shape).astype(np.int32)
+        blocks, block_ids, uniq = self._page_blocks(cids)
+        probe = np.searchsorted(uniq, cids).astype(np.int32)
         vals, ids = _scan_uploaded(
-            jnp.asarray(blocks), jnp.asarray(block_ids), self._cents,
+            blocks, block_ids, self._cents,
             self._cent_sq, qd, jnp.asarray(probe), nprobe, k, self.metric)
         return np.asarray(vals), np.asarray(ids).astype(np.int64)

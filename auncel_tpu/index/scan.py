@@ -279,8 +279,9 @@ def ivf_full_scan(
     worst = worst_value(metric)
     q_sq = sqnorms(q)
     C = max(1, min(list_chunk, nlist))
+    while nlist % C:
+        C -= 1   # largest divisor <= list_chunk (ragged nlist, e.g. 100)
     n_chunks = nlist // C
-    assert nlist % C == 0, "list_chunk must divide nlist"
 
     def body(ci, carry):
         rvals, rids = carry

@@ -50,7 +50,12 @@ def make_dp_kmeans_step(mesh: Mesh, k: int):
 
 def dp_kmeans(x: np.ndarray, k: int, mesh: Mesh, niter: int = 25,
               seed: int = 1234):
-    """Full DP k-means driver: shard points once, iterate the SPMD step."""
+    """Full DP k-means driver: shard points once, iterate the SPMD step.
+
+    The last ``n % n_dev`` points (at most n_dev - 1) are excluded from
+    the fit so the shard split is even — statistically negligible for
+    clustering, but centroids/err are therefore not bit-identical to a
+    single-device run on the same data."""
     n = x.shape[0]
     n_dev = mesh.shape[AXIS]
     n_fit = (n // n_dev) * n_dev

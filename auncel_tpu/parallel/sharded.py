@@ -23,7 +23,6 @@ SPMD program under ``shard_map`` over a ``Mesh`` axis ``"shard"``:
 """
 
 import functools
-from typing import NamedTuple
 
 import numpy as np
 import jax
@@ -81,6 +80,7 @@ class ShardedIVF:
         self._mr_plan = None
         self.multipler = 1.0
         self.std_m = 1.0
+        self._jit_fns: dict = {}   # cached SPMD closures (see _jitted)
 
     # ------------------------------------------------------------- build
 
@@ -90,9 +90,18 @@ class ShardedIVF:
         parts = split_round_robin(np.asarray(xb, np.float32), self.n_shards)
         self.shards = []
         for rows, gids in parts:
+            if rows.shape[0] < self.nlist:
+                raise ValueError(
+                    f"shard holds {rows.shape[0]} rows < nlist="
+                    f"{self.nlist}: k-means cannot train {self.nlist} "
+                    f"centroids; lower nlist or n_shards")
             idx = IVFFlatIndex(self.d, self.nlist, self.metric)
             nt = max(int(rows.shape[0] * train_frac), self.nlist)
             idx.train(rows[:nt])
+            # the profile engine's boundary geometry needs the real
+            # inter-centroid matrix; for nlist > INTERDIS_EAGER_MAX the
+            # pack would otherwise carry the [1,1] placeholder
+            idx.ensure_interdis()
             idx.add(rows, ids=gids)
             self.shards.append(idx)
         self._stack()
@@ -114,6 +123,7 @@ class ShardedIVF:
                 interdis=a.interdis,
             ))
         self.arrays = _shard_leading(_stack_pytrees(padded), self.mesh)
+        self._jit_fns.clear()      # closures capture the old pytree shapes
 
     def enable_multirow(self, row_cap: int = 256) -> None:
         """Stack per-shard multi-row layouts (padded to common shapes) so
@@ -147,6 +157,7 @@ class ShardedIVF:
             padded.append(MultiRowArrays(rows_p, table_p,
                                          m.rows_per_list, m.row_base))
         self.mr = _shard_leading(_stack_pytrees(padded), self.mesh)
+        self._jit_fns.clear()      # plan is baked into the closures
         descs = np.stack([np.sort(np.asarray(m.rows_per_list))[::-1]
                           for m in per])
         self._mr_plan = plan_oneshot(np.max(descs, axis=0), self.nlist)
@@ -189,7 +200,7 @@ class ShardedIVF:
         import os
         import json
         from auncel_tpu.index.io import save_index
-        from auncel_tpu.profile.trace import TraceSet, save_trace_set
+        from auncel_tpu.profile.trace import save_trace_set
         os.makedirs(dirpath, exist_ok=True)
         meta = dict(d=self.d, nlist=self.nlist, n_shards=self.n_shards,
                     metric=self.metric.value, multipler=self.multipler,
@@ -202,16 +213,15 @@ class ShardedIVF:
         for i, idx in enumerate(self.shards):
             save_index(idx, os.path.join(dirpath, f"shard{i}.npz"))
         if self.traces is not None:
-            t = jax.device_get(self.traces)
-            np.savez(os.path.join(dirpath, "traces.npz"),
-                     phi=t.phi, u=t.u, std=t.std, n_bins=t.n_bins)
+            save_trace_set(jax.device_get(self.traces),
+                           os.path.join(dirpath, "traces.npz"))
 
     @classmethod
     def load(cls, dirpath: str, mesh: Mesh | None = None) -> "ShardedIVF":
         import os
         import json
         from auncel_tpu.index.io import load_index
-        from auncel_tpu.profile.trace import TraceSet
+        from auncel_tpu.profile.trace import load_trace_set
         with open(os.path.join(dirpath, "meta.json")) as f:
             meta = json.load(f)
         s = cls(meta["d"], meta["nlist"], meta["n_shards"],
@@ -225,31 +235,41 @@ class ShardedIVF:
         s._stack()
         tp = os.path.join(dirpath, "traces.npz")
         if os.path.exists(tp):
-            with np.load(tp) as z:
-                stacked = TraceSet(jnp.asarray(z["phi"]),
-                                   jnp.asarray(z["u"]),
-                                   jnp.asarray(z["std"]),
-                                   jnp.asarray(z["n_bins"]))
-            s.traces = _shard_leading(stacked, s.mesh)
+            s.traces = _shard_leading(load_trace_set(tp), s.mesh)
         if meta.get("multirow_row_cap"):
             s.enable_multirow(meta["multirow_row_cap"])
         return s
 
     # ------------------------------------------------------------- search
 
+    def _jitted(self, key, make):
+        """Per-instance cache of the jitted SPMD closures: defining a new
+        closure per call would retrace + relower the whole wave program
+        every search (seconds under the compile lottery); the key carries
+        every static the closure bakes in. Cleared whenever the stacked
+        arrays / plan are rebuilt."""
+        fn = self._jit_fns.get(key)
+        if fn is None:
+            fn = self._jit_fns[key] = make()
+        return fn
+
     def search(self, q: np.ndarray, k: int, nprobe: int):
         """Fixed-nprobe sharded search: local scan + all-gather merge."""
         metric, mesh = self.metric, self.mesh
 
-        @jax.jit
-        @functools.partial(
-            jax.shard_map, mesh=mesh, check_vma=False, in_specs=(P(AXIS), P(None)),
-            out_specs=(P(None), P(None)))
-        def run(stacked, q):
-            local = jax.tree.map(lambda a: a[0], stacked)
-            vals, ids = ivf_search_fixed(local, q, k, nprobe, metric)
-            return _merge_over_shards(vals, ids, k, metric)
+        def make():
+            @jax.jit
+            @functools.partial(
+                jax.shard_map, mesh=mesh, check_vma=False,
+                in_specs=(P(AXIS), P(None)),
+                out_specs=(P(None), P(None)))
+            def run(stacked, q):
+                local = jax.tree.map(lambda a: a[0], stacked)
+                vals, ids = ivf_search_fixed(local, q, k, nprobe, metric)
+                return _merge_over_shards(vals, ids, k, metric)
+            return run
 
+        run = self._jitted(("search", k, nprobe), make)
         vals, ids = run(self.arrays, jnp.asarray(np.asarray(q, np.float32)))
         return np.asarray(vals), np.asarray(ids, np.int64)
 
@@ -268,49 +288,60 @@ class ShardedIVF:
             from auncel_tpu.profile.bounded_mr import bounded_oneshot_mr
             plan = self._mr_plan
 
-            @jax.jit
-            @functools.partial(
-                jax.shard_map, mesh=mesh, check_vma=False,
-                in_specs=(P(AXIS), P(AXIS), P(AXIS), P(None), P(None)),
-                out_specs=(P(None), P(None), P(AXIS)))
-            def run_mr(stacked, smr, straces, q, acc):
-                local = jax.tree.map(lambda a: a[0], stacked)
-                lmr = jax.tree.map(lambda a: a[0], smr)
-                ltr = jax.tree.map(lambda a: a[0], straces)
-                gtk = jnp.zeros(q.shape[0], jnp.float32)
-                vals, ids, my_np, n_scanned, _ = bounded_oneshot_mr(
-                    local, lmr, ltr, q, acc, mult, sm, gtk,
-                    query_k, max_topk, metric, plan)
-                mvals, mids = _merge_over_shards(vals, ids, max_topk,
-                                                 metric)
-                return mvals, mids, n_scanned[None]
+            def make_mr():
+                @jax.jit
+                @functools.partial(
+                    jax.shard_map, mesh=mesh, check_vma=False,
+                    in_specs=(P(AXIS), P(AXIS), P(AXIS), P(None), P(None),
+                              P(), P()),
+                    out_specs=(P(None), P(None), P(AXIS)))
+                def run_mr(stacked, smr, straces, q, acc, mult, sm):
+                    local = jax.tree.map(lambda a: a[0], stacked)
+                    lmr = jax.tree.map(lambda a: a[0], smr)
+                    ltr = jax.tree.map(lambda a: a[0], straces)
+                    gtk = jnp.zeros(q.shape[0], jnp.float32)
+                    vals, ids, my_np, n_scanned, _ = bounded_oneshot_mr(
+                        local, lmr, ltr, q, acc, mult, sm, gtk,
+                        query_k, max_topk, metric, plan)
+                    mvals, mids = _merge_over_shards(vals, ids, max_topk,
+                                                     metric)
+                    return mvals, mids, n_scanned[None]
+                return run_mr
 
+            run_mr = self._jitted(("bounded_mr", query_k, max_topk),
+                                  make_mr)
             vals, ids, n_scanned = run_mr(
                 self.arrays, self.mr, self.traces,
                 jnp.asarray(np.asarray(q, np.float32)),
-                jnp.asarray(np.asarray(require_acc, np.float32)))
+                jnp.asarray(np.asarray(require_acc, np.float32)),
+                mult, sm)
             return (np.asarray(vals), np.asarray(ids, np.int64),
                     np.asarray(n_scanned))
 
-        @jax.jit
-        @functools.partial(
-            jax.shard_map, mesh=mesh, check_vma=False,
-            in_specs=(P(AXIS), P(AXIS), P(None), P(None)),
-            out_specs=(P(None), P(None), P(AXIS)))
-        def run(stacked, straces, q, acc):
-            local = jax.tree.map(lambda a: a[0], stacked)
-            ltr = jax.tree.map(lambda a: a[0], straces)
-            gtk = jnp.zeros(q.shape[0], jnp.float32)
-            vals, ids, my_np, n_scanned, _ = bounded_search(
-                local, ltr, q, acc, mult, sm, gtk,
-                query_k, max_topk, metric)
-            mvals, mids = _merge_over_shards(vals, ids, max_topk, metric)
-            return mvals, mids, n_scanned[None]
+        def make():
+            @jax.jit
+            @functools.partial(
+                jax.shard_map, mesh=mesh, check_vma=False,
+                in_specs=(P(AXIS), P(AXIS), P(None), P(None), P(), P()),
+                out_specs=(P(None), P(None), P(AXIS)))
+            def run(stacked, straces, q, acc, mult, sm):
+                local = jax.tree.map(lambda a: a[0], stacked)
+                ltr = jax.tree.map(lambda a: a[0], straces)
+                gtk = jnp.zeros(q.shape[0], jnp.float32)
+                vals, ids, my_np, n_scanned, _ = bounded_search(
+                    local, ltr, q, acc, mult, sm, gtk,
+                    query_k, max_topk, metric)
+                mvals, mids = _merge_over_shards(vals, ids, max_topk,
+                                                 metric)
+                return mvals, mids, n_scanned[None]
+            return run
 
+        run = self._jitted(("bounded", query_k, max_topk), make)
         vals, ids, n_scanned = run(
             self.arrays, self.traces,
             jnp.asarray(np.asarray(q, np.float32)),
-            jnp.asarray(np.asarray(require_acc, np.float32)))
+            jnp.asarray(np.asarray(require_acc, np.float32)),
+            mult, sm)
         return (np.asarray(vals), np.asarray(ids, np.int64),
                 np.asarray(n_scanned))
 

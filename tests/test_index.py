@@ -145,3 +145,20 @@ def test_update_vectors(small_ds):
     v, ids = idx.exact_search(small_ds.xb[500:501], 2)
     assert set(ids[0].tolist()) == {7, 500}
     np.testing.assert_allclose(v[0], [v[0][0], v[0][0]], atol=1e-3)
+
+
+def test_full_scan_ragged_nlist():
+    """Regression: exact_search must handle nlist not divisible by the
+    full-scan list chunk (e.g. IVF100)."""
+    import numpy as np
+    from auncel_tpu.index.ivf import IVFFlatIndex
+    from auncel_tpu.ops.knn import knn
+    from auncel_tpu.types import Metric
+    rng = np.random.RandomState(0)
+    xb = rng.randn(2000, 16).astype(np.float32)
+    idx = IVFFlatIndex(16, 100)
+    idx.train(xb)
+    idx.add(xb)
+    v, i = idx.exact_search(xb[:8], 5)
+    gt = knn(xb[:8], xb, 5, Metric.L2)
+    assert np.array_equal(i, gt.ids.astype(np.int64))

@@ -137,3 +137,23 @@ def test_sharded_save_load(tmp_path, ds, sharded):
     v1, i1, _ = sharded.search_bounded(ds.xq, acc, query_k=10)
     v2, i2, _ = loaded.search_bounded(ds.xq, acc, query_k=10)
     np.testing.assert_array_equal(i1, i2)
+
+
+def test_sharded_jit_closures_cached():
+    """Regression: repeated searches must reuse ONE jitted SPMD closure
+    (a fresh closure per call retraces the whole wave program)."""
+    import numpy as np
+    from auncel_tpu.parallel.sharded import ShardedIVF, make_mesh
+    rng = np.random.RandomState(1)
+    xb = rng.randn(4000, 16).astype(np.float32)
+    s = ShardedIVF(16, 16, n_shards=4, mesh=make_mesh(4))
+    s.build(xb)
+    s.search(xb[:4], 3, nprobe=4)
+    fn1 = s._jit_fns[("search", 3, 4)]
+    s.search(xb[4:8], 3, nprobe=4)
+    assert s._jit_fns[("search", 3, 4)] is fn1
+    # undersized shards raise with a pointed message
+    import pytest
+    bad = ShardedIVF(16, 2048, n_shards=4, mesh=make_mesh(4))
+    with pytest.raises(ValueError, match="k-means cannot train"):
+        bad.build(xb)
