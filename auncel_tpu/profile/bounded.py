@@ -100,8 +100,13 @@ def _simulate_cur_num(p: jax.Array, first_ok: jax.Array,
         high = jnp.where(go & (~pm), middle - 1, high)
         return low, high, done, result
 
+    # enough iterations to exhaust [0, query_k-1] for ANY query_k (10 was
+    # a silent truncation past k=512: the unexecuted iterations made the
+    # fallback under-report cur_num — conservative, but a divergence from
+    # the reference replay)
+    n_iter = max(int(np.ceil(np.log2(max(query_k, 2)))) + 1, 10)
     low, high, done, result = jax.lax.fori_loop(
-        0, 10, body, (low, high, done, result))
+        0, n_iter, body, (low, high, done, result))
     return jnp.where(done, result, low + 1)
 
 

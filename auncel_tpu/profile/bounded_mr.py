@@ -323,7 +323,12 @@ def _mr_impl(arrays, mr, traces, q, require_acc, multipler, std_m, gt_kth,
                 # multipler (set_hyper allows < 8/nlist) floor(stage *
                 # multipler) can be 0 for every stage, and the A2
                 # compaction while-loop would spin forever on my_np == 0.
-                new_np = jnp.maximum(new_np, 1)
+                # The CONSERVATIVE floor is a FULL scan: the reference
+                # leaves my_nprobe 0 there and keeps scanning to nlist
+                # (IVF_pro control flow), and the padded engine does the
+                # same — flooring to 1 would terminate EARLIER than both,
+                # breaking the terminate-later-never-earlier invariant.
+                new_np = jnp.where(new_np > 0, new_np, nlist)
             eff = sat & (new_np > 0)
             my_np = jnp.where(eff, new_np, my_np)
             decided_at = jnp.where(eff, stage, decided_at)

@@ -111,6 +111,11 @@ class ErrorSys:
         validation-mode raw maps (reference README.md:40-41)."""
         assert self.gt_D is not None, "set_gt before sys_train"
         assert nq <= self.train_num
+        # the boundary geometry needs the real inter-centroid matrix even
+        # if the index was trained AFTER this ErrorSys was constructed
+        # (lazy for nlist > INTERDIS_EAGER_MAX: the packed placeholder is
+        # [1,1] zeros, which would crash sum_angle deep inside jit)
+        self.index.ensure_interdis()
         xq = np.asarray(xq, np.float32)
         self.traces, self.raw_pairs = train_profile(
             self.index.arrays, xq[:nq], self.gt_D[:nq], self.max_topk,
@@ -202,9 +207,15 @@ class ErrorSys:
         if self._dev_cache is None or self._dev_cache[0] != key:
             nq = self.queries.shape[0]
             pad = self.BATCH_BUCKETS[-1]
+            if self.require_acc.shape[0] < nq:
+                # the padded host path raises on the same mismatch; the
+                # silent alternative would serve real queries with the
+                # trivially-satisfied 1e-3 pad bound
+                raise ValueError(
+                    f"require_acc has {self.require_acc.shape[0]} entries "
+                    f"for {nq} queries (set_queries aligns them)")
             acc = np.full(nq + pad, 1e-3, np.float32)
-            m = min(nq, self.require_acc.shape[0])
-            acc[:m] = self.require_acc[:m]
+            acc[:nq] = self.require_acc[:nq]
             gtk = np.zeros(nq + pad, np.float32)
             if self.gt_D is not None:
                 g = min(nq, self.gt_D.shape[0])
@@ -474,6 +485,14 @@ class ErrorSys:
         size = self.num if search_size == -1 else search_size
         if self.per_probe_ms is None:
             self.calibrate_time()
+        if size > self.BATCH_BUCKETS[-1]:
+            # chunk through the largest bucket like search(): a ragged
+            # one-off shape pays the compile lottery per distinct size
+            step = self.BATCH_BUCKETS[-1]
+            outs = [self.time_search(start + off, min(step, size - off))
+                    for off in range(0, size, step)]
+            return (np.concatenate([o[0] for o in outs]),
+                    np.concatenate([o[1] for o in outs]))
         # bucket-pad like search(): one compiled program per bucket size
         bsz = self._bucket(size)
         q = np.zeros((bsz, self.index.d), np.float32)

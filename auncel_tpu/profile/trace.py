@@ -111,6 +111,12 @@ def trace_lookup(traces: TraceSet, trace_idx: int, phi_q: jax.Array,
     last_u = u_bins[nb - 1] + std_m * std_bins[nb - 1]
     above = phi_q >= last_phi
     scaled = last_u * (phi_q / jnp.where(last_phi != 0, last_phi, 1.0))
+    # degenerate trace (no training pairs -> single phi=0 bin): the
+    # "above" scaling would collapse U to ~phi*1e9 ~ 0 and let the
+    # predicate fire on an UNTRAINED stage (a silent bound violation);
+    # keep the conservative never-terminate sentinel instead (the
+    # reference's divide-by-zero yields inf there, same effect)
+    scaled = jnp.where(last_phi > 0, scaled, EMPTY_TRACE_U)
     return jnp.where(above, scaled, base)
 
 

@@ -47,7 +47,11 @@ def train_stages(nlist: int) -> list[int]:
     (reference init_tune, IndexIVF.cpp:209-221)."""
     stages = []
     s = 1
-    while s <= nlist // 8:
+    # max(nlist//8, 1): tiny toy indexes (nlist < 8) still get the
+    # stage-1 map — geometry/stage_to_trace/plan_mr_waves already floor
+    # the cap the same way, and an empty stage list crashes
+    # wave_boundaries and jnp.stack downstream
+    while s <= max(nlist // 8, 1):
         stages.append(s)
         s <<= 1
     return stages

@@ -142,3 +142,42 @@ def test_mr_errsys_matches_padded_engine(trained):
     np.testing.assert_array_equal(np1, np2)
     np.testing.assert_array_equal(D1, D2)
     np.testing.assert_array_equal(I1, I2)
+
+
+def test_tiny_multipler_forced_floor_is_full_scan(trained):
+    """Regression: when floor(stage*multipler) == 0 at every stage (a
+    multipler below 8/nlist), the forced decision must fall back to a
+    FULL scan like the reference/padded control flow — flooring to 1
+    probe would terminate far earlier than the reference."""
+    idx, es, xq, gt_D, n_train, n_test = trained
+    idx.enable_multirow(row_cap=128)
+    q = xq[n_train:n_train + 8]
+    acc = np.full(8, 0.999999, np.float32)  # nothing decides early
+    old_m = es.multipler
+    try:
+        es.set_hyper(multipler=1e-4, std_m=es.std_m)
+        D, I = es.search(n_train, 8)
+        assert (es.n_scanned[n_train:n_train + 8] == idx.nlist).all(), \
+            es.n_scanned[n_train:n_train + 8]
+        # full scan -> exact results
+        gtv, gti = idx.exact_search(q, es.query_topk)
+        np.testing.assert_array_equal(I, gti)
+    finally:
+        es.set_hyper(multipler=old_m, std_m=es.std_m)
+
+
+def test_degenerate_trace_never_terminates():
+    """Regression: a stage whose trace collected no training pairs must
+    keep the conservative EMPTY_TRACE_U for every phi (the above-range
+    scaling used to collapse U to ~0 and fire the predicate on an
+    untrained stage)."""
+    import jax.numpy as jnp
+    from auncel_tpu.profile.trace import (build_trace, make_trace_set,
+                                          trace_lookup, EMPTY_TRACE_U)
+    empty = build_trace(np.zeros((0, 4), np.float32),
+                        np.zeros((0, 4), np.float32),
+                        np.zeros((0, 4), bool))
+    ts = make_trace_set([empty])
+    phi = jnp.asarray([[0.0, 1e-9, 0.5, 100.0]])
+    u = np.asarray(trace_lookup(ts, 0, phi, jnp.float32(1.0)))
+    assert (u >= EMPTY_TRACE_U * 0.99).all(), u
