@@ -53,9 +53,11 @@ class IDSelectorBatch(IDSelector):
 
     def is_member(self, ids):
         ids = np.asarray(ids)
-        pos = np.searchsorted(self._set, ids)
-        pos = np.clip(pos, 0, len(self._set) - 1)
-        return (len(self._set) > 0) & (self._set[pos] == ids)
+        if len(self._set) == 0:     # empty selector: legal no-op
+            return np.zeros(ids.shape, bool)
+        pos = np.clip(np.searchsorted(self._set, ids), 0,
+                      len(self._set) - 1)
+        return self._set[pos] == ids
 
 
 @dataclass
@@ -130,13 +132,33 @@ def _range_scan_all(arrays, qd, q_sq, cids, nprobe, metric):
         sub = arrays.decode_block(arrays.db[lists])
         sub_sq = arrays.db_sq[lists]
         sub_ids = arrays.vec_ids[lists]
-        dots = jnp.einsum("bpcd,bd->bpc", sub, qd,
-                          preferred_element_type=jnp.float32,
-                          precision=jax.lax.Precision.HIGHEST)
-        if metric is Metric.L2:
-            sc = q_sq[:, None, None] + sub_sq - 2.0 * dots
+        if arrays.pq_residual is not None:
+            # residual PQ: stored r approximates x - c_list, same
+            # correction as the main scan path (scan.py:191-211)
+            cl = arrays.centroids[lists]                 # [B, C, d]
+            if metric is Metric.L2:
+                qc = qd[:, None, :] - cl
+                dots = jnp.einsum("bpcd,bpd->bpc", sub, qc,
+                                  preferred_element_type=jnp.float32,
+                                  precision=jax.lax.Precision.HIGHEST)
+                sc = (jnp.sum(jnp.square(qc), -1)[:, :, None]
+                      + sub_sq - 2.0 * dots)
+            else:
+                qcl = jnp.einsum("bpd,bd->bp", cl, qd,
+                                 preferred_element_type=jnp.float32,
+                                 precision=jax.lax.Precision.HIGHEST)
+                qr = jnp.einsum("bpcd,bd->bpc", sub, qd,
+                                preferred_element_type=jnp.float32,
+                                precision=jax.lax.Precision.HIGHEST)
+                sc = qcl[:, :, None] + qr
         else:
-            sc = dots
+            dots = jnp.einsum("bpcd,bd->bpc", sub, qd,
+                              preferred_element_type=jnp.float32,
+                              precision=jax.lax.Precision.HIGHEST)
+            if metric is Metric.L2:
+                sc = q_sq[:, None, None] + sub_sq - 2.0 * dots
+            else:
+                sc = dots
         sub_ids = jnp.where(ok[None, :, None], sub_ids, -1)
         off = step * C * cap
         bs = jax.lax.dynamic_update_slice(

@@ -269,7 +269,14 @@ class IndexBinaryFromFloat(Index):
 
     def search(self, q_codes: np.ndarray, k: int, **kw):
         vals, ids = self.sub.search(self._to_real(q_codes), k, **kw)
-        return np.rint(np.asarray(vals) / 4.0).astype(np.int32), ids
+        vals = np.asarray(vals, np.float64) / 4.0
+        # padded slots carry +inf from the float sub-index: casting inf
+        # to int32 is undefined (INT32_MIN on numpy — ranks BETTER than
+        # every real hit); keep the integer-Hamming worst value instead
+        out = np.where(np.isfinite(vals),
+                       np.rint(np.where(np.isfinite(vals), vals, 0.0)),
+                       np.iinfo(np.int32).max).astype(np.int32)
+        return out, ids
 
     def reset(self) -> None:
         self.sub.reset()

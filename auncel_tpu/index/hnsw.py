@@ -515,10 +515,17 @@ class HNSWIndex(Index):
                 if free.size:
                     slot = int(free[0])
                 else:
-                    # replace the farthest unprotected neighbor (keeps
-                    # r's nearest links; guarantees u becomes reachable)
-                    dr = ((xb[lst] - xb[r]) ** 2).sum(1)
-                    cand = [int(s) for s in np.argsort(dr)[::-1]
+                    # replace the WORST unprotected neighbor by the index
+                    # metric (keeps r's best links; guarantees u becomes
+                    # reachable). IP graphs rank by dot product — squared
+                    # L2 would evict the most-similar link when norms vary
+                    if self.metric.lower_is_better:
+                        dr = ((xb[lst] - xb[r]) ** 2).sum(1)
+                        order = np.argsort(dr)[::-1]   # farthest first
+                    else:
+                        dr = xb[lst] @ xb[r]
+                        order = np.argsort(dr)          # lowest IP first
+                    cand = [int(s) for s in order
                             if (row, int(s)) not in protected]
                     if not cand:
                         continue  # row saturated by repairs; next round
@@ -765,11 +772,17 @@ class HNSWIndex(Index):
         was serialized directly (the flat base)."""
         return None
 
+    def _io_stores_codes(self) -> bool:
+        """True when _io_extra carries codes that _io_rebuild_xb can
+        decode at load time (so save skips xb). A cheap capability check
+        — calling _io_rebuild_xb to probe would run a full-corpus decode
+        just to throw it away."""
+        return False
+
     def save(self, path: str) -> None:
         assert self._built or self.ntotal == 0
         extra = self._io_extra() if self.is_trained else {}
-        payload = {} if self._io_rebuild_xb() is not None else \
-            dict(xb=self._xb)
+        payload = {} if self._io_stores_codes() else dict(xb=self._xb)
         levels = (self.levels if self.levels is not None
                   else np.zeros((0,), np.int32))  # never-built empty index
         np.savez(path, kind=type(self).__name__,
@@ -879,6 +892,9 @@ class IndexHNSWSQ(HNSWIndex):
             return None
         return self._codes.astype(np.float32) * self._scale + self._vmin
 
+    def _io_stores_codes(self) -> bool:
+        return self.is_trained
+
 
 class IndexHNSWPQ(HNSWIndex):
     """HNSW over PQ codes (reference IndexHNSWPQ, IndexHNSW.h:147;
@@ -944,6 +960,9 @@ class IndexHNSWPQ(HNSWIndex):
         from auncel_tpu.ops.pq import decode_pq
         return np.asarray(decode_pq(self._pq, jnp.asarray(self._codes)),
                           np.float32)
+
+    def _io_stores_codes(self) -> bool:
+        return self.is_trained
 
 
 class IndexHNSW2Level(HNSWIndex):
@@ -1048,3 +1067,6 @@ class IndexHNSW2Level(HNSWIndex):
         if not self.is_trained:
             return None
         return self.storage.reconstruct_n(0)
+
+    def _io_stores_codes(self) -> bool:
+        return self.is_trained

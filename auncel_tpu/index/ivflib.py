@@ -35,11 +35,13 @@ def search_and_return_centroids(index: IVFFlatIndex, q: np.ndarray, k: int,
 
 
 def extract_vectors(index: IVFFlatIndex):
-    """All stored (decoded) vectors + their ids from the packed layout."""
+    """All stored (decoded) vectors + their ids from the packed layout
+    (decoded_db applies the per-list centroid for residual-PQ storage —
+    returning raw residuals here made merge_into/copy_subset_to re-add
+    garbage for pq indexes)."""
+    from auncel_tpu.index.ivf import decoded_db
     a = index.arrays
-    db = np.asarray(a.db)
-    if a.sq_scale is not None or a.pq_codebooks is not None:
-        db = np.asarray(a.decode_block(a.db))
+    db = decoded_db(a)
     ids = np.asarray(a.vec_ids)
     keep = ids >= 0
     return db[keep].astype(np.float32), ids[keep].astype(np.int64)

@@ -243,6 +243,11 @@ class IVFSpectralHashIndex(Index):
     def _build(self):
         if self._packed is not None:
             return
+        if not self._pending:
+            # empty trained index: one all-padding list so search honors
+            # the (-1, worst) contract instead of crashing in concatenate
+            self._pending.append((np.zeros((0, self.d), np.float32),
+                                  np.zeros((0,), np.int64)))
         x = np.concatenate([p for p, _ in self._pending], 0)
         vids = np.concatenate([v for _, v in self._pending], 0)
         assign = _assign_lists(x, self.centroids)

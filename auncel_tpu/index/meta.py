@@ -102,6 +102,8 @@ class IndexShards(Index):
         self.metric = Metric.parse(metric)
         self.successive_ids = successive_ids
         self.shards: list[Index] = []
+        # per-shard position -> global id (for position-keyed shards)
+        self._pos_maps: list[np.ndarray] = []
 
     @property
     def is_trained(self):
@@ -118,6 +120,7 @@ class IndexShards(Index):
     def add_shard(self, index: Index):
         assert index.d == self.d and index.metric is self.metric
         self.shards.append(index)
+        self._pos_maps.append(np.zeros((0,), np.int64))
 
     def train(self, x):
         for s in self.shards:
@@ -130,12 +133,20 @@ class IndexShards(Index):
         base = self.ntotal
         if ids is None:
             ids = np.arange(base, base + n, dtype=np.int64)
+        ids = np.asarray(ids, np.int64)
         for i, s in enumerate(self.shards):
             sel = slice(i, None, len(self.shards))
             if self._position_keyed(s):
-                s.add(x[sel])  # e.g. FlatIndex: ids are storage positions
+                # position-keyed shards return storage positions; record
+                # the global id of every position so search can translate
+                # (a stride formula breaks as soon as one add's size is
+                # not a multiple of nshards: later adds restart at shard 0
+                # while per-shard positions have drifted)
+                s.add(x[sel])
+                self._pos_maps[i] = np.concatenate(
+                    [self._pos_maps[i], ids[sel]])
             else:
-                s.add(x[sel], ids=np.asarray(ids)[sel])
+                s.add(x[sel], ids=ids[sel])
 
     @staticmethod
     def _position_keyed(s) -> bool:
@@ -146,14 +157,15 @@ class IndexShards(Index):
 
     def search(self, q, k):
         all_v, all_i = [], []
-        offset = 0
         for i, s in enumerate(self.shards):
             v, idx = s.search(q, k)
             if self.successive_ids and self._position_keyed(s):
-                idx = np.where(idx >= 0, idx * len(self.shards) + i, -1)
+                pm = self._pos_maps[i]
+                idx = np.where(idx >= 0,
+                               pm[np.clip(idx, 0, max(len(pm) - 1, 0))],
+                               -1)
             all_v.append(v)
             all_i.append(idx)
-            offset += s.ntotal
         vals = np.stack(all_v)
         ids = np.stack(all_i).astype(np.int64)
         return native.kway_merge_topk(vals, ids,
@@ -162,6 +174,7 @@ class IndexShards(Index):
     def reset(self):
         for s in self.shards:
             s.reset()
+        self._pos_maps = [np.zeros((0,), np.int64) for _ in self.shards]
 
 
 class IndexSplitVectors(Index):

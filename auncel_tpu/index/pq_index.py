@@ -107,9 +107,11 @@ class IndexPQ(Index):
         codes = np.asarray(encode_pq(self.pq, jnp.asarray(
             np.asarray(x, np.float32))))
         self._codes = np.concatenate([self._codes, codes], 0)
+        self._dev = None
 
     def reset(self) -> None:
         self._codes = np.zeros((0, self.M), np.uint8)
+        self._dev = None
 
     def search(self, q: np.ndarray, k: int, ht: int | None = None):
         """ADC search; ``ht`` > 0 applies the polysemous Hamming filter
@@ -118,13 +120,18 @@ class IndexPQ(Index):
         ht = self.polysemous_ht if ht is None else ht
         n = self.ntotal
         block = min(4096, max(n, 1))
-        n_pad = ((n + block - 1) // block) * block
-        codes = np.full((n_pad, self.M), 255, np.uint8)
-        codes[:n] = self._codes
+        # cache the padded device code table across searches (rebuilding
+        # + re-uploading n*M bytes per call costs the ~40 ms tunnel RTT
+        # every search on a static corpus); invalidated by add/reset
+        if getattr(self, "_dev", None) is None:
+            n_pad = ((n + block - 1) // block) * block
+            codes = np.full((n_pad, self.M), 255, np.uint8)
+            codes[:n] = self._codes
+            self._dev = jnp.asarray(codes)
         qd = jnp.asarray(q)
         qcodes = encode_pq(self.pq, qd)
         vals, ids = _pq_scan(
-            self.pq.codebooks, jnp.asarray(codes), qd, qcodes,
+            self.pq.codebooks, self._dev, qd, qcodes,
             jnp.int32(ht if ht and ht > 0 else -1), jnp.int32(n), k,
             self.metric, block)
         return np.asarray(vals), np.asarray(ids).astype(np.int64)

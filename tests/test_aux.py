@@ -99,3 +99,34 @@ def test_remove_ids(built):
     assert np.all(ids[:, 0] >= 100)  # the removed rows are gone
     _, ids2 = idx.exact_search(ds.xb[500:505], 1)
     np.testing.assert_array_equal(ids2[:, 0], np.arange(500, 505))
+
+
+def test_range_search_residual_pq_storage():
+    """Regression: range_search must apply the residual-PQ centroid
+    correction like the main scan (it scored ||q-r||^2, returning 0 hits
+    inside a radius holding the true top-5)."""
+    import numpy as np
+    from auncel_tpu.index.ivf import IVFFlatIndex
+    from auncel_tpu.index.aux import range_search
+    from auncel_tpu.ops.knn import knn
+    from auncel_tpu.types import Metric
+    rng = np.random.RandomState(6)
+    xb = rng.randn(3000, 16).astype(np.float32)
+    xq = rng.randn(4, 16).astype(np.float32)
+    idx = IVFFlatIndex(16, 8, storage="pq4")
+    idx.train(xb)
+    idx.add(xb)
+    # radius that covers each query's decoded top-5
+    v5, _ = idx.search(xq, 5, nprobe=8)
+    res = range_search(idx, xq, float(v5[:, 4].max()) * 1.001, nprobe=8)
+    lims = np.asarray(res.lims)
+    counts = lims[1:] - lims[:-1]
+    assert (counts >= 5).all(), counts
+
+
+def test_empty_id_selector_batch():
+    import numpy as np
+    from auncel_tpu.index.aux import IDSelectorBatch
+    sel = IDSelectorBatch([])
+    got = sel.is_member(np.array([1, 2, 3]))
+    assert got.shape == (3,) and not got.any()

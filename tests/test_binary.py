@@ -55,3 +55,17 @@ def test_binary_ivf_recall(bds):
     assert np.all(vals1 >= gt_vals)
     # and on clustered bit data, 2 probes find most true neighbors
     assert (vals1 == gt_vals).mean() > 0.8
+
+
+def test_binary_from_float_padding_is_worst():
+    """Regression: +inf padding from the float sub-index must not wrap
+    to INT32_MIN (which ranked better than every real hit)."""
+    import numpy as np
+    from auncel_tpu.index.binary import IndexBinaryFromFloat
+    from auncel_tpu.index.flat import FlatIndex
+    idx = IndexBinaryFromFloat(FlatIndex(32), 32)
+    codes = np.array([[0x0F, 0xF0, 0x00, 0xFF]], np.uint8)
+    idx.add(codes)
+    d, i = idx.search(codes, 4)            # k > ntotal: 3 padded slots
+    assert i[0, 0] == 0 and d[0, 0] == 0
+    assert (d[0, 1:] == np.iinfo(np.int32).max).all(), d

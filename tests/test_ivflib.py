@@ -71,3 +71,22 @@ def test_sliding_window(ds):
     np.testing.assert_array_equal(ids[:, 0], [2500, 2501])
     _, ids0 = idx.exact_search(ds.xb[500:501], 1)
     assert ids0[0, 0] != 500  # batch 0 evicted
+
+
+def test_extract_vectors_residual_pq():
+    """Regression: extract_vectors must return reconstructions, not raw
+    residuals, for residual-PQ storage (merge_into re-adds them)."""
+    import numpy as np
+    from auncel_tpu.index.ivf import IVFFlatIndex
+    from auncel_tpu.index.ivflib import extract_vectors
+    rng = np.random.RandomState(8)
+    xb = rng.randn(2000, 16).astype(np.float32) + 5.0
+    idx = IVFFlatIndex(16, 8, storage="pq4")
+    idx.train(xb)
+    idx.add(xb)
+    vecs, ids = extract_vectors(idx)
+    order = np.argsort(ids)
+    err = np.square(vecs[order] - xb[ids[order]]).mean()
+    # reconstruction error must be far below the data's second moment
+    # (residuals alone would leave the whole centroid component ~ |x|^2)
+    assert err < 0.25 * np.square(xb).mean(), err

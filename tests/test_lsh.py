@@ -111,3 +111,14 @@ def test_factory_lsh_cells(ds):
     idx = index_factory(ds.d, "IVF32,SH64")
     assert isinstance(idx, IVFSpectralHashIndex)
     assert idx.nlist == 32 and idx.nbit == 64
+
+
+def test_spectral_hash_empty_search():
+    import numpy as np
+    from auncel_tpu.index.lsh import IVFSpectralHashIndex
+    rng = np.random.RandomState(1)
+    x = rng.randn(500, 16).astype(np.float32)
+    idx = IVFSpectralHashIndex(16, nlist=4, nbit=16)
+    idx.train(x)
+    v, i = idx.search(x[:3], 5)
+    assert i.shape == (3, 5) and (i == -1).all()

@@ -169,3 +169,20 @@ def test_matrix_stats(ds):
     bad = x.copy()
     bad[0, 0] = np.nan
     assert "NaN or Inf" in MatrixStats(bad).comments
+
+
+def test_shards_uneven_adds_ids():
+    """Regression: round-robin position-keyed shards must return correct
+    global ids when add sizes are not multiples of nshards."""
+    import numpy as np
+    from auncel_tpu.index.meta import IndexShards
+    from auncel_tpu.index.flat import FlatIndex
+    rng = np.random.RandomState(4)
+    xb = rng.randn(6, 8).astype(np.float32)
+    sh = IndexShards(8)
+    sh.add_shard(FlatIndex(8))
+    sh.add_shard(FlatIndex(8))
+    sh.add(xb[:3])
+    sh.add(xb[3:])
+    v, i = sh.search(xb, 1)
+    assert np.array_equal(i[:, 0], np.arange(6)), i[:, 0]
