@@ -246,9 +246,21 @@ class ParameterSpace:
         self.explore(xq, gt_D, k)
         pt = self.ops.cheapest_meeting(min(1.0 - eps + headroom, 1.0))
         if pt is None:
+            # leave the index at full scan (the sweep left it on the LAST
+            # combo's knobs otherwise)
+            set_index_parameter(self.index, "nprobe", nlist)
+            self.best_combo = {"nprobe": nlist}
             return nlist
-        return int(dict(p.split("=") for p in pt.key.split(","))
-                   .get("nprobe", nlist))
+        # re-apply the CHOSEN operating point's full knob combo: the sweep
+        # measured recall/cost with its max_codes/ht etc., and exploring
+        # left the index mutated to the final combo (e.g. a truthy
+        # polysemous_ht permanently routing search through the filter)
+        combo = {name: float(val) for name, val in
+                 (p.split("=") for p in pt.key.split(","))}
+        for name, val in combo.items():
+            set_index_parameter(self.index, name, val)
+        self.best_combo = combo
+        return int(combo.get("nprobe", nlist))
 
 
 class MatrixStats:

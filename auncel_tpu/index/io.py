@@ -57,17 +57,26 @@ def save_index(index: Index, path: str) -> None:
                  refine_pos=np.asarray(pos))
         return
     if isinstance(index, IVFFlatIndex):
+        from auncel_tpu.index.ivf import IVFFlatDedupIndex
         # Quantized indexes are serialized as their DECODED values: search
         # results round-trip exactly; PQ indexes reload as f32 storage
         # (retraining codebooks on decoded data would not reproduce codes
-        # bit-for-bit). SQ8 re-quantizes to identical codes on load.
+        # bit-for-bit). SQ indexes persist their affine range so the
+        # reload re-encodes to IDENTICAL codes (re-training the range on
+        # decoded data diverges whenever the range is wider than the
+        # data, e.g. rangestat margins).
         storage = index.storage
         if storage.startswith("pq"):
             storage = "f32"
-        header = dict(version=_FORMAT_VERSION, kind="IVFFlat", d=index.d,
+        dedup = isinstance(index, IVFFlatDedupIndex)
+        header = dict(version=_FORMAT_VERSION,
+                      kind="IVFFlatDedup" if dedup else "IVFFlat",
+                      d=index.d,
                       metric=index.metric.value, nlist=index.nlist,
                       trained=index.is_trained, ntotal=index.ntotal,
                       storage=storage)
+        if dedup:
+            header["dup"] = {str(k): v for k, v in index._dup.items()}
         payload = dict(header=json.dumps(header))
         if index.is_trained:
             payload["centroids"] = index.centroids
@@ -79,6 +88,9 @@ def save_index(index: Index, path: str) -> None:
             payload["db"] = db.astype(np.float32)
             payload["vec_ids"] = np.asarray(a.vec_ids)
             payload["list_sizes"] = np.asarray(a.list_sizes)
+            if a.sq_scale is not None:
+                payload["sq_scale"] = np.asarray(a.sq_scale)
+                payload["sq_bias"] = np.asarray(a.sq_bias)
         np.savez(path, **payload)
         return
     from auncel_tpu.index.twolayer import Index2Layer
@@ -151,18 +163,36 @@ def load_index(path: str) -> Index:
             idx = FlatIndex(header["d"], metric)
             idx.add(z["xb"])
             return idx
-        if header["kind"] == "IVFFlat":
-            idx = IVFFlatIndex(header["d"], header["nlist"], metric,
-                               storage=header.get("storage", "f32"))
+        if header["kind"] in ("IVFFlat", "IVFFlatDedup"):
+            from auncel_tpu.index.ivf import IVFFlatDedupIndex
+            cls_ = (IVFFlatDedupIndex if header["kind"] == "IVFFlatDedup"
+                    else IVFFlatIndex)
+            idx = cls_(header["d"], header["nlist"], metric,
+                       storage=header.get("storage", "f32"))
             if header["trained"]:
                 idx.set_centroids(z["centroids"])
+            if "sq_scale" in z:
+                # reuse the saved affine range so codes round-trip
+                # bit-for-bit
+                idx._sq_range_override = (
+                    np.asarray(z["sq_bias"], np.float32),
+                    np.asarray(z["sq_scale"], np.float32))
             if header["ntotal"]:
                 db = z["db"]
                 vec_ids = z["vec_ids"]
                 mask = vec_ids >= 0
                 flat_x = db[mask]
                 flat_ids = vec_ids[mask].astype(np.int64)
-                idx.add(flat_x, flat_ids)
+                if header["kind"] == "IVFFlatDedup":
+                    # bypass re-dedup: stored rows are already unique
+                    IVFFlatIndex.add(idx, flat_x, flat_ids)
+                    idx._sig = {flat_x[r].tobytes(): int(flat_ids[r])
+                                for r in range(len(flat_ids))}
+                else:
+                    idx.add(flat_x, flat_ids)
+            if header["kind"] == "IVFFlatDedup":
+                idx._dup = {int(k): list(v) for k, v in
+                            header.get("dup", {}).items()}
             return idx
         if header["kind"] == "IVFPQR":
             from auncel_tpu.index.ivfpqr import IndexIVFPQR

@@ -66,11 +66,6 @@ def _scatter_pack(xd, list_idx, slot_idx, nlist, cap, dtype):
 
 
 @jax.jit
-def _sq_decode(codes, scale, bias):
-    return codes.astype(jnp.float32) * scale + bias
-
-
-@jax.jit
 def _sq_norms(db_codes, scale, bias):
     dec = db_codes.astype(jnp.float32) * scale + bias
     return jnp.sum(jnp.square(dec), axis=-1)
@@ -158,6 +153,7 @@ class IVFFlatIndex(Index):
         self.max_codes = 0
         self.centroids: np.ndarray | None = None
         self.interdis: np.ndarray | None = None
+        self._sq_range_override = None  # (vmin, scale) from exact reload
         self._pending: list[tuple[np.ndarray, np.ndarray]] = []
         self._arrays: IVFArrays | None = None
         self._multirow = None
@@ -218,6 +214,12 @@ class IVFFlatIndex(Index):
                             dtype=np.int64)
         ids = np.asarray(ids, np.int64)
         assert x.shape[0] == ids.shape[0] and x.shape[1] == self.d
+        if ids.size and (ids.max() > np.iinfo(np.int32).max or
+                         ids.min() < 0):
+            # vec_ids is int32 on device; a silent downcast would wrap
+            # the id returned by search and break reconstruct-by-id
+            raise ValueError("ids must fit in int32 (packed vec_ids "
+                             "layout); remap ids or use IndexIDMap")
         self._pending.append((x, ids))
         self._ntotal += x.shape[0]
         self._arrays = None  # repack lazily
@@ -262,9 +264,16 @@ class IVFFlatIndex(Index):
             if self.storage in ("sq8", "sq4", "sq8u", "sq4u"):
                 from auncel_tpu.index.flat import sq_train_range
                 levels = 255.0 if self.storage.startswith("sq8") else 15.0
-                vmin, scale = sq_train_range(x, self.storage,
-                                             self.sq_rangestat,
-                                             self.sq_rangestat_arg)
+                if self._sq_range_override is not None:
+                    # exact-code reload: reuse the saved affine range
+                    vmin, scale = self._sq_range_override
+                else:
+                    # range statistics on the REAL rows only — x is
+                    # block-padded with copies of x[0] above, which would
+                    # skew mean/std/quantile ranges by up to ~24%
+                    vmin, scale = sq_train_range(x[:n], self.storage,
+                                                 self.sq_rangestat,
+                                                 self.sq_rangestat_arg)
                 codes = np.clip(np.rint((x - vmin) / scale), 0,
                                 levels).astype(np.uint8)
                 sq_scale = jnp.asarray(scale)
@@ -353,6 +362,9 @@ class IVFFlatIndex(Index):
                 db_sq = db_sq * (jnp.asarray(vec_ids) >= 0)
             else:
                 db_sq = _sq_norms(db_dev, sq_scale, sq_bias)
+                # pad slots decode to the bias vector: honor the
+                # "db_sq is 0 at pad" invariant like every other branch
+                db_sq = db_sq * (jnp.asarray(vec_ids) >= 0)
         elif n and self.storage.startswith("pq"):
             from auncel_tpu.ops.pq import train_pq, encode_pq, decode_pq
             M = int(self.storage[2:])
@@ -609,6 +621,10 @@ class IVFFlatDedupIndex(IVFFlatIndex):
     def __init__(self, *args, **kwargs):
         super().__init__(*args, **kwargs)
         self._dup: dict[int, list[int]] = {}
+        # vector bytes -> kept id: dedup must hold ACROSS add batches
+        # (the reference checks new vectors against the stored lists,
+        # IndexIVFFlat.cpp IndexIVFFlatDedup::add_with_ids)
+        self._sig: dict[bytes, int] = {}
 
     def add(self, x: np.ndarray, ids=None) -> None:
         x = np.asarray(x, np.float32)
@@ -619,17 +635,25 @@ class IVFFlatDedupIndex(IVFFlatIndex):
                                                self._dup.values())
                             + x.shape[0], dtype=np.int64)
         ids = np.asarray(ids, np.int64)
-        # hash rows to find exact duplicates within this add batch
-        uniq, first, inverse = np.unique(
-            x.view([("", x.dtype)] * x.shape[1]).reshape(-1),
-            return_index=True, return_inverse=True)
-        keep = np.sort(first)
-        kept_ids = ids[keep]
-        for row, inv in enumerate(inverse.reshape(-1)):
-            f = int(first[inv])
-            if row != f:
-                self._dup.setdefault(int(ids[f]), []).append(int(ids[row]))
-        super().add(x[keep], ids=kept_ids)
+        keep_rows, kept_ids = [], []
+        for row in range(x.shape[0]):
+            sig = x[row].tobytes()
+            kept = self._sig.get(sig)
+            if kept is None:
+                self._sig[sig] = int(ids[row])
+                keep_rows.append(row)
+                kept_ids.append(int(ids[row]))
+            else:
+                self._dup.setdefault(kept, []).append(int(ids[row]))
+        if keep_rows:
+            super().add(x[keep_rows],
+                        ids=np.asarray(kept_ids, np.int64))
+
+    def reset(self) -> None:
+        super().reset()
+        # stale duplicate maps would inject phantom ids after re-adds
+        self._dup = {}
+        self._sig = {}
 
     def search(self, q: np.ndarray, k: int, nprobe: int | None = None):
         vals, ids = super().search(q, k, nprobe=nprobe)

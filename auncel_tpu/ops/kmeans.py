@@ -94,7 +94,12 @@ def _update(x, assign, k, spherical, starve_threshold=0.0):
     is_empty = counts <= starve_threshold
     donor_order = jnp.argsort(-counts)            # largest first
     empty_rank = jnp.cumsum(is_empty.astype(jnp.int32)) - 1  # rank among empties
-    donor = donor_order[jnp.clip(empty_rank, 0, k - 1)]
+    # donors must be NON-empty: when empties outnumber donors (k >> n),
+    # ranks past the non-empty prefix would draw empty donors whose mean
+    # is the origin, freezing those centroids at 0 forever — cycle
+    # through the real clusters instead
+    n_donors = jnp.maximum(jnp.sum(~is_empty), 1)
+    donor = donor_order[jnp.clip(empty_rank, 0, k - 1) % n_donors]
     sign = jnp.where(jnp.arange(d) % 2 == 0, 1.0, -1.0)[None, :]
     stolen = centroids[donor] * (1.0 + eps * sign)
     centroids = jnp.where(is_empty[:, None], stolen, centroids)

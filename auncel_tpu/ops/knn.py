@@ -69,12 +69,14 @@ def knn(
     metric: Metric = Metric.L2,
     q_block: int = 1024,
     db_block: int = 65536,
+    y_sqnorms: np.ndarray | None = None,
 ) -> KnnResult:
     """Exact k nearest neighbors of each query in the corpus.
 
     Host-facing: accepts numpy or jax arrays, returns numpy. The corpus is
     placed on device once; queries stream through in blocks.
-    """
+    ``y_sqnorms`` overrides the corpus norm term (the base-shift trick
+    folds per-row additive shifts into it)."""
     metric = Metric.parse(metric)
     queries = np.asarray(queries, np.float32)
     corpus = np.asarray(corpus, np.float32)
@@ -85,7 +87,11 @@ def knn(
     db_block = min(db_block, max(512, nb))
     nb_pad = ((nb + db_block - 1) // db_block) * db_block
     db = jnp.asarray(_pad_rows(corpus, nb_pad))
-    db_sq = sqnorms(db)
+    if y_sqnorms is None:
+        db_sq = sqnorms(db)
+    else:
+        db_sq = jnp.asarray(_pad_rows(
+            np.asarray(y_sqnorms, np.float32), nb_pad))
 
     out_vals = np.empty((nq, k), np.float32)
     out_ids = np.empty((nq, k), np.int32)
@@ -113,17 +119,9 @@ def knn_l2sqr_base_shift(queries: np.ndarray, corpus: np.ndarray, k: int,
     # q_sq + y_sq - 2qy, so adding shift[i] to y_sq[i] adds it to every
     # distance involving row i — exactly the reference semantics.
     corpus = np.asarray(corpus, np.float32)
-    queries = np.asarray(queries, np.float32)
-    nq, d = queries.shape
-    nb = corpus.shape[0]
-    db = jnp.asarray(corpus)
-    db_sq = sqnorms(db) + jnp.asarray(np.asarray(base_shift, np.float32))
-    q = jnp.asarray(queries)
-    q_sq = sqnorms(q)
-    dots = jnp.einsum("qd,nd->qn", q, db,
-                      preferred_element_type=jnp.float32,
-                      precision=jax.lax.Precision.HIGHEST)
-    scores = q_sq[:, None] + db_sq[None, :] - 2.0 * dots
-    ids = jax.lax.broadcasted_iota(jnp.int32, scores.shape, 1)
-    vals, out_ids = topk_scores(scores, ids, k, Metric.L2)
-    return KnnResult(np.asarray(vals), np.asarray(out_ids))
+    shifted = (np.asarray(sqnorms(jnp.asarray(corpus)))
+               + np.asarray(base_shift, np.float32))
+    # reuse the blocked MXU driver (a one-shot [nq, nb] score matrix OOMs
+    # at corpus scale); the shift rides the y_sqnorms override
+    return knn(queries, corpus, k, Metric.L2, q_block=q_block,
+               y_sqnorms=shifted)

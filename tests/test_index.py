@@ -162,3 +162,71 @@ def test_full_scan_ragged_nlist():
     v, i = idx.exact_search(xb[:8], 5)
     gt = knn(xb[:8], xb, 5, Metric.L2)
     assert np.array_equal(i, gt.ids.astype(np.int64))
+
+
+def test_dedup_across_batches_and_reset():
+    """Regression: dedup must hold ACROSS add batches (reference checks
+    stored lists) and reset must clear the duplicate maps."""
+    import numpy as np
+    from auncel_tpu.index.ivf import IVFFlatDedupIndex
+    rng = np.random.RandomState(0)
+    xb = rng.randn(200, 8).astype(np.float32)
+    idx = IVFFlatDedupIndex(8, 4)
+    idx.train(xb)
+    idx.add(xb[:1])
+    idx.add(xb[:1])          # same vector, second batch
+    assert idx.ntotal == 1   # stored once
+    v, i = idx.search(xb[:1], 2, nprobe=4)
+    assert set(i[0].tolist()) == {0, 1}      # expanded duplicate id
+    idx.reset()
+    idx.add(xb[:5])
+    v, i = idx.search(xb[:1], 2, nprobe=4)
+    assert 1 not in idx._dup and i[0, 0] == 0
+
+
+def test_int64_id_guard():
+    import numpy as np
+    import pytest
+    from auncel_tpu.index.ivf import IVFFlatIndex
+    rng = np.random.RandomState(0)
+    xb = rng.randn(100, 8).astype(np.float32)
+    idx = IVFFlatIndex(8, 4)
+    idx.train(xb)
+    with pytest.raises(ValueError, match="int32"):
+        idx.add(xb[:1], ids=np.array([2 ** 31], np.int64))
+
+
+def test_sq_range_override_roundtrip(tmp_path):
+    """Regression: SQ save/load must reuse the saved affine range so
+    codes (and therefore distances) round-trip exactly even with
+    rangestat margins wider than the data."""
+    import numpy as np
+    from auncel_tpu.index.ivf import IVFFlatIndex
+    from auncel_tpu.index.io import save_index, load_index
+    rng = np.random.RandomState(5)
+    xb = rng.randn(1000, 8).astype(np.float32)
+    idx = IVFFlatIndex(8, 4, storage="sq8", sq_rangestat="minmax",
+                       sq_rangestat_arg=0.1)
+    idx.train(xb)
+    idx.add(xb)
+    v0, i0 = idx.search(xb[:8], 5, nprobe=4)
+    p = str(tmp_path / "sq.npz")
+    save_index(idx, p)
+    back = load_index(p)
+    v1, i1 = back.search(xb[:8], 5, nprobe=4)
+    np.testing.assert_array_equal(i0, i1)
+    np.testing.assert_array_equal(v0, v1)
+    np.testing.assert_array_equal(np.asarray(back.arrays.db),
+                                  np.asarray(idx.arrays.db))
+
+
+def test_kmeans_more_clusters_than_points():
+    import numpy as np
+    from auncel_tpu.ops.kmeans import kmeans, KmeansParams
+    rng = np.random.RandomState(1)
+    x = rng.randn(50, 8).astype(np.float32) + 3.0
+    res = kmeans(x, 128, KmeansParams(niter=5))
+    # empty clusters steal perturbed copies of REAL clusters — none may
+    # collapse to the origin (the old donor pick drew empty donors)
+    norms = np.linalg.norm(res.centroids, axis=1)
+    assert (norms > 0.5).all(), norms.min()
