@@ -12,6 +12,7 @@
 
 #define PY_SSIZE_T_CLEAN
 #include <Python.h>
+#include <pthread.h>
 #include <string.h>
 #include <stdio.h>
 #include <stdlib.h>
@@ -30,7 +31,9 @@ static void set_error_from_python(void) {
       snprintf(last_error, sizeof(last_error), "%s", PyUnicode_AsUTF8(s));
       Py_DECREF(s);
     }
-  } else {
+  } else if (!last_error[0]) {
+    /* no pending exception: keep any manual message already in
+     * last_error (np_to_buf writes precise size-mismatch text) */
     snprintf(last_error, sizeof(last_error), "unknown python error");
   }
   Py_XDECREF(type); Py_XDECREF(value); Py_XDECREF(tb);
@@ -40,11 +43,18 @@ const char *auncel_last_error(void) { return last_error; }
 
 /* one embedded interpreter; numpy + auncel_tpu imported lazily */
 static PyObject *g_np = NULL, *g_at = NULL;
+static pthread_mutex_t g_init_lock = PTHREAD_MUTEX_INITIALIZER;
 
 static int ensure_runtime(void) {
-  if (g_at) return 0;
+  /* serialized: the g_at fast path alone is a data race, and the
+   * header promises concurrent (not parallel) calls are safe */
+  pthread_mutex_lock(&g_init_lock);
+  if (g_at) { pthread_mutex_unlock(&g_init_lock); return 0; }
   if (!Py_IsInitialized()) {
     Py_InitializeEx(0);
+    /* Py_InitializeEx leaves this thread owning the GIL; hand it back
+     * so OTHER threads' PyGILState_Ensure can ever succeed */
+    PyEval_SaveThread();
   }
   PyGILState_STATE st = PyGILState_Ensure();
   /* AUNCEL_C_PLATFORM=cpu pins the JAX backend (the axon sitecustomize
@@ -66,21 +76,37 @@ static int ensure_runtime(void) {
       "    if _p and _p not in sys.path:\n"
       "        sys.path.insert(0, _p)\n");
   g_np = PyImport_ImportModule("numpy");
-  if (!g_np) { set_error_from_python(); PyGILState_Release(st); return -1; }
+  if (!g_np) {
+    set_error_from_python();
+    PyGILState_Release(st);
+    pthread_mutex_unlock(&g_init_lock);
+    return -1;
+  }
   g_at = PyImport_ImportModule("auncel_tpu");
-  if (!g_at) { set_error_from_python(); PyGILState_Release(st); return -1; }
+  if (!g_at) {
+    set_error_from_python();
+    PyGILState_Release(st);
+    pthread_mutex_unlock(&g_init_lock);
+    return -1;
+  }
   PyGILState_Release(st);
+  pthread_mutex_unlock(&g_init_lock);
   return 0;
 }
 
-/* float32 [n, d] numpy array viewing (copying) a C buffer */
+/* float32 [n, d] numpy array COPYING a C buffer (frombuffer alone is
+ * zero-copy and ErrorSys.set_queries retains the array beyond the C
+ * call — the caller is free to free() its buffer after we return) */
 static PyObject *np_from_f32(const float *x, int64_t n, int64_t d) {
   PyObject *mv = PyMemoryView_FromMemory(
       (char *)x, (Py_ssize_t)(n * d * 4), PyBUF_READ);
   if (!mv) return NULL;
-  PyObject *arr = PyObject_CallMethod(
+  PyObject *view = PyObject_CallMethod(
       g_np, "frombuffer", "Os", mv, "float32");
   Py_DECREF(mv);
+  if (!view) return NULL;
+  PyObject *arr = PyObject_CallMethod(view, "copy", NULL);
+  Py_DECREF(view);
   if (!arr) return NULL;
   PyObject *shaped = PyObject_CallMethod(arr, "reshape", "(LL)",
                                          (long long)n, (long long)d);
@@ -138,15 +164,26 @@ static int call_with_array(PyObject *obj, const char *method,
   return 0;
 }
 
-int auncel_index_train(auncel_index_t *idx, int64_t n, const float *x) {
+static long index_dim(auncel_index_t *idx) {
+  /* attribute access needs the GIL like every other interpreter call */
+  PyGILState_STATE st = PyGILState_Ensure();
+  long d = -1;
   PyObject *dobj = PyObject_GetAttrString(idx->obj, "d");
-  long d = PyLong_AsLong(dobj); Py_DECREF(dobj);
+  if (dobj) { d = PyLong_AsLong(dobj); Py_DECREF(dobj); }
+  else set_error_from_python();
+  PyGILState_Release(st);
+  return d;
+}
+
+int auncel_index_train(auncel_index_t *idx, int64_t n, const float *x) {
+  long d = index_dim(idx);
+  if (d < 0) return -1;
   return call_with_array(idx->obj, "train", x, n, d);
 }
 
 int auncel_index_add(auncel_index_t *idx, int64_t n, const float *x) {
-  PyObject *dobj = PyObject_GetAttrString(idx->obj, "d");
-  long d = PyLong_AsLong(dobj); Py_DECREF(dobj);
+  long d = index_dim(idx);
+  if (d < 0) return -1;
   return call_with_array(idx->obj, "add", x, n, d);
 }
 

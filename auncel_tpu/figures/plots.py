@@ -135,10 +135,7 @@ def calib_margin(log_path: str, out_png: str, target: float = 0.9):
     (Calib_margin_<db>.log rows: samples safety multipler min_recall
     mean_scan). The reference's hyperparameter.txt hand-tuning is the
     manual version of this sweep."""
-    import matplotlib
-    matplotlib.use("Agg")
-    import matplotlib.pyplot as plt
-    rows = np.loadtxt(log_path)
+    rows = np.loadtxt(log_path, ndmin=2)
     fig, ax = plt.subplots(1, 2, figsize=(9, 3.2))
     for s in np.unique(rows[:, 0]):
         sel = rows[rows[:, 0] == s]

@@ -10,21 +10,28 @@ import numpy as np
 _DIR = os.path.dirname(os.path.abspath(__file__))
 _LIB_PATH = os.path.join(_DIR, "libauncel_native.so")
 _lib = None
+_load_failed = False   # tri-state: None+False = untried
 
 
 def _try_load():
-    global _lib
+    global _lib, _load_failed
     if _lib is not None:
         return _lib
+    if _load_failed:
+        # remember failure: re-running `make` (up to its 120 s timeout)
+        # on EVERY call would tax each numpy-fallback code path
+        return None
     if not os.path.exists(_LIB_PATH):
         try:
             subprocess.run(["make", "-C", _DIR, "-s"], check=True,
                            capture_output=True, timeout=120)
         except Exception:
+            _load_failed = True
             return None
     try:
         lib = ctypes.CDLL(_LIB_PATH)
     except OSError:
+        _load_failed = True
         return None
     lib.vecs_strip_headers.restype = ctypes.c_int
     lib.vecs_strip_headers.argtypes = [

@@ -45,6 +45,7 @@ int vecs_strip_headers(const int32_t* src, int64_t n, int64_t d,
 void kway_merge_topk(const float* vals, const int64_t* ids, int64_t S,
                      int64_t B, int64_t k, int lower_is_better,
                      float* out_vals, int64_t* out_ids) {
+  if (S <= 0 || B <= 0 || k <= 0) return;  // public ABI: guard, don't UB
 #pragma omp parallel for
   for (int64_t b = 0; b < B; b++) {
     // cursor per shard
@@ -80,7 +81,11 @@ void pack_lists(const float* x, const int64_t* vid, const int64_t* order,
 #pragma omp parallel for schedule(dynamic, 8)
   for (int64_t l = 0; l < nlist; l++) {
     int64_t s = starts[l], e = starts[l + 1];
-    for (int64_t j = 0; j < e - s; j++) {
+    // clamp to the list capacity: a span beyond cap would memcpy into
+    // the NEXT list's slice (and past the buffer on the last list)
+    int64_t n_l = e - s;
+    if (n_l > cap) n_l = cap;
+    for (int64_t j = 0; j < n_l; j++) {
       int64_t v = order[s + j];
       std::memcpy(db + (l * cap + j) * d, x + v * d, d * sizeof(float));
       out_ids[l * cap + j] = (int32_t)vid[v];

@@ -8,9 +8,9 @@ below are the reference repo's shipped calibration data (config constants,
 reproduced as data for experiment parity).
 
 multipler scales the decided probe count (my_nprobe = stage * multipler);
-std_m scales the conservative +std offset in the phi->U lookup. This module
-also provides ``auto_calibrate`` — an improvement over the reference, which
-tunes these by hand.
+std_m scales the conservative +std offset in the phi->U lookup. Automatic
+tuning of these lives in ``ErrorSys.calibrate`` (error_sys.py) — an
+improvement over the reference, which tunes them by hand.
 """
 
 # figure id (1-based) -> (multipler, std_m); reference hyperparameter.txt:1-12
