@@ -62,10 +62,46 @@ def log(msg):
 T0 = time.time()
 
 
+def _backend_ping(q):
+    """Subprocess probe: report jax.devices() or the init error (module
+    level so multiprocessing 'spawn' can pickle it)."""
+    try:
+        import jax as _j
+        q.put(str(_j.devices()))
+    except Exception as e:  # noqa: BLE001
+        q.put(f"ERROR: {e}")
+
+
 def main():
     import os
     import auncel_tpu as at
     from auncel_tpu.data import make_clustered_dataset
+
+    # Preflight: surface an axon-tunnel outage as a fast, explicit error
+    # instead of hanging for many minutes inside the first dispatch
+    # (backend init retries silently; measured outages last hours).
+    log("preflight: checking the device backend")
+    import multiprocessing as _mp
+    _q = _mp.get_context("spawn").Queue()
+    _p = _mp.get_context("spawn").Process(target=_backend_ping, args=(_q,))
+    _p.start()
+    _p.join(timeout=180)
+    if _p.is_alive():
+        _p.terminate()
+        _p.join()
+        print(json.dumps(dict(
+            metric="bounded_search_qps", value=0.0, unit="qps",
+            vs_baseline=0.0,
+            error="device backend unreachable (axon tunnel down?): "
+                  "jax.devices() hung >180s")), flush=True)
+        sys.exit(1)
+    got = _q.get() if not _q.empty() else "ERROR: no backend reply"
+    if got.startswith("ERROR"):
+        print(json.dumps(dict(
+            metric="bounded_search_qps", value=0.0, unit="qps",
+            vs_baseline=0.0, error=got)), flush=True)
+        sys.exit(1)
+    log(f"preflight ok: {got}")
 
     cache_dir = os.environ.get("BENCH_CACHE", ".bench_cache")
     os.makedirs(cache_dir, exist_ok=True)
