@@ -141,8 +141,8 @@ def _range_scan_all(arrays, qd, q_sq, cids, nprobe, metric):
                 dots = jnp.einsum("bpcd,bpd->bpc", sub, qc,
                                   preferred_element_type=jnp.float32,
                                   precision=jax.lax.Precision.HIGHEST)
-                sc = (jnp.sum(jnp.square(qc), -1)[:, :, None]
-                      + sub_sq - 2.0 * dots)
+                sc = jnp.maximum(jnp.sum(jnp.square(qc), -1)[:, :, None]
+                                 + sub_sq - 2.0 * dots, 0.0)
             else:
                 qcl = jnp.einsum("bpd,bd->bp", cl, qd,
                                  preferred_element_type=jnp.float32,
@@ -156,7 +156,8 @@ def _range_scan_all(arrays, qd, q_sq, cids, nprobe, metric):
                               preferred_element_type=jnp.float32,
                               precision=jax.lax.Precision.HIGHEST)
             if metric is Metric.L2:
-                sc = q_sq[:, None, None] + sub_sq - 2.0 * dots
+                sc = jnp.maximum(
+                    q_sq[:, None, None] + sub_sq - 2.0 * dots, 0.0)
             else:
                 sc = dots
         sub_ids = jnp.where(ok[None, :, None], sub_ids, -1)

@@ -47,3 +47,30 @@ class Index(abc.ABC):
     def reconstruct_n(self, i0: int, n: int) -> "np.ndarray":
         import numpy as _np
         return _np.stack([self.reconstruct(i) for i in range(i0, i0 + n)])
+
+    def reconstruct_batch(self, keys: "np.ndarray") -> "np.ndarray":
+        """Vectors for an arbitrary id array (negative keys -> zeros).
+        Index families with a packed id layout override this with one
+        batched gather; the fallback loops ``reconstruct``."""
+        import numpy as _np
+        keys = _np.asarray(keys, _np.int64).reshape(-1)
+        out = _np.zeros((keys.size, self.d), _np.float32)
+        uniq = _np.unique(keys[keys >= 0])
+        lut = {int(i): self.reconstruct(int(i)) for i in uniq}
+        for j, kk in enumerate(keys):
+            if kk >= 0:
+                out[j] = lut[int(kk)]
+        return out
+
+    def search_and_reconstruct(
+            self, q: "np.ndarray", k: int, **kwargs
+    ) -> tuple["np.ndarray", "np.ndarray", "np.ndarray"]:
+        """Search plus the stored (codec-decoded) vector of every result
+        (reference ``Index::search_and_reconstruct``, Index.cpp — the
+        tests/test_index.py:295 contract: D/I identical to ``search``,
+        R[i, j] == reconstruct(I[i, j])). Missing slots (id == -1)
+        reconstruct to zero vectors."""
+        import numpy as _np
+        D, I = self.search(q, k, **kwargs)
+        R = self.reconstruct_batch(_np.asarray(I).reshape(-1))
+        return D, I, R.reshape(I.shape[0], I.shape[1], -1)

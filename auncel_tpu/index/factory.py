@@ -90,12 +90,13 @@ def index_factory(d: int, description: str,
         # standalone PQ index (AutoTune.cpp:906-918 "PQ%d" cell)
         from auncel_tpu.index.pq_index import IndexPQ
         index = IndexPQ(cur_d, M=int(desc[2:]), metric=metric)
-    elif desc in ("SQ8", "SQ4", "SQfp16", "SQbf16"):
+    elif desc in ("SQ8", "SQ4", "SQ6", "SQfp16", "SQbf16"):
         # standalone scalar-quantized flat index (the reference's
         # "SQ8"/"SQ4"/"SQfp16" cells -> IndexScalarQuantizer,
-        # AutoTune.cpp factory; fp16 maps to the TPU-native bf16)
+        # AutoTune.cpp factory; fp16 maps to the TPU-native bf16; SQ6 is
+        # the QT_6bit codec, IndexScalarQuantizer.h:41)
         from auncel_tpu.index.flat import IndexScalarQuantizer
-        qt = {"SQ8": "sq8", "SQ4": "sq4",
+        qt = {"SQ8": "sq8", "SQ4": "sq4", "SQ6": "sq6",
               "SQfp16": "bf16", "SQbf16": "bf16"}[desc]
         index = IndexScalarQuantizer(cur_d, qtype=qt, metric=metric)
     elif re.fullmatch(r"LSH(\d+)?(r)?(t)?", desc):
@@ -144,6 +145,9 @@ def index_factory(d: int, description: str,
                                  coarse=coarse)
         elif cell == "SQ4":
             index = IVFFlatIndex(cur_d, nlist, metric, storage="sq4",
+                                 coarse=coarse)
+        elif cell == "SQ6":
+            index = IVFFlatIndex(cur_d, nlist, metric, storage="sq6",
                                  coarse=coarse)
         elif cell in ("SQfp16", "SQbf16"):
             # bf16 is the TPU-native half type; stands in for the

@@ -55,6 +55,12 @@ class FlatIndex(Index):
     def reconstruct_n(self, i0: int, n: int) -> np.ndarray:
         return self._xb[i0:i0 + n].copy()
 
+    def reconstruct_batch(self, keys: np.ndarray) -> np.ndarray:
+        keys = np.asarray(keys, np.int64).reshape(-1)
+        out = self._xb[np.maximum(keys, 0)].copy()
+        out[keys < 0] = 0.0
+        return out
+
 
 class IndexRefineFlat(Index):
     """Re-rank a base index's shortlist with exact distances over raw
@@ -202,6 +208,46 @@ class IndexFlat1D(Index):
         self._sorted = False
 
 
+def sq_levels(qtype: str) -> float:
+    """Code levels per scalar-quantizer type (reference ScalarQuantizer
+    QT_* families, IndexScalarQuantizer.h:34-41): sq8* -> 255, sq6 -> 63,
+    sq4* -> 15."""
+    if qtype.startswith("sq8"):
+        return 255.0
+    if qtype.startswith("sq6"):
+        return 63.0
+    return 15.0
+
+
+def sq_code_width(d: int, qtype: str) -> int:
+    """Packed byte width per vector: sq4 = d/2, sq6 = 3d/4, else d."""
+    if qtype.startswith("sq4"):
+        assert d % 2 == 0, "SQ4 needs an even dimension"
+        return d // 2
+    if qtype.startswith("sq6"):
+        assert d % 4 == 0, "SQ6 needs d % 4 == 0"
+        return d * 3 // 4
+    return d
+
+
+def sq_pack(codes: np.ndarray, qtype: str) -> np.ndarray:
+    """uint8 per-dimension codes [n, d] -> packed storage bytes.
+    sq4: two dims per byte (low nibble first). sq6: four dims per three
+    bytes, little-endian 24-bit group (the reference's QT_6bit bit
+    packing in spirit; the layout only needs to round-trip through
+    ``IVFArrays.decode_block``, which implements the inverse)."""
+    if qtype.startswith("sq4"):
+        return codes[:, 0::2] | (codes[:, 1::2] << 4)
+    if qtype.startswith("sq6"):
+        d = codes.shape[1]
+        g = codes.reshape(-1, d // 4, 4).astype(np.uint32)
+        w = g[..., 0] | (g[..., 1] << 6) | (g[..., 2] << 12) \
+            | (g[..., 3] << 18)
+        out = np.stack([w & 255, (w >> 8) & 255, (w >> 16) & 255], -1)
+        return out.reshape(-1, d // 4 * 3).astype(np.uint8)
+    return codes
+
+
 def sq_train_range(x: np.ndarray, qtype: str, rangestat: str = "minmax",
                    rangestat_arg: float = 0.0):
     """Affine SQ range from a training set -> (vmin [d], scale [d]) f32.
@@ -215,7 +261,7 @@ def sq_train_range(x: np.ndarray, qtype: str, rangestat: str = "minmax",
     assert rangestat in ("minmax", "meanstd", "quantiles"), rangestat
     x = np.asarray(x, np.float32)
     d = x.shape[1]
-    levels = 255.0 if qtype.startswith("sq8") else 15.0
+    levels = sq_levels(qtype)
     xs = x.reshape(-1, 1) if qtype.endswith("u") else x
     rs = float(rangestat_arg)
     if rangestat == "meanstd":
@@ -250,7 +296,10 @@ class IndexScalarQuantizer(Index):
     "sq8"/"sq4" (per-dim affine, trained min/max like the IVF storage
     path), "sq8u"/"sq4u" (ONE shared range for all dimensions — the
     reference's QT_8bit_uniform / QT_4bit_uniform,
-    IndexScalarQuantizer.h:37-38) or "bf16" (the reference's QT_fp16
+    IndexScalarQuantizer.h:37-38), "sq6" (QT_6bit: 64 levels packed four
+    dims per three bytes, IndexScalarQuantizer.h:41), "sq8d" (QT_8bit_direct:
+    codes ARE the uint8 values, decode is the identity affine —
+    IndexScalarQuantizer.h:40) or "bf16" (the reference's QT_fp16
     capability in the TPU-native 16-bit float format)."""
 
     position_keyed_ids = True
@@ -259,9 +308,9 @@ class IndexScalarQuantizer(Index):
     def __init__(self, d: int, qtype: str = "sq8",
                  metric: Metric = Metric.L2,
                  rangestat: str = "minmax", rangestat_arg: float = 0.0):
-        assert qtype in ("sq8", "sq4", "sq8u", "sq4u", "bf16"), qtype
-        if qtype.startswith("sq4"):
-            assert d % 2 == 0, "SQ4 needs an even dimension"
+        assert qtype in ("sq8", "sq4", "sq8u", "sq4u", "sq6", "sq8d",
+                         "bf16"), qtype
+        sq_code_width(d, qtype)  # validates the d divisibility constraint
         # range-training statistic (reference ScalarQuantizer::RangeStat,
         # IndexScalarQuantizer.h:51-56): "minmax" = [min-rs*(max-min),
         # max+rs*(max-min)], "meanstd" = [mean-rs*std, mean+rs*std],
@@ -274,9 +323,12 @@ class IndexScalarQuantizer(Index):
         self.d = d
         self.qtype = qtype
         self.metric = Metric.parse(metric)
-        self.is_trained = qtype == "bf16"  # bf16 is training-free
-        self._scale: np.ndarray | None = None
-        self._vmin: np.ndarray | None = None
+        # bf16 and 8bit_direct are training-free (direct: identity affine)
+        self.is_trained = qtype in ("bf16", "sq8d")
+        self._scale: np.ndarray | None = (
+            np.ones(d, np.float32) if qtype == "sq8d" else None)
+        self._vmin: np.ndarray | None = (
+            np.zeros(d, np.float32) if qtype == "sq8d" else None)
         self._codes = None                 # host [n, d_code]
         self._arrays = None
 
@@ -287,7 +339,7 @@ class IndexScalarQuantizer(Index):
     def train(self, x: np.ndarray) -> None:
         """Per-dimension affine range from the training set (the
         reference's ScalarQuantizer::train RangeStat semantics)."""
-        if self.qtype == "bf16":
+        if self.qtype in ("bf16", "sq8d"):
             return
         self._vmin, self._scale = sq_train_range(
             x, self.qtype, self.rangestat, self.rangestat_arg)
@@ -297,12 +349,9 @@ class IndexScalarQuantizer(Index):
         if self.qtype == "bf16":
             import jax.numpy as jnp
             return np.asarray(jnp.asarray(x).astype(jnp.bfloat16))
-        levels = 255.0 if self.qtype.startswith("sq8") else 15.0
         codes = np.clip(np.rint((x - self._vmin) / self._scale), 0,
-                        levels).astype(np.uint8)
-        if self.qtype.startswith("sq4"):
-            codes = codes[:, 0::2] | (codes[:, 1::2] << 4)
-        return codes
+                        sq_levels(self.qtype)).astype(np.uint8)
+        return sq_pack(codes, self.qtype)
 
     def add(self, x: np.ndarray, ids=None) -> None:
         assert ids is None, "IndexScalarQuantizer stores sequential ids"
@@ -323,8 +372,8 @@ class IndexScalarQuantizer(Index):
         rc = self.ROW_CAP
         n_rows = max(-(-n // rc), 1)
         n_rows = ((n_rows + 7) // 8) * 8   # full scan chunks rows by 8
-        d_code = self._codes.shape[1] if n else (
-            self.d // 2 if self.qtype.startswith("sq4") else self.d)
+        d_code = self._codes.shape[1] if n else sq_code_width(
+            self.d, self.qtype)
         dt = self._codes.dtype if n else np.uint8
         codes = np.zeros((n_rows * rc, d_code), dt)
         if n:

@@ -60,8 +60,9 @@ def _block_dist(q, blocks, metric: Metric):
                       preferred_element_type=jnp.float32,
                       precision=jax.lax.Precision.HIGHEST)
     if metric is Metric.L2:
-        return (jnp.sum(jnp.square(q), -1)[:, None]
-                + jnp.sum(jnp.square(blocks), -1) - 2.0 * dots)
+        return jnp.maximum(jnp.sum(jnp.square(q), -1)[:, None]
+                           + jnp.sum(jnp.square(blocks), -1) - 2.0 * dots,
+                           0.0)
     return dots
 
 

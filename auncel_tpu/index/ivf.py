@@ -27,6 +27,10 @@ from auncel_tpu.index.scan import IVFArrays, ivf_search_fixed, coarse_rank
 from auncel_tpu.ops.kmeans import kmeans, KmeansParams
 from auncel_tpu.ops.distance import pairwise_l2sqr, pairwise_ip, sqnorms
 
+# scalar-quantized storage codecs (reference ScalarQuantizer QT_* families,
+# IndexScalarQuantizer.h:34-41; "u" = uniform/shared range, "d" = direct)
+SQ_STORAGE = ("sq8", "sq4", "sq8u", "sq4u", "sq6", "sq8d")
+
 
 def _round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
@@ -63,12 +67,6 @@ def _scatter_pack(xd, list_idx, slot_idx, nlist, cap, dtype):
     db = db.at[list_idx, slot_idx].set(xd.astype(dtype))
     db_sq = jnp.sum(jnp.square(db.astype(jnp.float32)), axis=-1)
     return db, db_sq
-
-
-@jax.jit
-def _sq_norms(db_codes, scale, bias):
-    dec = db_codes.astype(jnp.float32) * scale + bias
-    return jnp.sum(jnp.square(dec), axis=-1)
 
 
 def compute_interdis(centroids: np.ndarray, metric: Metric) -> np.ndarray:
@@ -109,7 +107,9 @@ class IVFFlatIndex(Index):
         scalar quantization, the reference's IndexIVFScalarQuantizer
         capability, SURVEY.md §2 #17), "sq8u"/"sq4u" (one range shared by
         all dimensions — QT_8bit_uniform / QT_4bit_uniform,
-        IndexScalarQuantizer.h:37-38), or "pqM" (product quantization,
+        IndexScalarQuantizer.h:37-38), "sq6" (QT_6bit, 64 levels packed
+        4 dims / 3 bytes), "sq8d" (QT_8bit_direct: identity affine,
+        training-free), or "pqM" (product quantization,
         #16). All distances are computed on decoded values. Caveat measured
         on the 1M benchmark: bf16's ~0.4% rounding noise can dominate
         neighbor ordering when clusters are tight relative to coordinate
@@ -261,12 +261,18 @@ class IVFFlatIndex(Index):
             if n_pad != n:
                 x = np.concatenate(
                     [x, np.broadcast_to(x[:1], (n_pad - n, self.d))])
-            if self.storage in ("sq8", "sq4", "sq8u", "sq4u"):
-                from auncel_tpu.index.flat import sq_train_range
-                levels = 255.0 if self.storage.startswith("sq8") else 15.0
+            if self.storage in SQ_STORAGE:
+                from auncel_tpu.index.flat import (
+                    sq_train_range, sq_levels, sq_pack, sq_code_width)
+                sq_code_width(self.d, self.storage)  # d divisibility check
                 if self._sq_range_override is not None:
                     # exact-code reload: reuse the saved affine range
                     vmin, scale = self._sq_range_override
+                elif self.storage == "sq8d":
+                    # QT_8bit_direct (IndexScalarQuantizer.h:40): codes ARE
+                    # the byte values, identity affine, nothing to train
+                    vmin = np.zeros(self.d, np.float32)
+                    scale = np.ones(self.d, np.float32)
                 else:
                     # range statistics on the REAL rows only — x is
                     # block-padded with copies of x[0] above, which would
@@ -275,15 +281,10 @@ class IVFFlatIndex(Index):
                                                  self.sq_rangestat,
                                                  self.sq_rangestat_arg)
                 codes = np.clip(np.rint((x - vmin) / scale), 0,
-                                levels).astype(np.uint8)
+                                sq_levels(self.storage)).astype(np.uint8)
                 sq_scale = jnp.asarray(scale)
                 sq_bias = jnp.asarray(vmin.astype(np.float32))
-                if self.storage.startswith("sq4"):
-                    assert self.d % 2 == 0, "SQ4 needs an even dimension"
-                    packed = (codes[:, 0::2] | (codes[:, 1::2] << 4))
-                    codes_d = jnp.asarray(packed)
-                else:
-                    codes_d = jnp.asarray(codes)
+                codes_d = jnp.asarray(sq_pack(codes, self.storage))
                 # decoded values drive assignment/geometry for consistency
                 xd = (jnp.asarray(codes).astype(jnp.float32) * sq_scale
                       + sq_bias)
@@ -348,23 +349,17 @@ class IVFFlatIndex(Index):
             starts[:-1], sizes)
         vec_ids = np.full((self.nlist, cap), -1, np.int32)
         vec_ids[assign, slot] = vid.astype(np.int32)
-        if n and self.storage in ("sq8", "sq4", "sq8u", "sq4u"):
+        if n and self.storage in SQ_STORAGE:
+            from auncel_tpu.index.scan import sq_decode_dev
             li = jnp.asarray(assign.astype(np.int32))
             si = jnp.asarray(slot.astype(np.int32))
             db_dev, _ = _scatter_pack(codes_d, li, si, self.nlist, cap,
                                       jnp.uint8)
-            if self.storage.startswith("sq4"):
-                lo = (db_dev & 0xF).astype(jnp.float32)
-                hi = (db_dev >> 4).astype(jnp.float32)
-                dec = jnp.stack([lo, hi], -1).reshape(
-                    db_dev.shape[:-1] + (self.d,)) * sq_scale + sq_bias
-                db_sq = jnp.sum(jnp.square(dec), -1)
-                db_sq = db_sq * (jnp.asarray(vec_ids) >= 0)
-            else:
-                db_sq = _sq_norms(db_dev, sq_scale, sq_bias)
-                # pad slots decode to the bias vector: honor the
-                # "db_sq is 0 at pad" invariant like every other branch
-                db_sq = db_sq * (jnp.asarray(vec_ids) >= 0)
+            dec = sq_decode_dev(db_dev, self.d, sq_scale, sq_bias)
+            db_sq = jnp.sum(jnp.square(dec), -1)
+            # pad slots decode to the bias vector: honor the
+            # "db_sq is 0 at pad" invariant like every other branch
+            db_sq = db_sq * (jnp.asarray(vec_ids) >= 0)
         elif n and self.storage.startswith("pq"):
             from auncel_tpu.ops.pq import train_pq, encode_pq, decode_pq
             M = int(self.storage[2:])
@@ -604,6 +599,16 @@ class IVFFlatIndex(Index):
     def reconstruct_n(self, i0: int, n: int) -> np.ndarray:
         return _ivf_reconstruct(
             self, np.arange(i0, i0 + n, dtype=np.int64))
+
+    def reconstruct_batch(self, keys: np.ndarray) -> np.ndarray:
+        """One mask pass for the whole id array (negative keys -> zeros);
+        backs ``search_and_reconstruct`` without a per-id Python loop."""
+        keys = np.asarray(keys, np.int64).reshape(-1)
+        out = np.zeros((keys.size, self.d), np.float32)
+        valid = keys >= 0
+        if valid.any():
+            out[valid] = _ivf_reconstruct(self, keys[valid])
+        return out
 
     def reset(self) -> None:
         self._pending = []

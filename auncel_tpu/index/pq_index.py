@@ -51,8 +51,9 @@ def _pq_scan(pq_books, codes, q, qcodes, ht, n_real, k, metric, block):
                           preferred_element_type=jnp.float32,
                           precision=jax.lax.Precision.HIGHEST)
         if metric is Metric.L2:
-            scores = (q_sq[:, None] + jnp.sum(jnp.square(rec), -1)[None]
-                      - 2.0 * dots)
+            scores = jnp.maximum(
+                q_sq[:, None] + jnp.sum(jnp.square(rec), -1)[None]
+                - 2.0 * dots, 0.0)
         else:
             scores = dots
         # polysemous filter: Hamming(query code, db code) <= ht

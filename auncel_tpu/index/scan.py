@@ -32,6 +32,27 @@ from auncel_tpu.types import Metric, worst_value
 from auncel_tpu.ops.topk import topk_scores, init_topk
 
 
+def sq_decode_dev(sub: jax.Array, d: int, sq_scale: jax.Array,
+                  sq_bias: jax.Array) -> jax.Array:
+    """Affine SQ decode, dispatched by packed width: d/2 bytes = SQ4 (two
+    dims per byte, low nibble first), 3d/4 bytes = SQ6 (four dims per
+    24-bit little-endian group), d bytes = SQ8/SQ8-direct. The inverse of
+    ``index.flat.sq_pack``; every scan path decodes through here so
+    distances stay value-consistent."""
+    if sub.shape[-1] * 2 == d:
+        lo = (sub & 0xF).astype(jnp.float32)
+        hi = (sub >> 4).astype(jnp.float32)
+        vals = jnp.stack([lo, hi], axis=-1).reshape(sub.shape[:-1] + (d,))
+        return vals * sq_scale + sq_bias
+    if sub.shape[-1] * 4 == d * 3:
+        g = sub.reshape(sub.shape[:-1] + (d // 4, 3)).astype(jnp.int32)
+        w = g[..., 0] | (g[..., 1] << 8) | (g[..., 2] << 16)
+        vals = jnp.stack([(w >> (6 * j)) & 63 for j in range(4)], axis=-1)
+        vals = vals.reshape(sub.shape[:-1] + (d,)).astype(jnp.float32)
+        return vals * sq_scale + sq_bias
+    return sub.astype(jnp.float32) * sq_scale + sq_bias
+
+
 class IVFArrays(NamedTuple):
     """Device-resident IVF-Flat index state (a pytree).
 
@@ -76,13 +97,7 @@ class IVFArrays(NamedTuple):
         search paths share this hook, so distances stay value-consistent
         across partial scans, full scans, and GT generation."""
         if self.sq_scale is not None:
-            if sub.shape[-1] * 2 == self.d:   # SQ4: two dims per byte
-                lo = (sub & 0xF).astype(jnp.float32)
-                hi = (sub >> 4).astype(jnp.float32)
-                vals = jnp.stack([lo, hi], axis=-1).reshape(
-                    sub.shape[:-1] + (self.d,))
-                return vals * self.sq_scale + self.sq_bias
-            return sub.astype(jnp.float32) * self.sq_scale + self.sq_bias
+            return sq_decode_dev(sub, self.d, self.sq_scale, self.sq_bias)
         if self.pq_codebooks is not None:
             from auncel_tpu.ops.pq import decode_pq, PQCodebooks
             return decode_pq(PQCodebooks(self.pq_codebooks), sub)
@@ -199,8 +214,9 @@ def scan_probe_range(
                     "bpcd,bpd->bpc", sub, qc,
                     preferred_element_type=jnp.float32,
                     precision=jax.lax.Precision.HIGHEST)
-                scores = (jnp.sum(jnp.square(qc), -1)[:, :, None]
-                          + sub_sq - 2.0 * dots)
+                scores = jnp.maximum(
+                    jnp.sum(jnp.square(qc), -1)[:, :, None]
+                    + sub_sq - 2.0 * dots, 0.0)
             else:
                 qcl = jnp.einsum("bpd,bd->bp", cl, q,
                                  preferred_element_type=jnp.float32,
@@ -215,7 +231,8 @@ def scan_probe_range(
                 preferred_element_type=jnp.float32,
                 precision=jax.lax.Precision.HIGHEST)
             if metric is Metric.L2:
-                scores = q_sq[:, None, None] + sub_sq - 2.0 * dots
+                scores = jnp.maximum(
+                    q_sq[:, None, None] + sub_sq - 2.0 * dots, 0.0)
             else:
                 scores = dots
         active = ((iks[:, :, None] < limit[:, None, None]) &
@@ -297,8 +314,9 @@ def ivf_full_scan(
                     "pcd,bpd->bpc", blk, qc,
                     preferred_element_type=jnp.float32,
                     precision=jax.lax.Precision.HIGHEST)
-                scores = (jnp.sum(jnp.square(qc), -1)[:, :, None]
-                          + blk_sq[None] - 2.0 * dots)
+                scores = jnp.maximum(
+                    jnp.sum(jnp.square(qc), -1)[:, :, None]
+                    + blk_sq[None] - 2.0 * dots, 0.0)
             else:
                 qcl = jnp.einsum("pd,bd->bp", cl, q,
                                  preferred_element_type=jnp.float32,
@@ -313,7 +331,8 @@ def ivf_full_scan(
                 preferred_element_type=jnp.float32,
                 precision=jax.lax.Precision.HIGHEST)
             if metric is Metric.L2:
-                scores = q_sq[:, None, None] + blk_sq[None] - 2.0 * dots
+                scores = jnp.maximum(
+                    q_sq[:, None, None] + blk_sq[None] - 2.0 * dots, 0.0)
             else:
                 scores = dots
         valid = (blk_ids >= 0)[None]

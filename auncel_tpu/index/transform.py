@@ -26,6 +26,21 @@ class VectorTransform:
     def apply(self, x: np.ndarray) -> np.ndarray:
         raise NotImplementedError
 
+    def reverse(self, xt: np.ndarray) -> np.ndarray:
+        """Inverse map (reference ``VectorTransform::reverse_transform``,
+        VectorTransform.cpp — defined only where the forward map is
+        invertible; orthonormal linear transforms invert by the
+        transpose)."""
+        raise NotImplementedError(
+            f"{type(self).__name__} is not reversible")
+
+
+def _is_orthonormal(mat: np.ndarray, tol: float = 1e-3) -> bool:
+    """Columns orthonormal (reference LinearTransform::set_is_orthonormal
+    checks A A^T == I the same way, VectorTransform.cpp)."""
+    g = mat.T.astype(np.float64) @ mat.astype(np.float64)
+    return bool(np.abs(g - np.eye(mat.shape[1])).max() < tol)
+
 
 class PCAMatrix(VectorTransform):
     """PCA projection d_in -> d_out, optional whitening and random rotation
@@ -62,6 +77,21 @@ class PCAMatrix(VectorTransform):
     def apply(self, x: np.ndarray) -> np.ndarray:
         assert self.is_trained
         return (np.asarray(x, np.float32) - self.mean) @ self.proj
+
+    def reverse(self, xt: np.ndarray) -> np.ndarray:
+        """x ~= xt @ proj^T + mean. Valid only while the projection
+        columns are orthonormal (eigen_power == 0; whitening rescales the
+        basis) — the reference raises through ``reverse_transform`` on a
+        non-orthonormal LinearTransform the same way
+        (tests/test_build_blocks.py:239 contract). For d_out < d_in this
+        is the minimum-norm preimage, exactly like the reference's
+        transposed multiply."""
+        assert self.is_trained
+        if not _is_orthonormal(self.proj):
+            raise NotImplementedError(
+                "PCAMatrix with eigen_power != 0 is not orthonormal; "
+                "reverse is undefined")
+        return np.asarray(xt, np.float32) @ self.proj.T + self.mean
 
 
 class OPQMatrix(VectorTransform):
@@ -101,6 +131,10 @@ class OPQMatrix(VectorTransform):
         assert self.is_trained
         return np.asarray(x, np.float32) @ self.rot
 
+    def reverse(self, xt: np.ndarray) -> np.ndarray:
+        assert self.is_trained
+        return np.asarray(xt, np.float32) @ self.rot.T
+
 
 class RandomRotationMatrix(VectorTransform):
     """Dense random orthonormal rotation (reference RandomRotationMatrix)."""
@@ -113,6 +147,9 @@ class RandomRotationMatrix(VectorTransform):
 
     def apply(self, x: np.ndarray) -> np.ndarray:
         return np.asarray(x, np.float32) @ self.rot
+
+    def reverse(self, xt: np.ndarray) -> np.ndarray:
+        return np.asarray(xt, np.float32) @ self.rot.T
 
 
 class NormalizationTransform(VectorTransform):
@@ -136,9 +173,11 @@ class CenteringTransform(VectorTransform):
     def __init__(self, d: int):
         self.d_in = self.d_out = d
         self.mean: np.ndarray | None = None
+        self.is_trained = False   # needs the mean before apply
 
     def train(self, x: np.ndarray) -> None:
         self.mean = np.asarray(x, np.float32).mean(0)
+        self.is_trained = True
 
     def apply(self, x: np.ndarray) -> np.ndarray:
         assert self.mean is not None, "train before apply"
@@ -228,6 +267,33 @@ class IndexPreTransform(Index):
 
     def search(self, q, k):
         return self.sub.search(self._apply_chain(q), k)
+
+    def _reverse_chain(self, xt):
+        """Undo the chain back to input space (reference
+        IndexPreTransform::reverse_chain, used by its reconstruct)."""
+        for t in reversed(self.transforms):
+            xt = t.reverse(xt)
+        return xt
+
+    def reconstruct(self, key: int) -> np.ndarray:
+        return self._reverse_chain(self.sub.reconstruct(key)[None])[0]
+
+    def reconstruct_n(self, i0: int, n: int) -> np.ndarray:
+        return self._reverse_chain(self.sub.reconstruct_n(i0, n))
+
+    def reconstruct_batch(self, keys: np.ndarray) -> np.ndarray:
+        keys = np.asarray(keys, np.int64).reshape(-1)
+        out = self._reverse_chain(self.sub.reconstruct_batch(keys))
+        out[keys < 0] = 0.0   # reversing can move the zero fill
+        return out.astype(np.float32)
+
+    def search_and_reconstruct(self, q, k, **kwargs):
+        D, I, R = self.sub.search_and_reconstruct(
+            self._apply_chain(q), k, **kwargs)
+        flat = R.reshape(-1, R.shape[-1])
+        rev = self._reverse_chain(flat)
+        rev[np.asarray(I).reshape(-1) < 0] = 0.0
+        return D, I, rev.reshape(I.shape[0], I.shape[1], -1)
 
     def reset(self):
         self.sub.reset()

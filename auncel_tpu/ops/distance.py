@@ -58,7 +58,10 @@ def pairwise_l2sqr(
     xn = sqnorms(x) if x_sqnorms is None else x_sqnorms
     yn = sqnorms(y) if y_sqnorms is None else y_sqnorms
     d = xn[:, None] + yn[None, :] - 2.0 * pairwise_ip(x, y)
-    return d
+    # identical vectors can go epsilon-negative through the expansion;
+    # the reference clamps the same way (utils.cpp:592-595) and EVERY
+    # L2 path here clamps identically, so value consistency holds
+    return jnp.maximum(d, 0.0)
 
 
 def pairwise_scores(

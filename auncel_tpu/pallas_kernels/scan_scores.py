@@ -70,7 +70,8 @@ def _kernel(lists_ref, db_ref, q_ref, out_ref, vmem_db, sems,
                        precision=jax.lax.Precision.HIGHEST)
         norms = jnp.sum(blk * blk, axis=-1)
         if is_l2:
-            scores = qsq + norms - 2.0 * dots
+            # same >= 0 clamp as every XLA L2 path (bit-parity contract)
+            scores = jnp.maximum(qsq + norms - 2.0 * dots, 0.0)
             bad = jnp.inf
         else:
             scores = dots

@@ -54,7 +54,7 @@ def test_id_selectors():
         b.is_member(np.asarray([3, 4, 7, 12])), [True, False, True, False])
 
 
-@pytest.mark.parametrize("storage", ["sq8", "sq4", "bf16", "pq4"])
+@pytest.mark.parametrize("storage", ["sq8", "sq4", "sq6", "bf16", "pq4"])
 def test_remove_ids_quantized_storage(built, storage):
     """remove_ids must decode through the codec (nibble-packed SQ4 and PQ
     codes are NOT vectors; residual PQ needs the list centroid added back)
