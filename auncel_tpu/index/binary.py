@@ -53,6 +53,8 @@ def _hamming_topk(qbits, dbbits, db_pop, k):
 class BinaryFlatIndex(Index):
     """Exact Hamming k-NN (reference IndexBinaryFlat)."""
 
+    position_keyed_ids = True   # sequential ids -> IndexShards translates
+
     def __init__(self, d: int):
         assert d % 8 == 0, "binary dimension must be a multiple of 8 bits"
         self.d = d                       # dimension in BITS
@@ -112,13 +114,20 @@ class BinaryIVFIndex(Index):
     from thresholded k-means on the unpacked bit planes; probe the nprobe
     nearest cells, scan their members exactly."""
 
-    def __init__(self, d: int, nlist: int):
+    position_keyed_ids = True
+
+    def __init__(self, d: int, nlist: int, coarse_hnsw_m: int | None = None):
         assert d % 8 == 0
         self.d = d
         self.nlist = nlist
         self.metric = Metric.L2
         self.is_trained = False
         self.nprobe = 1
+        # BIVF%d_HNSW%d factory cell (AutoTune.cpp:980-985): probe cells
+        # through a binary HNSW over the centroid codes instead of the
+        # exact Hamming rank (approximate coarse quantizer capability)
+        self.coarse_hnsw_m = coarse_hnsw_m
+        self._coarse_g = None
         self.centroid_bits: np.ndarray | None = None  # {0,1} [nlist, d]
         self._codes = np.zeros((0, d // 8), np.uint8)
         self._dev = None
@@ -134,6 +143,7 @@ class BinaryIVFIndex(Index):
                      KmeansParams(niter=10))
         # majority-vote binarization (reference trains float then rounds)
         self.centroid_bits = (res.centroids > 0.5).astype(np.uint8)
+        self._coarse_g = None
         self.is_trained = True
 
     def add(self, codes: np.ndarray, ids=None) -> None:
@@ -158,21 +168,39 @@ class BinaryIVFIndex(Index):
         self._dev = (bits, assign, order, starts, cb, cpop)
         return self._dev
 
+    def _coarse_probes(self, q_codes: np.ndarray, qb, cb, cpop,
+                       nprobe: int):
+        """Probe cells: exact Hamming rank, or the BHNSW quantizer when
+        coarse_hnsw_m is set (the BIVF%d_HNSW%d factory capability)."""
+        if self.coarse_hnsw_m is None:
+            _, probes = jax.device_get(_hamming_topk(qb, cb, cpop, nprobe))
+            return probes
+        if self._coarse_g is None:
+            g = BinaryHNSWIndex(self.d, M=self.coarse_hnsw_m,
+                                ef_search=max(4 * nprobe, 32))
+            g.add(pack_bits(self.centroid_bits))
+            g.build()
+            self._coarse_g = g
+        _, probes = self._coarse_g.search(
+            np.asarray(q_codes, np.uint8), nprobe,
+            ef=max(4 * nprobe, 32))
+        return np.maximum(probes, 0)   # -1 pads -> cell 0 (duplicate scan)
+
     def search(self, q_codes: np.ndarray, k: int,
                nprobe: int | None = None):
         bits, assign, order, starts, cb, cpop = self._build()
         nprobe = min(nprobe or self.nprobe, self.nlist)
         qbits_np = unpack_bits(np.asarray(q_codes, np.uint8), self.d)
         qb = jnp.asarray(qbits_np, jnp.bfloat16)
-        _, probes = jax.device_get(_hamming_topk(qb, cb, cpop, nprobe))
+        probes = self._coarse_probes(q_codes, qb, cb, cpop, nprobe)
         nq = qb.shape[0]
         out_v = np.full((nq, k), np.iinfo(np.int32).max, np.int32)
         out_i = np.full((nq, k), -1, np.int64)
         # per-query candidate scan (host gather + one device matmul each;
         # fine for the binary family's modest corpus sizes)
         for qi in range(nq):
-            cand = np.concatenate(
-                [order[starts[l]:starts[l + 1]] for l in probes[qi]])
+            cand = np.unique(np.concatenate(
+                [order[starts[l]:starts[l + 1]] for l in probes[qi]]))
             if cand.size == 0:
                 continue
             cb_bits = jnp.asarray(bits[cand], jnp.bfloat16)
@@ -187,6 +215,7 @@ class BinaryIVFIndex(Index):
     def reset(self) -> None:
         self._codes = np.zeros((0, self.d // 8), np.uint8)
         self._dev = None
+        self._coarse_g = None
 
 
 class BinaryHNSWIndex(Index):
@@ -195,6 +224,8 @@ class BinaryHNSWIndex(Index):
     float vectors is exactly their squared L2 distance (popcount identity
     b1 XOR b2 == ||b1 - b2||^2), so the graph index runs unchanged and
     returns true Hamming distances."""
+
+    position_keyed_ids = True
 
     def __init__(self, d: int, M: int = 16, ef_search: int = 32):
         from auncel_tpu.index.hnsw import HNSWIndex
@@ -280,3 +311,26 @@ class IndexBinaryFromFloat(Index):
 
     def reset(self) -> None:
         self.sub.reset()
+
+
+def index_binary_factory(d: int, description: str) -> Index:
+    """Binary factory grammar (reference ``index_binary_factory``,
+    AutoTune.cpp:973-1008): "BFlat", "BIVF%d", "BHNSW%d",
+    "BIVF%d_HNSW%d" (also accepts the tests' "BIVF%d_BHNSW%d" spelling).
+    ``d`` is the BIT count (code_size = d / 8 bytes)."""
+    import re
+    m = re.fullmatch(r"BIVF(\d+)_B?HNSW(\d+)", description)
+    if m:
+        return BinaryIVFIndex(d, nlist=int(m.group(1)),
+                              coarse_hnsw_m=int(m.group(2)))
+    m = re.fullmatch(r"BIVF(\d+)", description)
+    if m:
+        return BinaryIVFIndex(d, nlist=int(m.group(1)))
+    m = re.fullmatch(r"BHNSW(\d+)?", description)
+    if m:
+        return BinaryHNSWIndex(d, M=int(m.group(1) or 32))
+    if description == "BFlat":
+        return BinaryFlatIndex(d)
+    raise NotImplementedError(
+        f"binary factory description {description!r} "
+        "(grammar: BFlat | BIVF%d | BHNSW%d | BIVF%d_HNSW%d)")

@@ -108,6 +108,46 @@ def save_index(index: Index, path: str) -> None:
         payload["codes"] = index.codes
         np.savez(path, **payload)
         return
+    from auncel_tpu.index.binary import (
+        BinaryFlatIndex, BinaryIVFIndex, BinaryHNSWIndex, pack_bits)
+    if isinstance(index, BinaryFlatIndex):
+        # packed codes only (reference write_index_binary for
+        # IndexBinaryFlat, index_io.cpp fourcc "IBxF" equivalent)
+        header = dict(version=_FORMAT_VERSION, kind="BFlat", d=index.d,
+                      metric=index.metric.value)
+        np.savez(path, header=json.dumps(header), codes=index.codes)
+        return
+    if isinstance(index, BinaryIVFIndex):
+        header = dict(version=_FORMAT_VERSION, kind="BIVF", d=index.d,
+                      metric=index.metric.value, nlist=index.nlist,
+                      nprobe=index.nprobe, trained=index.is_trained,
+                      coarse_hnsw_m=index.coarse_hnsw_m)
+        payload = dict(header=json.dumps(header), codes=index._codes)
+        if index.is_trained:
+            payload["centroid_bits"] = index.centroid_bits
+        np.savez(path, **payload)
+        return
+    if isinstance(index, BinaryHNSWIndex):
+        # packed codes + the frozen graph tables (reference
+        # write_index_binary keeps the HNSW struct too)
+        g = index._g
+        if g.ntotal and not g._built:
+            g.build()
+        header = dict(version=_FORMAT_VERSION, kind="BHNSW", d=index.d,
+                      metric=index.metric.value, M=g.M,
+                      ef_search=g.ef_search,
+                      entry=int(g.entry_point), max_level=int(g.max_level))
+        codes = pack_bits(np.asarray(g._xb) > 0.5) if g.ntotal else \
+            np.zeros((0, index.d // 8), np.uint8)
+        payload = dict(header=json.dumps(header), codes=codes,
+                       levels=(g.levels if g.levels is not None
+                               else np.zeros((0,), np.int32)))
+        for l, t in enumerate(g.nb_tables):
+            payload[f"table{l}"] = t
+        for l, gg in enumerate(g.g2u):
+            payload[f"g2u{l}"] = gg
+        np.savez(path, **payload)
+        return
     raise NotImplementedError(f"cannot serialize {type(index).__name__}")
 
 
@@ -239,6 +279,44 @@ def load_index(path: str) -> Index:
                 idx.is_trained = True
             idx.list_ids = np.asarray(z["list_ids"], np.int32)
             idx.codes = np.asarray(z["codes"], np.uint8)
+            return idx
+        if header["kind"] == "BFlat":
+            from auncel_tpu.index.binary import BinaryFlatIndex
+            idx = BinaryFlatIndex(header["d"])
+            if z["codes"].shape[0]:
+                idx.add(np.asarray(z["codes"], np.uint8))
+            return idx
+        if header["kind"] == "BIVF":
+            from auncel_tpu.index.binary import BinaryIVFIndex
+            idx = BinaryIVFIndex(header["d"], header["nlist"],
+                                 coarse_hnsw_m=header.get("coarse_hnsw_m"))
+            idx.nprobe = header.get("nprobe", 1)
+            if header["trained"]:
+                idx.centroid_bits = np.asarray(z["centroid_bits"],
+                                               np.uint8)
+                idx.is_trained = True
+            codes = np.asarray(z["codes"], np.uint8)
+            if codes.shape[0]:
+                idx.add(codes)
+            return idx
+        if header["kind"] == "BHNSW":
+            from auncel_tpu.index.binary import (BinaryHNSWIndex,
+                                                 unpack_bits)
+            idx = BinaryHNSWIndex(header["d"], M=header["M"],
+                                  ef_search=header["ef_search"])
+            g = idx._g
+            codes = np.asarray(z["codes"], np.uint8)
+            if codes.shape[0]:
+                g._xb = unpack_bits(codes, header["d"]).astype(np.float32)
+                g.levels = np.asarray(z["levels"])
+                g.entry_point = header["entry"]
+                g.max_level = header["max_level"]
+                g.nb_tables = [np.asarray(z[f"table{l}"])
+                               for l in range(header["max_level"] + 1)]
+                g.g2u = [np.asarray(z[f"g2u{l}"])
+                         for l in range(header["max_level"] + 1)]
+                g._push_dev()
+                g._built = True
             return idx
     raise ValueError(f"unrecognized index file {path}")
 

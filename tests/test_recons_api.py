@@ -234,3 +234,42 @@ def test_sq6_serialization_roundtrip(ds, tmp_path):
     v1, i1 = idx2.search(ds.xq, 10, nprobe=16)
     np.testing.assert_array_equal(i0, i1)
     np.testing.assert_allclose(v0, v1, rtol=1e-6)
+
+
+def test_reconstruct_missing_id_raises(ds):
+    """Reference TestReconsException: reconstructing an id that is not
+    stored raises."""
+    idx = IVFFlatIndex(ds.d, 16)
+    idx.train(ds.xt[:2000])
+    idx.add(ds.xb)
+    idx.reconstruct(9)   # present: fine
+    with pytest.raises(KeyError):
+        idx.reconstruct(100001)
+
+
+def test_load_garbage_raises(tmp_path):
+    """Reference TestIOError: unreadable/foreign files raise instead of
+    returning a broken index."""
+    from auncel_tpu.index.io import load_index
+    p = str(tmp_path / "garbage.npz")
+    with open(p, "wb") as f:
+        f.write(b"not an npz at all" * 10)
+    with pytest.raises(Exception):
+        load_index(p)
+    p2 = str(tmp_path / "foreign.npz")
+    np.savez(p2, something=np.arange(3))   # valid npz, no header
+    with pytest.raises(Exception):
+        load_index(p2)
+
+
+def test_percall_nprobe_equals_attribute(ds):
+    """Reference test_params_override.cpp: per-invocation parameters give
+    the same result as setting the index attribute."""
+    idx = IVFFlatIndex(ds.d, 16)
+    idx.train(ds.xt[:2000])
+    idx.add(ds.xb)
+    v1, i1 = idx.search(ds.xq, 10, nprobe=4)
+    idx.nprobe = 4
+    v2, i2 = idx.search(ds.xq, 10)
+    np.testing.assert_array_equal(i1, i2)
+    np.testing.assert_array_equal(v1, v2)
