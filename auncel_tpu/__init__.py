@@ -47,6 +47,7 @@ from auncel_tpu.index.flat import FlatIndex
 from auncel_tpu.index.ivf import IVFFlatIndex
 from auncel_tpu.index.hnsw import HNSWIndex
 from auncel_tpu.index.factory import index_factory
+from auncel_tpu.index.binary import index_binary_factory
 
 try:  # profile engine lands after the index core
     from auncel_tpu.profile.error_sys import ErrorSys
@@ -61,6 +62,7 @@ __all__ = [
     "IVFFlatIndex",
     "HNSWIndex",
     "index_factory",
+    "index_binary_factory",
     "ErrorSys",
     "__version__",
 ]

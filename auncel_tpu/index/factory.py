@@ -50,6 +50,15 @@ def index_factory(d: int, description: str,
             continue
         break
 
+    # "IDMap" token (AutoTune.cpp:812-816,919-925): wrap the final index
+    # so arbitrary user ids can be added.
+    want_idmap = "IDMap" in parts
+    parts = [p for p in parts if p != "IDMap"]
+    # trailing "RFlat" cell (AutoTune.cpp:911-918): exact re-rank wrapper.
+    want_rflat = bool(parts) and parts[-1] == "RFlat"
+    if want_rflat:
+        parts = parts[:-1]
+
     desc = ",".join(parts)
     if desc == "Flat":
         index: Index = FlatIndex(cur_d, metric)
@@ -173,6 +182,12 @@ def index_factory(d: int, description: str,
             # implies (coarse quantizers are out of the tuned path).
             index.coarse_hnsw_m = hnsw_m
 
+    if want_rflat:
+        from auncel_tpu.index.flat import IndexRefineFlat
+        index = IndexRefineFlat(index)
+    if want_idmap:
+        from auncel_tpu.index.meta import IndexIDMap
+        index = IndexIDMap(index)
     if transforms:
         from auncel_tpu.index.transform import IndexPreTransform
         return IndexPreTransform(index, transforms)

@@ -61,6 +61,38 @@ class FlatIndex(Index):
         out[keys < 0] = 0.0
         return out
 
+    def range_search(self, q: np.ndarray, radius: float):
+        """All stored vectors within ``radius`` (reference
+        IndexFlat::range_search, IndexFlat.cpp — L2: squared distance <
+        radius, IP: score > radius). Returns the same RangeSearchResult
+        as the IVF path."""
+        import jax.numpy as jnp
+        from auncel_tpu.index.aux import RangeSearchResult
+        from auncel_tpu.ops.distance import pairwise_scores
+        q = np.asarray(q, np.float32)
+        nq = q.shape[0]
+        lims = np.zeros(nq + 1, np.int64)
+        chunks_l, chunks_d = [[] for _ in range(nq)], [[] for _ in range(nq)]
+        block = 65536
+        for j0 in range(0, max(self.ntotal, 1), block):
+            yb = self._xb[j0:j0 + block]
+            if yb.shape[0] == 0:
+                break
+            s = np.asarray(pairwise_scores(jnp.asarray(q), jnp.asarray(yb),
+                                           self.metric))
+            hit = (s < radius) if self.metric.lower_is_better \
+                else (s > radius)
+            qi, ji = np.nonzero(hit)
+            for a, b in zip(qi, ji):
+                chunks_l[a].append(j0 + b)
+                chunks_d[a].append(s[a, b])
+        counts = np.array([len(c) for c in chunks_l], np.int64)
+        np.cumsum(counts, out=lims[1:])
+        labels = np.array([x for c in chunks_l for x in c], np.int64)
+        dists = np.array([x for c in chunks_d for x in c], np.float32)
+        return RangeSearchResult(lims=lims, labels=labels,
+                                 distances=dists)
+
 
 class IndexRefineFlat(Index):
     """Re-rank a base index's shortlist with exact distances over raw

@@ -48,8 +48,11 @@ class IndexIDMap(Index):
         self._ids = np.concatenate([self._ids, np.asarray(ids, np.int64)])
         self.sub.add(x)
 
-    def search(self, q, k):
-        vals, ids = self.sub.search(q, k)
+    def search(self, q, k, **sub_kwargs):
+        # pass-through knobs (nprobe, ...) reach the wrapped index like
+        # the reference ParameterSpace recursing into IndexIDMap
+        # (AutoTune.cpp:505-508)
+        vals, ids = self.sub.search(q, k, **sub_kwargs)
         mapped = np.where(ids >= 0, self._ids[np.maximum(ids, 0)], -1)
         return vals, mapped
 

@@ -66,8 +66,9 @@ def test_sq8_partial_scan_value_consistency(ds):
                 assert abs(lut[(q, int(i))] - v) <= 1e-5 * max(abs(v), 1.0)
 
 
-def test_bounded_search_on_sq8(ds):
-    idx = IVFFlatIndex(ds.d, 64, storage="sq8")
+@pytest.mark.parametrize("storage", ["sq8", "sq6"])
+def test_bounded_search_on_sq8(ds, storage):
+    idx = IVFFlatIndex(ds.d, 64, storage=storage)
     idx.train(ds.xt[:10000])
     idx.add(ds.xb)
     gt_D, gt_I = idx.exact_search(ds.xq, 50)
@@ -170,3 +171,16 @@ def test_sq_rangestat_modes():
     sq.add(x)
     v, i = sq.search(x[:4], 3)
     assert (i[:, 0] == np.arange(4)).all()
+
+
+def test_sq6_multirow_matches_padded(ds):
+    """The row layout must stay value-identical over the SQ6 codec too
+    (rows gather packed codes; both layouts decode through decode_block)."""
+    idx = IVFFlatIndex(ds.d, 64, storage="sq6")
+    idx.train(ds.xt[:10000])
+    idx.add(ds.xb)
+    v0, i0 = idx.search(ds.xq, 10, nprobe=8)
+    idx.enable_multirow()
+    v1, i1 = idx.search(ds.xq, 10, nprobe=8)
+    np.testing.assert_array_equal(i0, i1)
+    np.testing.assert_allclose(v0, v1, rtol=1e-6)

@@ -273,3 +273,40 @@ def test_percall_nprobe_equals_attribute(ds):
     v2, i2 = idx.search(ds.xq, 10)
     np.testing.assert_array_equal(i1, i2)
     np.testing.assert_array_equal(v1, v2)
+
+
+def test_flat_range_search_matches_bruteforce(ds):
+    """Reference IndexFlat::range_search: exhaustive radius query."""
+    idx = FlatIndex(ds.d)
+    idx.add(ds.xb)
+    d2 = ((ds.xq[:8, None, :] - ds.xb[None]) ** 2).sum(-1)
+    radius = float(np.quantile(d2, 0.002))
+    res = idx.range_search(ds.xq[:8], radius)
+    for qi in range(8):
+        got = set(res.labels[res.lims[qi]:res.lims[qi + 1]].tolist())
+        want = set(np.nonzero(d2[qi] < radius)[0].tolist())
+        assert got == want
+        dd = res.distances[res.lims[qi]:res.lims[qi + 1]]
+        assert np.all(dd < radius)
+
+
+def test_factory_idmap_and_rflat_tokens(ds):
+    """Reference factory grammar: the "IDMap" token (AutoTune.cpp:812,
+    919-925) and the trailing "RFlat" refinement cell (:911-918)."""
+    from auncel_tpu.index.meta import IndexIDMap
+    from auncel_tpu.index.flat import IndexRefineFlat
+    idx = index_factory(ds.d, "IDMap,IVF16,Flat")
+    assert isinstance(idx, IndexIDMap)
+    idx.train(ds.xt[:2000])
+    ids = np.arange(len(ds.xb), dtype=np.int64) * 3 + 11
+    idx.add(ds.xb, ids=ids)
+    _, I = idx.search(ds.xb[:4], 1, nprobe=16)
+    np.testing.assert_array_equal(I[:, 0], ids[:4])
+
+    r = index_factory(ds.d, "IVF16,SQ8,RFlat")
+    assert isinstance(r, IndexRefineFlat)
+    r.train(ds.xt[:2000])
+    r.add(ds.xb)
+    # exact re-rank with a generous shortlist recovers the true neighbor
+    _, I2 = r.search(ds.xb[:8], 1, k_factor=8.0, nprobe=16)
+    np.testing.assert_array_equal(I2[:, 0], np.arange(8))
