@@ -253,8 +253,17 @@ class BinaryHNSWIndex(Index):
         q = unpack_bits(np.asarray(q_codes, np.uint8),
                         self.d).astype(np.float32)
         vals, ids = self._g.search(q, k, ef=ef)
-        # squared L2 over 0/1 vectors IS the integer Hamming distance
-        return np.rint(vals).astype(np.int32), ids
+        # squared L2 over 0/1 vectors IS the integer Hamming distance.
+        # Pad slots carry +inf from the float graph: casting inf to int32
+        # is undefined (INT32_MIN on numpy — would rank BETTER than every
+        # real hit, e.g. through IndexShards' k-way merge); keep the
+        # integer-Hamming worst value instead. (Assign through a mask:
+        # np.where would keep float32, where int32 max is not exactly
+        # representable and the cast overflows right back to INT32_MIN.)
+        out = np.full(vals.shape, np.iinfo(np.int32).max, np.int32)
+        fin = np.isfinite(vals)
+        out[fin] = np.rint(vals[fin]).astype(np.int32)
+        return out, ids
 
     def reset(self) -> None:
         self._g.reset()

@@ -57,6 +57,8 @@ class FlatIndex(Index):
 
     def reconstruct_batch(self, keys: np.ndarray) -> np.ndarray:
         keys = np.asarray(keys, np.int64).reshape(-1)
+        if self.ntotal == 0:   # only -1 keys can be asked of an empty index
+            return np.zeros((keys.size, self.d), np.float32)
         out = self._xb[np.maximum(keys, 0)].copy()
         out[keys < 0] = 0.0
         return out
@@ -71,27 +73,37 @@ class FlatIndex(Index):
         from auncel_tpu.ops.distance import pairwise_scores
         q = np.asarray(q, np.float32)
         nq = q.shape[0]
-        lims = np.zeros(nq + 1, np.int64)
-        chunks_l, chunks_d = [[] for _ in range(nq)], [[] for _ in range(nq)]
         block = 65536
+        all_q, all_l, all_d = [], [], []
         for j0 in range(0, max(self.ntotal, 1), block):
             yb = self._xb[j0:j0 + block]
             if yb.shape[0] == 0:
                 break
+            n_real = yb.shape[0]
+            if n_real != block and self.ntotal > block:
+                # pad the ragged tail to the full block: one compiled
+                # shape for every corpus size (axon compile-lottery rule)
+                yb = np.concatenate(
+                    [yb, np.zeros((block - n_real, self.d), np.float32)])
             s = np.asarray(pairwise_scores(jnp.asarray(q), jnp.asarray(yb),
                                            self.metric))
             hit = (s < radius) if self.metric.lower_is_better \
                 else (s > radius)
-            qi, ji = np.nonzero(hit)
-            for a, b in zip(qi, ji):
-                chunks_l[a].append(j0 + b)
-                chunks_d[a].append(s[a, b])
-        counts = np.array([len(c) for c in chunks_l], np.int64)
-        np.cumsum(counts, out=lims[1:])
-        labels = np.array([x for c in chunks_l for x in c], np.int64)
-        dists = np.array([x for c in chunks_d for x in c], np.float32)
-        return RangeSearchResult(lims=lims, labels=labels,
-                                 distances=dists)
+            hit[:, n_real:] = False
+            qi, ji = np.nonzero(hit)   # qi is sorted (row-major nonzero)
+            all_q.append(qi)
+            all_l.append(j0 + ji)
+            all_d.append(s[qi, ji])
+        qi = np.concatenate(all_q) if all_q else np.zeros(0, np.int64)
+        labels = (np.concatenate(all_l) if all_l
+                  else np.zeros(0, np.int64)).astype(np.int64)
+        dists = (np.concatenate(all_d) if all_d
+                 else np.zeros(0, np.float32)).astype(np.float32)
+        order = np.argsort(qi, kind="stable")  # group hits per query
+        lims = np.zeros(nq + 1, np.int64)
+        np.cumsum(np.bincount(qi, minlength=nq), out=lims[1:])
+        return RangeSearchResult(lims=lims, labels=labels[order],
+                                 distances=dists[order])
 
 
 class IndexRefineFlat(Index):

@@ -69,6 +69,16 @@ def _scatter_pack(xd, list_idx, slot_idx, nlist, cap, dtype):
     return db, db_sq
 
 
+@jax.jit
+def _sq_norms_fused(db_codes, scale, bias):
+    """Decoded squared norms of a packed SQ tensor, fused under jit so
+    XLA never materializes the decoded [nlist, cap, d] float32 tensor
+    (4-8x the code bytes at 1M scale)."""
+    from auncel_tpu.index.scan import sq_decode_dev
+    dec = sq_decode_dev(db_codes, scale.shape[0], scale, bias)
+    return jnp.sum(jnp.square(dec), axis=-1)
+
+
 def compute_interdis(centroids: np.ndarray, metric: Metric) -> np.ndarray:
     """All-pairs centroid distance matrix (reference ``fvec_inter_vecs`` /
     ``fvec_inter_vecs_IP``, IVF_pro.cpp:21-39, stored packed there, dense
@@ -350,13 +360,11 @@ class IVFFlatIndex(Index):
         vec_ids = np.full((self.nlist, cap), -1, np.int32)
         vec_ids[assign, slot] = vid.astype(np.int32)
         if n and self.storage in SQ_STORAGE:
-            from auncel_tpu.index.scan import sq_decode_dev
             li = jnp.asarray(assign.astype(np.int32))
             si = jnp.asarray(slot.astype(np.int32))
             db_dev, _ = _scatter_pack(codes_d, li, si, self.nlist, cap,
                                       jnp.uint8)
-            dec = sq_decode_dev(db_dev, self.d, sq_scale, sq_bias)
-            db_sq = jnp.sum(jnp.square(dec), -1)
+            db_sq = _sq_norms_fused(db_dev, sq_scale, sq_bias)
             # pad slots decode to the bias vector: honor the
             # "db_sq is 0 at pad" invariant like every other branch
             db_sq = db_sq * (jnp.asarray(vec_ids) >= 0)

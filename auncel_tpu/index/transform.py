@@ -165,6 +165,14 @@ class NormalizationTransform(VectorTransform):
         n = np.linalg.norm(x, axis=1, keepdims=True)
         return x / np.maximum(n, 1e-20)
 
+    def reverse(self, xt: np.ndarray) -> np.ndarray:
+        """Identity — normalization cannot be undone, and the reference
+        returns the stored normalized vector unchanged
+        (NormalizationTransform::reverse_transform is a memcpy,
+        VectorTransform.cpp:796-800). Keeps factory "L2norm,..." chains
+        reconstructible."""
+        return np.asarray(xt, np.float32).copy()
+
 
 class CenteringTransform(VectorTransform):
     """Subtract the training mean (reference CenteringTransform,

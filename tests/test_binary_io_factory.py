@@ -144,3 +144,18 @@ def test_binary_replicas(bds):
     Dr, _ = ref.search(xq, 5)
     Dp, _ = rep.search(xq, 5)
     np.testing.assert_array_equal(Dr, np.asarray(Dp, Dr.dtype))
+
+
+def test_binary_hnsw_pad_distances_are_worst(bds):
+    """k > ntotal pads must carry the int32 max (not INT32_MIN from an
+    inf cast), so merges rank them last."""
+    codes, _ = bds
+    idx = BinaryHNSWIndex(64, M=4)
+    idx.add(codes[:3])
+    idx.build()
+    D, I = idx.search(codes[:2], 8)
+    pad = I < 0
+    assert pad.any()
+    assert np.all(D[pad] == np.iinfo(np.int32).max)
+    real = ~pad
+    assert np.all(D[real] < np.iinfo(np.int32).max)

@@ -107,8 +107,30 @@ def test_reverse_transform_whitening_raises(ds):
     t.train(ds.xt[:2000])
     with pytest.raises(NotImplementedError):
         t.reverse(t.apply(ds.xb[:4]))
-    with pytest.raises(NotImplementedError):
-        NormalizationTransform(ds.d).reverse(ds.xb[:4])
+    # normalization reverses as the IDENTITY (the stored normalized
+    # vector comes back unchanged) — reference
+    # NormalizationTransform::reverse_transform is a memcpy
+    # (VectorTransform.cpp:796-800)
+    norm = NormalizationTransform(ds.d)
+    xt = norm.apply(ds.xb[:4])
+    np.testing.assert_array_equal(norm.reverse(xt), xt)
+
+
+def test_l2norm_chain_reconstructs(ds):
+    """A factory 'L2norm,...' chain reconstructs the stored normalized
+    vectors (reference parity: reverse chain with identity for norm)."""
+    idx = index_factory(ds.d, "L2norm,IVF16,Flat")
+    idx.train(ds.xt[:2000])
+    idx.add(ds.xb)
+    rec = idx.reconstruct_n(0, 8)
+    want = ds.xb[:8] / np.linalg.norm(ds.xb[:8], axis=1, keepdims=True)
+    np.testing.assert_allclose(rec, want, atol=1e-6)
+
+
+def test_reconstruct_batch_empty_index():
+    idx = FlatIndex(8)
+    out = idx.reconstruct_batch(np.array([-1, -1], np.int64))
+    np.testing.assert_array_equal(out, np.zeros((2, 8), np.float32))
 
 
 def test_l2_distances_nonnegative():
