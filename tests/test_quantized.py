@@ -66,8 +66,12 @@ def test_sq8_partial_scan_value_consistency(ds):
                 assert abs(lut[(q, int(i))] - v) <= 1e-5 * max(abs(v), 1.0)
 
 
-@pytest.mark.parametrize("storage", ["sq8", "sq6"])
+@pytest.mark.parametrize("storage", ["sq8", "sq6", "pq8"])
 def test_bounded_search_on_sq8(ds, storage):
+    """Error-bounded search over compressed storage — the reference's
+    tune branch lives in the shared IndexIVF::search_preassigned
+    (IndexIVF.cpp:497-673) and therefore serves every IVF storage codec;
+    here the codec is a decode hook under the same wave engine."""
     idx = IVFFlatIndex(ds.d, 64, storage=storage)
     idx.train(ds.xt[:10000])
     idx.add(ds.xb)
