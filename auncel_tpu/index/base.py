@@ -62,6 +62,12 @@ class Index(abc.ABC):
                 out[j] = lut[int(kk)]
         return out
 
+    def compute_residual(self, x: "np.ndarray", key: int) -> "np.ndarray":
+        """x - reconstruct(key) (reference Index::compute_residual,
+        Index.cpp — the quantization residual of x wrt a stored code)."""
+        import numpy as _np
+        return _np.asarray(x, _np.float32) - self.reconstruct(key)
+
     def search_and_reconstruct(
             self, q: "np.ndarray", k: int, **kwargs
     ) -> tuple["np.ndarray", "np.ndarray", "np.ndarray"]:

@@ -60,6 +60,23 @@ class IndexIDMap(Index):
         self.sub.reset()
         self._ids = np.zeros(0, np.int64)
 
+    def remove_ids(self, selector) -> int:
+        """Remove by USER id (reference IndexIDMap::remove_ids,
+        MetaIndexes.cpp — the selector matches the remapped ids, then the
+        wrapped index drops the corresponding positions). Rebuilds the
+        sub-index from its decoded vectors, the same route
+        aux.remove_ids takes for storage codecs."""
+        keep = ~selector.is_member(self._ids)
+        removed = int((~keep).sum())
+        if removed == 0:
+            return 0
+        x = self.sub.reconstruct_n(0, self.sub.ntotal)
+        self.sub.reset()
+        if keep.any():
+            self.sub.add(x[keep])
+        self._ids = self._ids[keep]
+        return removed
+
 
 class IndexIDMap2(IndexIDMap):
     """IndexIDMap with an id -> sequential-position reverse map for
@@ -88,6 +105,12 @@ class IndexIDMap2(IndexIDMap):
         if pos is None:
             raise KeyError(f"id {key} not in IndexIDMap2")
         return self.sub.reconstruct(pos)
+
+    def remove_ids(self, selector) -> int:
+        removed = super().remove_ids(selector)
+        if removed:
+            self.construct_rev_map()   # positions renumbered
+        return removed
 
     def reset(self):
         super().reset()

@@ -332,3 +332,28 @@ def test_factory_idmap_and_rflat_tokens(ds):
     # exact re-rank with a generous shortlist recovers the true neighbor
     _, I2 = r.search(ds.xb[:8], 1, k_factor=8.0, nprobe=16)
     np.testing.assert_array_equal(I2[:, 0], np.arange(8))
+
+
+def test_remove_ids_on_idmap(ds):
+    """Reference tests/test_index_composite.py test_remove_id_map /
+    test_remove_id_map_2: remove by USER id through the wrapper."""
+    from auncel_tpu.index.meta import IndexIDMap, IndexIDMap2
+    from auncel_tpu.index.aux import IDSelectorBatch
+    for cls in (IndexIDMap, IndexIDMap2):
+        sub = IVFFlatIndex(ds.d, 16)
+        idx = cls(sub)
+        idx.train(ds.xt[:2000])
+        ids = np.arange(len(ds.xb), dtype=np.int64) * 10 + 5
+        idx.add(ds.xb, ids=ids)
+        drop = ids[::7]
+        n = idx.remove_ids(IDSelectorBatch(drop))
+        assert n == len(drop)
+        assert idx.ntotal == len(ds.xb) - len(drop)
+        _, I = idx.search(ds.xb[:50], 1, nprobe=16)
+        assert not set(I.ravel().tolist()) & set(drop.tolist())
+        if cls is IndexIDMap2:
+            kept = ids[1]
+            np.testing.assert_allclose(idx.reconstruct(int(kept)),
+                                       ds.xb[1], atol=1e-6)
+            with pytest.raises(KeyError):
+                idx.reconstruct(int(drop[0]))
