@@ -37,12 +37,22 @@ from auncel_tpu.profile.trace import TraceSet
 from auncel_tpu.profile.bounded import bounded_search
 
 AXIS = "shard"
+DP = "dp"
 
 
-def make_mesh(n_devices: int | None = None) -> Mesh:
+def make_mesh(n_shards: int | None = None, dp: int = 1) -> Mesh:
+    """Device mesh for sharded search. ``dp > 1`` adds a query
+    data-parallel axis: the mesh becomes [dp, shard] — each dp group holds
+    a full REPLICA of the sharded corpus and serves 1/dp of every query
+    batch (the scale-out axis the reference's dist mode lacks: its workers
+    only shard the corpus, dist/README.md). Collectives: the top-k merge
+    all-gathers over ``shard`` only; dp groups never communicate."""
     devs = jax.devices()
-    n = n_devices or len(devs)
-    return Mesh(np.asarray(devs[:n]), (AXIS,))
+    n = n_shards or (len(devs) // dp)
+    if dp == 1:
+        return Mesh(np.asarray(devs[:n]), (AXIS,))
+    assert len(devs) >= dp * n, (len(devs), dp, n)
+    return Mesh(np.asarray(devs[: dp * n]).reshape(dp, n), (DP, AXIS))
 
 
 def split_round_robin(x: np.ndarray, n_shards: int):
@@ -73,6 +83,11 @@ class ShardedIVF:
         self.metric = Metric.parse(metric)
         self.mesh = mesh or make_mesh(n_shards)
         assert self.mesh.shape[AXIS] == n_shards
+        # query data-parallel groups (1 = plain corpus sharding)
+        self.dp = int(dict(self.mesh.shape).get(DP, 1))
+        self._qin = P(DP) if self.dp > 1 else P(None)
+        self._qout = P(DP) if self.dp > 1 else P(None)
+        self._nscan_out = P(AXIS, DP) if self.dp > 1 else P(AXIS)
         self.shards: list[IVFFlatIndex] = []
         self.arrays: IVFArrays | None = None     # stacked [S, ...]
         self.traces: TraceSet | None = None      # stacked [S, ...]
@@ -253,16 +268,24 @@ class ShardedIVF:
             fn = self._jit_fns[key] = make()
         return fn
 
+    def _check_batch(self, q: np.ndarray) -> None:
+        if self.dp > 1:
+            assert q.shape[0] % self.dp == 0, (
+                f"batch {q.shape[0]} must divide the dp axis ({self.dp}); "
+                "pad the query window")
+
     def search(self, q: np.ndarray, k: int, nprobe: int):
-        """Fixed-nprobe sharded search: local scan + all-gather merge."""
+        """Fixed-nprobe sharded search: local scan + all-gather merge.
+        With a dp axis, each dp group serves its slice of the batch."""
         metric, mesh = self.metric, self.mesh
+        self._check_batch(np.asarray(q))
 
         def make():
             @jax.jit
             @functools.partial(
                 jax.shard_map, mesh=mesh, check_vma=False,
-                in_specs=(P(AXIS), P(None)),
-                out_specs=(P(None), P(None)))
+                in_specs=(P(AXIS), self._qin),
+                out_specs=(self._qout, self._qout))
             def run(stacked, q):
                 local = jax.tree.map(lambda a: a[0], stacked)
                 vals, ids = ivf_search_fixed(local, q, k, nprobe, metric)
@@ -283,6 +306,7 @@ class ShardedIVF:
         max_topk = max_topk or self.max_topk
         mult = jnp.float32(self.multipler)
         sm = jnp.float32(self.std_m)
+        self._check_batch(np.asarray(q))
 
         if self.mr is not None:
             from auncel_tpu.profile.bounded_mr import bounded_oneshot_mr
@@ -292,9 +316,9 @@ class ShardedIVF:
                 @jax.jit
                 @functools.partial(
                     jax.shard_map, mesh=mesh, check_vma=False,
-                    in_specs=(P(AXIS), P(AXIS), P(AXIS), P(None), P(None),
-                              P(), P()),
-                    out_specs=(P(None), P(None), P(AXIS)))
+                    in_specs=(P(AXIS), P(AXIS), P(AXIS), self._qin,
+                              self._qin, P(), P()),
+                    out_specs=(self._qout, self._qout, self._nscan_out))
                 def run_mr(stacked, smr, straces, q, acc, mult, sm):
                     local = jax.tree.map(lambda a: a[0], stacked)
                     lmr = jax.tree.map(lambda a: a[0], smr)
@@ -322,8 +346,9 @@ class ShardedIVF:
             @jax.jit
             @functools.partial(
                 jax.shard_map, mesh=mesh, check_vma=False,
-                in_specs=(P(AXIS), P(AXIS), P(None), P(None), P(), P()),
-                out_specs=(P(None), P(None), P(AXIS)))
+                in_specs=(P(AXIS), P(AXIS), self._qin, self._qin,
+                          P(), P()),
+                out_specs=(self._qout, self._qout, self._nscan_out))
             def run(stacked, straces, q, acc, mult, sm):
                 local = jax.tree.map(lambda a: a[0], stacked)
                 ltr = jax.tree.map(lambda a: a[0], straces)

@@ -157,3 +157,34 @@ def test_sharded_jit_closures_cached():
     bad = ShardedIVF(16, 2048, n_shards=4, mesh=make_mesh(4))
     with pytest.raises(ValueError, match="k-means cannot train"):
         bad.build(xb)
+
+
+def test_dp_mesh_matches_1d(ds):
+    """2D [dp, shard] mesh (query data-parallel groups over corpus
+    replicas): results are bit-identical to the 1D shard mesh — dp
+    groups never communicate, the top-k merge all-gathers over the
+    shard axis only."""
+    import numpy as np
+    from auncel_tpu.parallel.sharded import ShardedIVF, make_mesh
+    acc = np.full(len(ds.xq), 0.9, np.float32)
+
+    def build(mesh):
+        s = ShardedIVF(ds.d, nlist=16, n_shards=4, mesh=mesh)
+        s.build(ds.xb)
+        s.train_profiles(ds.xq, max_topk=16)
+        s.enable_multirow(row_cap=16)
+        s.multipler = 4.0
+        return s
+
+    s1 = build(make_mesh(4))
+    s2 = build(make_mesh(4, dp=2))
+    assert s2.dp == 2
+    v1, i1, n1 = s1.search_bounded(ds.xq, acc, query_k=5)
+    v2, i2, n2 = s2.search_bounded(ds.xq, acc, query_k=5)
+    np.testing.assert_array_equal(i1, i2)
+    np.testing.assert_allclose(v1, v2)
+    np.testing.assert_array_equal(n1, n2)
+    f1, g1 = s1.search(ds.xq, 5, nprobe=4)
+    f2, g2 = s2.search(ds.xq, 5, nprobe=4)
+    np.testing.assert_array_equal(g1, g2)
+    np.testing.assert_allclose(f1, f2)
