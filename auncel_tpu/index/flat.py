@@ -143,6 +143,20 @@ class IndexRefineFlat(Index):
         self.base.reset()
         self._xb = np.zeros((0, self.d), np.float32)
 
+    def reconstruct(self, key: int) -> np.ndarray:
+        return self._xb[key].copy()
+
+    def reconstruct_n(self, i0: int, n: int) -> np.ndarray:
+        return self._xb[i0:i0 + n].copy()
+
+    def reconstruct_batch(self, keys: np.ndarray) -> np.ndarray:
+        keys = np.asarray(keys, np.int64).reshape(-1)
+        if self._xb.shape[0] == 0:
+            return np.zeros((keys.size, self.d), np.float32)
+        out = self._xb[np.maximum(keys, 0)].copy()
+        out[keys < 0] = 0.0
+        return out
+
     def search(self, q: np.ndarray, k: int, k_factor: float | None = None,
                **base_kwargs):
         q = np.asarray(q, np.float32)
