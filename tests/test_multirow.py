@@ -81,3 +81,46 @@ def test_multirow_reduces_padding(skewed):
     got = np.sort(ids_rows[ids_rows >= 0])
     want = np.sort(np.asarray(a.vec_ids)[np.asarray(a.vec_ids) >= 0])
     np.testing.assert_array_equal(got, want)
+
+
+def test_plan_mr_waves_coverage_property():
+    """Property fuzz of the plan's load-bearing guarantee: for ANY
+    per-list row profile, each stage group's total width covers the
+    worst-case row increment of that stage (sum of the stage-delta
+    largest per-list row counts) — frontier advancement is capped per
+    wave at its goal, so coverage must hold stage by stage (see
+    plan_mr_waves docstring)."""
+    import numpy as np
+    from auncel_tpu.profile.bounded_mr import plan_mr_waves
+    rng = np.random.RandomState(0)
+    for trial in range(40):
+        nlist = int(rng.choice([8, 16, 64, 256, 1024]))
+        dist = rng.choice(["uniform", "skewed", "spiky", "tiny"])
+        if dist == "uniform":
+            rpl = rng.randint(1, 8, size=nlist)
+        elif dist == "skewed":
+            rpl = np.maximum(1, rng.zipf(1.7, size=nlist) % 64)
+        elif dist == "spiky":
+            rpl = np.ones(nlist, np.int64)
+            rpl[rng.choice(nlist, max(nlist // 16, 1), replace=False)] = 100
+        else:
+            rpl = np.ones(nlist, np.int64)
+        for decide_only in (False, True):
+            for exact in (False, True):
+                plan = plan_mr_waves(rpl, nlist, decide_only,
+                                     exact_cover=exact)
+                desc = np.sort(np.asarray(rpl))[::-1]
+                cum = np.concatenate([[0], np.cumsum(desc)])
+                prev = 0
+                groups: dict = {}
+                for (stage, width, decide, is_main) in plan.waves:
+                    groups.setdefault(stage, 0)
+                    groups[stage] += width
+                for stage in sorted(groups):
+                    delta = stage - prev
+                    worst = int(cum[min(delta, len(desc))])
+                    assert groups[stage] >= worst, (
+                        trial, dist, nlist, stage, groups[stage], worst)
+                    prev = stage
+                # out_slots never truncates the full expansion
+                assert plan.out_slots >= int(cum[min(plan.S, len(desc))])
