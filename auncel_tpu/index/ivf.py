@@ -608,6 +608,17 @@ class IVFFlatIndex(Index):
         return _ivf_reconstruct(
             self, np.arange(i0, i0 + n, dtype=np.int64))
 
+    def reconstruct_from_offset(self, list_no: int, offset: int
+                                ) -> np.ndarray:
+        """Stored vector at (list, slot) — decoded through the storage
+        codec (reference IndexIVF::reconstruct_from_offset,
+        IndexIVF.h:264)."""
+        a = self.arrays
+        assert 0 <= list_no < self.nlist
+        assert 0 <= offset < int(np.asarray(a.list_sizes)[list_no])
+        blk = a.db[list_no, offset][None, None]
+        return np.asarray(a.decode_block(blk), np.float32)[0, 0]
+
     def reconstruct_batch(self, keys: np.ndarray) -> np.ndarray:
         """One mask pass for the whole id array (negative keys -> zeros);
         backs ``search_and_reconstruct`` without a per-id Python loop."""

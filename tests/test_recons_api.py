@@ -357,3 +357,18 @@ def test_remove_ids_on_idmap(ds):
                                        ds.xb[1], atol=1e-6)
             with pytest.raises(KeyError):
                 idx.reconstruct(int(drop[0]))
+
+
+def test_reconstruct_from_offset(ds):
+    """Reference IndexIVF::reconstruct_from_offset: (list, slot) -> the
+    decoded stored vector."""
+    idx = IVFFlatIndex(ds.d, 16)
+    idx.train(ds.xt[:2000])
+    idx.add(ds.xb)
+    a = idx.arrays
+    ids = np.asarray(a.vec_ids)
+    l, s = np.argwhere(ids >= 0)[5]
+    vec = idx.reconstruct_from_offset(int(l), int(s))
+    np.testing.assert_array_equal(vec, ds.xb[ids[l, s]])
+    with pytest.raises(AssertionError):
+        idx.reconstruct_from_offset(0, 10 ** 9)
