@@ -255,6 +255,45 @@ class ShardedIVF:
             s.enable_multirow(meta["multirow_row_cap"])
         return s
 
+    # --------------------------------------------------- failure handling
+
+    def drop_shard(self, shard_id: int, mesh: Mesh | None = None) -> None:
+        """Continue serving WITHOUT one shard (elastic degradation).
+
+        The reference has no failure handling at all — a dead worker
+        hangs the master's recv (dist/master.cpp:91-99). Here the
+        controller can detect a failed device (a raised error from the
+        SPMD program) and re-stack the surviving shards onto a smaller
+        mesh: searches keep their per-shard error bound on the remaining
+        partitions, while global recall degrades by at most the dropped
+        partition's share of the corpus (1/S for round-robin splits).
+        Profiles are NOT retrained — each survivor's phi->U map is
+        partition-local state.
+        """
+        assert self.n_shards > 1, "cannot drop the last shard"
+        assert 0 <= shard_id < self.n_shards
+        had_traces = self.traces is not None
+        if had_traces:
+            host_tr = jax.tree.map(
+                lambda a: np.delete(np.asarray(a), shard_id, axis=0),
+                jax.device_get(self.traces))
+        mr_cap = self._mr_row_cap if self.mr is not None else None
+        del self.shards[shard_id]
+        self.n_shards -= 1
+        self.mesh = mesh or make_mesh(self.n_shards,
+                                      dp=self.dp if self.dp > 1 else 1)
+        assert self.mesh.shape[AXIS] == self.n_shards
+        self.dp = int(dict(self.mesh.shape).get(DP, 1))
+        self._qin = P(DP) if self.dp > 1 else P(None)
+        self._qout = P(DP) if self.dp > 1 else P(None)
+        self._nscan_out = P(AXIS, DP) if self.dp > 1 else P(AXIS)
+        self.mr = None
+        self._stack()
+        if had_traces:
+            self.traces = _shard_leading(host_tr, self.mesh)
+        if mr_cap is not None:
+            self.enable_multirow(mr_cap)
+
     # ------------------------------------------------------------- search
 
     def _jitted(self, key, make):

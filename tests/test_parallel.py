@@ -188,3 +188,34 @@ def test_dp_mesh_matches_1d(ds):
     f2, g2 = s2.search(ds.xq, 5, nprobe=4)
     np.testing.assert_array_equal(g1, g2)
     np.testing.assert_allclose(f1, f2)
+
+
+def test_drop_shard_degrades_gracefully(ds):
+    """Elastic degradation (SURVEY §5: 'at minimum detect-and-requery a
+    failed shard'; the reference's master just hangs on a dead worker,
+    dist/master.cpp:91-99): after drop_shard the survivors keep serving
+    with their own profiles, and results equal brute force over the
+    surviving partitions."""
+    import numpy as np
+    from auncel_tpu.parallel.sharded import (
+        ShardedIVF, make_mesh, split_round_robin)
+    s = ShardedIVF(ds.d, nlist=16, n_shards=4, mesh=make_mesh(4))
+    s.build(ds.xb)
+    s.train_profiles(ds.xq, max_topk=16)
+    s.enable_multirow(row_cap=16)
+    s.multipler = 4.0
+    s.drop_shard(1)
+    assert s.n_shards == 3 and dict(s.mesh.shape)["shard"] == 3
+    acc = np.full(len(ds.xq), 0.9, np.float32)
+    _, i_b, ns = s.search_bounded(ds.xq, acc, query_k=5)
+    assert ns.shape == (3, len(ds.xq))
+    assert not np.any((i_b % 4) == 1)      # dropped partition absent
+    # exhaustive check vs brute force over surviving rows
+    _, idf = s.search(ds.xq, 5, nprobe=16)
+    parts = split_round_robin(ds.xb, 4)
+    keep_ids = np.concatenate([g for k, (r, g) in enumerate(parts)
+                               if k != 1])
+    rows = np.concatenate([r for k, (r, g) in enumerate(parts) if k != 1])
+    d2 = ((ds.xq[:, None, :] - rows[None]) ** 2).sum(-1)
+    want = keep_ids[np.argsort(d2, axis=1)[:, :5]]
+    np.testing.assert_array_equal(np.sort(want, 1), np.sort(idf, 1))
