@@ -185,6 +185,8 @@ def remove_ids(index, selector: IDSelector) -> int:
     flat_x = db[keep]
     flat_ids = ids[keep].astype(np.int64)
     removed = index.ntotal - flat_x.shape[0]
+    from auncel_tpu.index.ivf import preserve_sq_range
+    preserve_sq_range(index)   # surviving SQ codes re-encode identically
     index.reset()
     if flat_x.shape[0]:
         index.add(flat_x, ids=flat_ids)

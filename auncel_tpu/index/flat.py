@@ -14,6 +14,26 @@ from auncel_tpu.index.base import Index
 from auncel_tpu.ops.knn import knn
 
 
+def _xb_reconstruct(xb: np.ndarray, key: int) -> np.ndarray:
+    """Single stored row with validation (Python negative indexing would
+    silently return the LAST vector; the reference raises)."""
+    if not 0 <= key < xb.shape[0]:
+        raise KeyError(f"id {key} not stored (ntotal={xb.shape[0]})")
+    return xb[key].copy()
+
+
+def _xb_reconstruct_batch(xb: np.ndarray, d: int,
+                          keys: np.ndarray) -> np.ndarray:
+    """Batched gather over a raw row store; negative keys -> zeros
+    (the search_and_reconstruct pad contract)."""
+    keys = np.asarray(keys, np.int64).reshape(-1)
+    if xb.shape[0] == 0:
+        return np.zeros((keys.size, d), np.float32)
+    out = xb[np.maximum(keys, 0)].copy()
+    out[keys < 0] = 0.0
+    return out
+
+
 class FlatIndex(Index):
     # ids are storage positions; callers that remap ids (IndexShards,
     # IndexIDMap) translate instead of passing explicit ids
@@ -50,18 +70,13 @@ class FlatIndex(Index):
         self._xb = np.zeros((0, self.d), np.float32)
 
     def reconstruct(self, key: int) -> np.ndarray:
-        return self._xb[key].copy()
+        return _xb_reconstruct(self._xb, key)
 
     def reconstruct_n(self, i0: int, n: int) -> np.ndarray:
         return self._xb[i0:i0 + n].copy()
 
     def reconstruct_batch(self, keys: np.ndarray) -> np.ndarray:
-        keys = np.asarray(keys, np.int64).reshape(-1)
-        if self.ntotal == 0:   # only -1 keys can be asked of an empty index
-            return np.zeros((keys.size, self.d), np.float32)
-        out = self._xb[np.maximum(keys, 0)].copy()
-        out[keys < 0] = 0.0
-        return out
+        return _xb_reconstruct_batch(self._xb, self.d, keys)
 
     def range_search(self, q: np.ndarray, radius: float):
         """All stored vectors within ``radius`` (reference
@@ -144,18 +159,13 @@ class IndexRefineFlat(Index):
         self._xb = np.zeros((0, self.d), np.float32)
 
     def reconstruct(self, key: int) -> np.ndarray:
-        return self._xb[key].copy()
+        return _xb_reconstruct(self._xb, key)
 
     def reconstruct_n(self, i0: int, n: int) -> np.ndarray:
         return self._xb[i0:i0 + n].copy()
 
     def reconstruct_batch(self, keys: np.ndarray) -> np.ndarray:
-        keys = np.asarray(keys, np.int64).reshape(-1)
-        if self._xb.shape[0] == 0:
-            return np.zeros((keys.size, self.d), np.float32)
-        out = self._xb[np.maximum(keys, 0)].copy()
-        out[keys < 0] = 0.0
-        return out
+        return _xb_reconstruct_batch(self._xb, self.d, keys)
 
     def search(self, q: np.ndarray, k: int, k_factor: float | None = None,
                **base_kwargs):

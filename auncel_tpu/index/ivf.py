@@ -69,6 +69,21 @@ def _scatter_pack(xd, list_idx, slot_idx, nlist, cap, dtype):
     return db, db_sq
 
 
+def preserve_sq_range(index) -> None:
+    """Pin the current affine SQ range on an index about to be rebuilt
+    from DECODED vectors (remove_ids / update_vectors / IDMap removal),
+    so re-encoding reproduces the surviving codes bit-for-bit instead of
+    re-training a shifted range — the same trick the exact-code reload
+    uses (io.py ``_sq_range_override``). No-op for non-SQ storage. PQ
+    storage has no equivalent (codebooks retrain on the decoded data;
+    the reference edits codes in place instead)."""
+    a = getattr(index, "_arrays", None)
+    if a is not None and a.sq_scale is not None:
+        index._sq_range_override = (
+            np.asarray(a.sq_bias, np.float32),
+            np.asarray(a.sq_scale, np.float32))
+
+
 @jax.jit
 def _sq_norms_fused(db_codes, scale, bias):
     """Decoded squared norms of a packed SQ tensor, fused under jit so
@@ -598,6 +613,7 @@ class IVFFlatIndex(Index):
         for j, vid in enumerate(flat_ids):
             if int(vid) in lut:
                 flat_x[j] = x[lut[int(vid)]]
+        preserve_sq_range(self)   # untouched rows re-encode identically
         self.reset()
         self.add(flat_x, ids=flat_ids)
 
@@ -614,8 +630,13 @@ class IVFFlatIndex(Index):
         codec (reference IndexIVF::reconstruct_from_offset,
         IndexIVF.h:264)."""
         a = self.arrays
-        assert 0 <= list_no < self.nlist
-        assert 0 <= offset < int(np.asarray(a.list_sizes)[list_no])
+        if not 0 <= list_no < self.nlist:
+            raise KeyError(f"list {list_no} out of range (nlist="
+                           f"{self.nlist})")
+        size = int(np.asarray(a.list_sizes[list_no]))
+        if not 0 <= offset < size:
+            raise KeyError(f"offset {offset} out of range for list "
+                           f"{list_no} (size {size})")
         blk = a.db[list_no, offset][None, None]
         return np.asarray(a.decode_block(blk), np.float32)[0, 0]
 

@@ -71,6 +71,8 @@ class IndexIDMap(Index):
         if removed == 0:
             return 0
         x = self.sub.reconstruct_n(0, self.sub.ntotal)
+        from auncel_tpu.index.ivf import preserve_sq_range
+        preserve_sq_range(self.sub)   # keep SQ codes bit-stable
         self.sub.reset()
         if keep.any():
             self.sub.add(x[keep])

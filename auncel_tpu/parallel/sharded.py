@@ -81,21 +81,28 @@ class ShardedIVF:
         self.nlist = nlist
         self.n_shards = n_shards
         self.metric = Metric.parse(metric)
-        self.mesh = mesh or make_mesh(n_shards)
-        assert self.mesh.shape[AXIS] == n_shards
-        # query data-parallel groups (1 = plain corpus sharding)
-        self.dp = int(dict(self.mesh.shape).get(DP, 1))
-        self._qin = P(DP) if self.dp > 1 else P(None)
-        self._qout = P(DP) if self.dp > 1 else P(None)
-        self._nscan_out = P(AXIS, DP) if self.dp > 1 else P(AXIS)
+        self._configure_mesh(mesh or make_mesh(n_shards), n_shards)
         self.shards: list[IVFFlatIndex] = []
         self.arrays: IVFArrays | None = None     # stacked [S, ...]
         self.traces: TraceSet | None = None      # stacked [S, ...]
+        self._host_traces = None                 # numpy mirror of traces
         self.mr = None                           # stacked MultiRowArrays
         self._mr_plan = None
         self.multipler = 1.0
         self.std_m = 1.0
         self._jit_fns: dict = {}   # cached SPMD closures (see _jitted)
+
+    def _configure_mesh(self, mesh: Mesh, n_shards: int) -> None:
+        """Validate + adopt a mesh and derive the dp partition specs
+        (shared by __init__ and drop_shard — one source of truth)."""
+        assert dict(mesh.shape)[AXIS] == n_shards, (
+            dict(mesh.shape), n_shards)
+        self.mesh = mesh
+        # query data-parallel groups (1 = plain corpus sharding)
+        self.dp = int(dict(mesh.shape).get(DP, 1))
+        self._qin = P(DP) if self.dp > 1 else P(None)
+        self._qout = P(DP) if self.dp > 1 else P(None)
+        self._nscan_out = P(AXIS, DP) if self.dp > 1 else P(AXIS)
 
     # ------------------------------------------------------------- build
 
@@ -204,7 +211,11 @@ class ShardedIVF:
                 std=jnp.pad(t.std, ((0, 0), (0, pad))),
                 n_bins=t.n_bins,
             ))
-        self.traces = _shard_leading(_stack_pytrees(padded), self.mesh)
+        stacked = _stack_pytrees(padded)
+        # host mirror: drop_shard must be able to re-stack WITHOUT reading
+        # the (possibly failed) devices
+        self._host_traces = jax.tree.map(np.asarray, stacked)
+        self.traces = _shard_leading(stacked, self.mesh)
 
     # -------------------------------------------------------- persistence
 
@@ -250,7 +261,9 @@ class ShardedIVF:
         s._stack()
         tp = os.path.join(dirpath, "traces.npz")
         if os.path.exists(tp):
-            s.traces = _shard_leading(load_trace_set(tp), s.mesh)
+            loaded = load_trace_set(tp)
+            s._host_traces = jax.tree.map(np.asarray, loaded)
+            s.traces = _shard_leading(loaded, s.mesh)
         if meta.get("multirow_row_cap"):
             s.enable_multirow(meta["multirow_row_cap"])
         return s
@@ -268,28 +281,34 @@ class ShardedIVF:
         partitions, while global recall degrades by at most the dropped
         partition's share of the corpus (1/S for round-robin splits).
         Profiles are NOT retrained — each survivor's phi->U map is
-        partition-local state.
+        partition-local state, re-staged from a HOST mirror so recovery
+        never reads the failed device. The default replacement mesh is
+        the old mesh minus the dropped shard's device column (the failed
+        device must not rejoin); pass ``mesh`` to override.
         """
         assert self.n_shards > 1, "cannot drop the last shard"
         assert 0 <= shard_id < self.n_shards
-        had_traces = self.traces is not None
-        if had_traces:
+        # Build + validate the replacement mesh BEFORE mutating any state.
+        if mesh is None:
+            devs = np.asarray(self.mesh.devices)
+            mesh = Mesh(np.delete(devs, shard_id, axis=-1),
+                        self.mesh.axis_names)
+        assert dict(mesh.shape)[AXIS] == self.n_shards - 1, (
+            dict(mesh.shape), self.n_shards - 1)
+        host_tr = None
+        if self._host_traces is not None:
             host_tr = jax.tree.map(
-                lambda a: np.delete(np.asarray(a), shard_id, axis=0),
-                jax.device_get(self.traces))
+                lambda a: np.delete(a, shard_id, axis=0),
+                self._host_traces)
         mr_cap = self._mr_row_cap if self.mr is not None else None
         del self.shards[shard_id]
         self.n_shards -= 1
-        self.mesh = mesh or make_mesh(self.n_shards,
-                                      dp=self.dp if self.dp > 1 else 1)
-        assert self.mesh.shape[AXIS] == self.n_shards
-        self.dp = int(dict(self.mesh.shape).get(DP, 1))
-        self._qin = P(DP) if self.dp > 1 else P(None)
-        self._qout = P(DP) if self.dp > 1 else P(None)
-        self._nscan_out = P(AXIS, DP) if self.dp > 1 else P(AXIS)
+        self._configure_mesh(mesh, self.n_shards)
         self.mr = None
+        self.traces = None
         self._stack()
-        if had_traces:
+        self._host_traces = host_tr
+        if host_tr is not None:
             self.traces = _shard_leading(host_tr, self.mesh)
         if mr_cap is not None:
             self.enable_multirow(mr_cap)

@@ -370,5 +370,29 @@ def test_reconstruct_from_offset(ds):
     l, s = np.argwhere(ids >= 0)[5]
     vec = idx.reconstruct_from_offset(int(l), int(s))
     np.testing.assert_array_equal(vec, ds.xb[ids[l, s]])
-    with pytest.raises(AssertionError):
+    with pytest.raises(KeyError):
         idx.reconstruct_from_offset(0, 10 ** 9)
+    with pytest.raises(KeyError):
+        FlatIndex(ds.d).reconstruct(-1)   # negative ids never index
+
+
+def test_remove_ids_keeps_sq_codes_bit_stable(ds):
+    """Removing ids from SQ storage must NOT re-train the affine range:
+    surviving vectors' decoded values (hence search distances) stay
+    bit-identical (preserve_sq_range — same trick as the exact reload)."""
+    from auncel_tpu.index.aux import remove_ids, IDSelectorBatch
+    idx = IVFFlatIndex(ds.d, 16, storage="sq8")
+    idx.train(ds.xt[:2000])
+    idx.add(ds.xb)
+    v0, i0 = idx.search(ds.xq, 10, nprobe=16)
+    drop = np.asarray([int(i0[0, 0])], np.int64)   # the top hit of query 0
+    remove_ids(idx, IDSelectorBatch(drop))
+    v1, i1 = idx.search(ds.xq, 10, nprobe=16)
+    # every surviving (query, id) pair keeps its EXACT distance
+    lut = {(q, int(i)): v for q in range(len(ds.xq))
+           for v, i in zip(v0[q], i0[q])}
+    for q in range(len(ds.xq)):
+        for v, i in zip(v1[q], i1[q]):
+            if (q, int(i)) in lut:
+                assert lut[(q, int(i))] == v, (q, i)
+    assert int(drop[0]) not in set(i1.ravel().tolist())
