@@ -20,3 +20,18 @@ acc = np.full(32, 0.9, np.float32)
 vals, ids, n_scanned = s.search_bounded(ds.xq, acc, query_k=10)
 print("global top-3 ids:", ids[:2, :3])
 print("per-shard mean lists scanned:", n_scanned.mean(axis=1))
+
+# --- Elastic degradation: a shard's device dies; survivors keep serving
+# (the reference's master would hang on the dead worker's recv,
+# dist/master.cpp:91-99). Profiles are partition-local state and are
+# re-staged from a host mirror; global recall degrades by the dropped
+# partition's corpus share while each survivor's bound still holds.
+if n_shards > 1:
+    s.drop_shard(0)
+    vals, ids, n_scanned = s.search_bounded(ds.xq, acc, query_k=10)
+    print(f"after drop_shard: {s.n_shards} shards, "
+          f"top-3 ids: {ids[:1, :3]}")
+
+# --- 2D scale-out: [dp, shard] mesh = query data-parallel groups over
+# corpus replicas (needs dp * n_shards devices):
+#   s = ShardedIVF(d, nlist, n_shards=4, mesh=make_mesh(4, dp=2))
