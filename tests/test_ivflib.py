@@ -73,6 +73,85 @@ def test_sliding_window(ds):
     assert ids0[0, 0] != 500  # batch 0 evicted
 
 
+def test_extract_index_ivf_unwraps_wrappers(ds, idx):
+    from auncel_tpu.index.meta import IndexIDMap
+    from auncel_tpu.index.transform import IndexPreTransform
+    from auncel_tpu.index.flat import FlatIndex
+    assert ivflib.extract_index_ivf(idx) is idx
+    assert ivflib.extract_index_ivf(IndexIDMap(idx)) is idx
+    assert ivflib.extract_index_ivf(
+        IndexPreTransform(idx, [])) is idx
+    with pytest.raises(TypeError):
+        ivflib.extract_index_ivf(FlatIndex(ds.d))
+
+
+def test_check_compatible_for_merge(ds, idx):
+    ok = IVFFlatIndex(ds.d, nlist=16)
+    ok.set_centroids(idx.centroids)
+    ivflib.check_compatible_for_merge(idx, ok)  # no raise
+    other = IVFFlatIndex(ds.d, nlist=16)
+    other.train(ds.xb[4000:])  # different quantizer
+    with pytest.raises(ValueError, match="quantizer|centroids"):
+        ivflib.check_compatible_for_merge(idx, other)
+    sq = IVFFlatIndex(ds.d, nlist=16, storage="sq8")
+    sq.set_centroids(idx.centroids)
+    with pytest.raises(ValueError, match="codec"):
+        ivflib.check_compatible_for_merge(idx, sq)
+
+
+def test_search_with_parameters_stateless(ds, idx):
+    # reference ivflib::search_with_parameters: explicit params for one
+    # call, persistent settings untouched
+    idx.nprobe = 1
+    v_ref, i_ref = idx.search(ds.xq, 5, nprobe=16)
+    v, i = ivflib.search_with_parameters(idx, ds.xq, 5, nprobe=16)
+    np.testing.assert_array_equal(i, i_ref)
+    np.testing.assert_allclose(v, v_ref, rtol=1e-6)
+    assert idx.nprobe == 1 and idx.max_codes == 0
+    # max_codes override throttles work without sticking
+    v2, _ = ivflib.search_with_parameters(idx, ds.xq, 5, nprobe=16,
+                                          max_codes=8)
+    assert idx.max_codes == 0
+    assert (v2 >= v_ref - 1e-6).all()  # budgeted scan can only be worse
+
+
+def test_invlist_range_roundtrip(ds, idx):
+    """get_invlist_range -> set_invlist_range is an identity splice, and
+    a cross-index splice transplants the donor's contents for that range
+    (reference IVFlib.h:111-117)."""
+    before_v, before_i = idx.search(ds.xq, 5, nprobe=16)
+    sl = ivflib.get_invlist_range(idx, 3, 9)
+    ivflib.set_invlist_range(idx, 3, 9, sl)     # identity
+    after_v, after_i = idx.search(ds.xq, 5, nprobe=16)
+    np.testing.assert_array_equal(after_i, before_i)
+    np.testing.assert_allclose(after_v, before_v, rtol=1e-5)
+
+    # donor trained with the SAME quantizer holds different vectors
+    donor = IVFFlatIndex(ds.d, nlist=16)
+    donor.set_centroids(idx.centroids)
+    donor.add(ds.xb[4000:8000], ids=np.arange(4000, 8000))
+    ivflib.set_invlist_range(idx, 3, 9,
+                             ivflib.get_invlist_range(donor, 3, 9))
+    # lists outside [3, 9) keep the original contents; inside, only donor
+    # ids (>= 4000) remain
+    a = idx.arrays
+    ids_np = np.asarray(a.vec_ids)
+    sizes = np.asarray(a.list_sizes)
+    for l in range(3, 9):
+        got = ids_np[l, : sizes[l]]
+        assert (got >= 4000).all(), f"list {l} kept stale entries"
+    outside = np.concatenate([ids_np[l, : sizes[l]]
+                              for l in list(range(3)) + list(range(9, 16))])
+    assert (outside < 4000).all()
+
+    with pytest.raises(ValueError, match="quantizer|centroid"):
+        bad = IVFFlatIndex(ds.d, nlist=16)
+        bad.train(ds.xb[4000:])
+        bad.add(ds.xb[4000:5000])
+        ivflib.set_invlist_range(idx, 3, 9,
+                                 ivflib.get_invlist_range(bad, 3, 9))
+
+
 def test_extract_vectors_residual_pq():
     """Regression: extract_vectors must return reconstructions, not raw
     residuals, for residual-PQ storage (merge_into re-adds them)."""
