@@ -68,7 +68,8 @@ class MRPlan(NamedTuple):
 def plan_mr_waves(rows_per_list: np.ndarray, nlist: int, decide_only: bool,
                   slack: float = 1.35, min_width: int = 8,
                   min_stage: int = 0, max_stage: int | None = None,
-                  exact_cover: bool = False) -> MRPlan:
+                  exact_cover: bool = False,
+                  min_decide_stage: int = 1) -> MRPlan:
     """Plan the wave schedule from the (host-known) per-list row counts.
 
     Width per stage ~ slack * mean rows/list * stage-delta; catch-up waves
@@ -85,6 +86,23 @@ def plan_mr_waves(rows_per_list: np.ndarray, nlist: int, decide_only: bool,
     can run stages (min_stage, max_stage] for a re-batched subset whose
     state (frontier at offsets[min_stage-1], stagnation counters) was
     carried over from the prefix run (ErrorSys's mid-decide re-batching).
+
+    ``min_decide_stage`` COALESCES the early stages: decision boundaries
+    below it are dropped, so their scan rows fold into the first kept
+    stage's wave — one gather + one merge + one decide block where the
+    full ladder ran one per power-of-two stage. Strictly
+    bound-CONSERVATIVE: a query that would have decided at a dropped
+    stage s sees its first predicate at the kept stage s' > s with an
+    identical-by-construction top-k snapshot (every earlier list is
+    scanned inside the coalesced wave), so it terminates later with a
+    larger budget, never earlier (see
+    tests/test_bounded_mr.py::test_min_decide_stage_is_conservative).
+    The stagnation counter also starts later (first COMPLETE boundary is
+    s'), which only delays the forced recall=1 override — the same
+    conservative direction. This trades scan work on early-deciding
+    queries for fewer per-wave fixed costs (exact top-k merges measured
+    at 3-9 ms each at batch 1024, RESULTS_r3.md); worth it when the
+    workload is merge-dominated (easy workloads, small mean probes).
     """
     rpl = np.asarray(rows_per_list, np.int64)
     desc = np.sort(rpl)[::-1]
@@ -96,6 +114,11 @@ def plan_mr_waves(rows_per_list: np.ndarray, nlist: int, decide_only: bool,
         bounds = [b for b in bounds if b <= cap_stage]
     if max_stage is not None:
         bounds = [b for b in bounds if b <= max_stage]
+    if min_decide_stage > 1 and bounds:
+        # never drop the forced stage (nlist/8) or the window's last
+        # bound: the reference's forced decision must run at cap_stage
+        keep_from = min(int(min_decide_stage), cap_stage, bounds[-1])
+        bounds = [b for b in bounds if b >= keep_from]
     S = bounds[-1] if decide_only else nlist
     out_slots = int(sum_top[min(S, nlist)])
     waves = []
@@ -375,15 +398,18 @@ class MROneShotPlan(NamedTuple):
 def plan_oneshot(rows_per_list: np.ndarray, nlist: int, split: int = 8,
                  a2_cap: int = 64, tail_cap: int = 256,
                  slack: float = 1.35, min_width: int = 8,
-                 tail_waves: int | None = None) -> MROneShotPlan:
+                 tail_waves: int | None = None,
+                 min_decide_stage: int = 1) -> MROneShotPlan:
     rpl = np.asarray(rows_per_list, np.int64)
     cap_stage = max(nlist // 8, 1)
     split = min(split, cap_stage)
     a1 = plan_mr_waves(rpl, nlist, True, slack, min_width, 0, split,
-                       exact_cover=True)
+                       exact_cover=True,
+                       min_decide_stage=min_decide_stage)
     if split < cap_stage:
         a2 = plan_mr_waves(rpl, nlist, True, slack, min_width,
-                           split, cap_stage, exact_cover=True)
+                           split, cap_stage, exact_cover=True,
+                           min_decide_stage=min_decide_stage)
     else:
         a2 = MRPlan((), cap_stage, int(np.sort(rpl)[::-1][
             :min(cap_stage, rpl.size)].sum()))

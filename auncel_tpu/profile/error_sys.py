@@ -85,6 +85,13 @@ class ErrorSys:
         self.profile = False           # record t_recalls (effect_error mode)
         self.query_topk = max_topk
         self.per_probe_ms: float | None = None
+        # Coalesce decision stages below this (plan_mr_waves
+        # min_decide_stage): 1 = the reference's full power-of-two ladder;
+        # 4 folds stages 1-2 into one wide wave — fewer merge+decide
+        # blocks per window, strictly bound-conservative (decisions land
+        # at the same or a later stage with the same snapshot). A perf
+        # knob for merge-dominated (easy) workloads.
+        self.min_decide_stage = 1
         self.gt_D: np.ndarray | None = None
         self.gt_I: np.ndarray | None = None
         # online state (set_queries)
@@ -192,10 +199,11 @@ class ErrorSys:
         return mr
 
     def _mr_oneshot_plan(self):
-        key = "oneshot"
+        key = ("oneshot", int(self.min_decide_stage))
         if key not in self._mr_plans:
             self._mr_plans[key] = plan_oneshot(
-                self._mr_rpl, self.index.nlist)
+                self._mr_rpl, self.index.nlist,
+                min_decide_stage=int(self.min_decide_stage))
         return self._mr_plans[key]
 
     def _dev_all(self):

@@ -166,6 +166,82 @@ def test_tiny_multipler_forced_floor_is_full_scan(trained):
         es.set_hyper(multipler=old_m, std_m=es.std_m)
 
 
+def test_min_decide_stage_is_conservative(trained):
+    """Coalescing early decision stages (min_decide_stage) must terminate
+    every query at the SAME stage or LATER (never earlier) — the
+    bound-conservativeness contract of the merge-block-reduction knob.
+    Scanning strictly more lists can also only improve the exact top-k."""
+    idx, es, xq, gt_D, n_train, n_test = trained
+    idx.enable_multirow(row_cap=128)
+    mr = idx.multirow
+    q = xq[n_train:n_train + n_test]
+    acc = np.full(n_test, 0.9, np.float32)
+    v1, i1, np1, ns1, _ = _run_mr(idx, es, q, acc)  # full ladder
+    rpl = np.asarray(mr.rows_per_list)
+    cap_stage = max(idx.nlist // 8, 1)
+    for mds in (2, 4, idx.nlist):  # nlist over-asks; clamps to cap_stage
+        plan = plan_mr_waves(rpl, idx.nlist, decide_only=False,
+                             min_decide_stage=mds)
+        stages = sorted({s for (s, w, dec, main) in plan.waves if dec})
+        assert stages[0] >= min(mds, cap_stage)
+        assert cap_stage in stages     # forced stage never dropped
+        v2, i2, np2, ns2, _ = _run_mr(idx, es, q, acc, plan=plan)
+        assert (np2 >= np1).all(), (mds, np1[np2 < np1], np2[np2 < np1])
+        assert (ns2 >= ns1).all()
+        # more lists scanned -> exact top-k over a superset prefix
+        assert (v2[:, :es.query_topk] <= v1[:, :es.query_topk] + 1e-6).all()
+        assert (np2 > 0).all()         # everyone still decides
+
+
+def test_min_decide_stage_oneshot_matches_wave_engine(trained):
+    """The single-dispatch engine under a coalesced plan equals the wave
+    engine under the same coalescing — the knob composes with the
+    device-side compaction phases."""
+    idx, es, xq, gt_D, n_train, n_test = trained
+    idx.enable_multirow(row_cap=128)
+    mr = idx.multirow
+    q = xq[n_train:n_train + n_test]
+    acc = np.full(n_test, 0.9, np.float32)
+    rpl = np.asarray(mr.rows_per_list)
+    wave_plan = plan_mr_waves(rpl, idx.nlist, decide_only=False,
+                              min_decide_stage=4)
+    v1, i1, np1, ns1, _ = _run_mr(idx, es, q, acc, plan=wave_plan)
+    plan = plan_oneshot(rpl, idx.nlist, min_decide_stage=4)
+    out = bounded_oneshot_mr(
+        idx.arrays, mr, es.traces, jnp.asarray(q), jnp.asarray(acc),
+        jnp.float32(es.multipler), jnp.float32(es.std_m),
+        jnp.zeros(n_test, jnp.float32), es.query_topk, es.max_topk,
+        idx.metric, plan)
+    v2, i2, np2, ns2, _ = [np.asarray(x) for x in out]
+    np.testing.assert_array_equal(np1, np2)
+    np.testing.assert_array_equal(ns1, ns2)
+    np.testing.assert_array_equal(v1, v2)
+    np.testing.assert_array_equal(i1, i2)
+
+
+def test_min_decide_stage_errsys_bound_holds(trained):
+    """ErrorSys with the knob on: every query scans at least as much and
+    the achieved worst-case recall never drops below the full ladder's."""
+    from auncel_tpu.autotune import recall_counts
+    idx, es, xq, gt_D, n_train, n_test = trained
+    idx.enable_multirow(row_cap=128)
+    D1, I1 = es.search(n_train, n_test)
+    ns1 = es.n_scanned[n_train:n_train + n_test].copy()
+    rec1 = recall_counts(D1, gt_D[n_train:n_train + n_test],
+                         es.query_topk, idx.metric)
+    try:
+        es.min_decide_stage = 4
+        D2, I2 = es.search(n_train, n_test)
+        ns2 = es.n_scanned[n_train:n_train + n_test].copy()
+        rec2 = recall_counts(D2, gt_D[n_train:n_train + n_test],
+                             es.query_topk, idx.metric)
+        assert (ns2 >= ns1).all()
+        assert rec2.min() >= rec1.min()
+        assert (rec2 >= rec1).all()    # superset prefix per query
+    finally:
+        es.min_decide_stage = 1
+
+
 def test_degenerate_trace_never_terminates():
     """Regression: a stage whose trace collected no training pairs must
     keep the conservative EMPTY_TRACE_U for every phi (the above-range
