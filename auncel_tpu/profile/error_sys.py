@@ -199,6 +199,7 @@ class ErrorSys:
         return mr
 
     def _mr_oneshot_plan(self):
+        assert self._mr() is not None, "multirow layout not enabled"
         key = ("oneshot", int(self.min_decide_stage))
         if key not in self._mr_plans:
             self._mr_plans[key] = plan_oneshot(
