@@ -78,6 +78,14 @@ class FlatIndex(Index):
     def reconstruct_batch(self, keys: np.ndarray) -> np.ndarray:
         return _xb_reconstruct_batch(self._xb, self.d, keys)
 
+    def compute_distance_subset(self, q: np.ndarray,
+                                labels: np.ndarray) -> np.ndarray:
+        """Distances to per-query candidate rows, in label order
+        (reference IndexFlat::compute_distance_subset,
+        IndexFlat.cpp:60-96); labels < 0 give the metric's worst."""
+        from auncel_tpu.ops.knn import compute_distance_subset
+        return compute_distance_subset(q, self._xb, labels, self.metric)
+
     def range_search(self, q: np.ndarray, radius: float):
         """All stored vectors within ``radius`` (reference
         IndexFlat::range_search, IndexFlat.cpp — L2: squared distance <

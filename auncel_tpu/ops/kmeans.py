@@ -29,6 +29,20 @@ from auncel_tpu.types import Metric
 from auncel_tpu.ops.distance import pairwise_l2sqr, sqnorms
 
 
+def imbalance_factor(assign: np.ndarray, k: int) -> float:
+    """Cluster-size imbalance diagnostic (reference imbalance_factor,
+    utils.cpp:1056-1076): k * sum(hist^2) / n^2 — 1.0 for perfectly
+    balanced clusters, k when everything lands in one cell. The
+    reference's Clustering prints it per iteration; here it is the
+    layout-skew statistic callers use to pick between the padded and
+    multirow scan layouts."""
+    hist = np.bincount(np.asarray(assign, np.int64), minlength=k)
+    n = float(hist.sum())
+    if n == 0:
+        return 0.0
+    return float((hist.astype(np.float64) ** 2).sum() * k / (n * n))
+
+
 class KmeansParams(NamedTuple):
     niter: int = 25                      # Clustering.h:22 (IVF sets 25)
     nredo: int = 1

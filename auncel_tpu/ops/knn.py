@@ -108,6 +108,63 @@ def knn(
     return KnnResult(out_vals, out_ids)
 
 
+@functools.partial(jax.jit, static_argnames=("metric",))
+def _subset_scores(q, db, labels, metric):
+    """[nq, ns] metric values of q[i] vs db[labels[i]]; worst at
+    labels < 0. f32 HIGHEST like the main drivers — values agree with
+    exact_search within the repo's 1e-5 rel invariant (the batched-vs-
+    per-query contraction order differs in the last ulp)."""
+    from auncel_tpu.types import worst_value
+    sub = db[jnp.maximum(labels, 0)]                     # [nq, ns, d]
+    dots = jnp.einsum("bsd,bd->bs", sub, q,
+                      preferred_element_type=jnp.float32,
+                      precision=jax.lax.Precision.HIGHEST)
+    if metric is Metric.L2:
+        scores = jnp.maximum(
+            sqnorms(q)[:, None] + jnp.sum(jnp.square(sub), -1)
+            - 2.0 * dots, 0.0)
+    else:
+        scores = dots
+    return jnp.where(labels >= 0, scores, worst_value(metric))
+
+
+def compute_distance_subset(queries: np.ndarray, corpus: np.ndarray,
+                            labels: np.ndarray,
+                            metric: Metric = Metric.L2) -> np.ndarray:
+    """Distances of each query to ITS OWN candidate-id row, in label
+    order (reference IndexFlat::compute_distance_subset,
+    IndexFlat.cpp:60-96 — the re-ranking primitive behind
+    IndexRefineFlat). labels < 0 return the metric's worst value."""
+    q = jnp.asarray(np.asarray(queries, np.float32))
+    db = jnp.asarray(np.asarray(corpus, np.float32))
+    labels = jnp.asarray(np.asarray(labels, np.int64).astype(np.int32))
+    return np.asarray(_subset_scores(q, db, labels, Metric.parse(metric)))
+
+
+def knn_by_idx(queries: np.ndarray, corpus: np.ndarray,
+               labels: np.ndarray, k: int,
+               metric: Metric = Metric.L2) -> KnnResult:
+    """Top-k among per-query candidate id lists (reference
+    ``knn_L2sqr_by_idx`` / ``knn_inner_products_by_idx``,
+    utils.cpp:729-823: re-rank a pre-selected vector list). Returned ids
+    are CORPUS ids; labels < 0 are excluded (the reference's IP variant
+    stops at the first negative id — a mask is the batched equivalent)."""
+    metric = Metric.parse(metric)
+    q = jnp.asarray(np.asarray(queries, np.float32))
+    db = jnp.asarray(np.asarray(corpus, np.float32))
+    lab = jnp.asarray(np.asarray(labels, np.int64).astype(np.int32))
+    scores = _subset_scores(q, db, lab, metric)
+    vals, ids = topk_scores(scores, lab, min(k, lab.shape[1]), metric)
+    if k > lab.shape[1]:  # pad like the heap (worst value, id -1)
+        from auncel_tpu.types import worst_value
+        pad = k - lab.shape[1]
+        vals = jnp.concatenate(
+            [vals, jnp.full((vals.shape[0], pad), worst_value(metric))], 1)
+        ids = jnp.concatenate(
+            [ids, jnp.full((ids.shape[0], pad), -1, ids.dtype)], 1)
+    return KnnResult(np.asarray(vals), np.asarray(ids))
+
+
 def knn_l2sqr_base_shift(queries: np.ndarray, corpus: np.ndarray, k: int,
                          base_shift: np.ndarray,
                          q_block: int = 4096) -> KnnResult:

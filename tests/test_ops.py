@@ -106,3 +106,70 @@ def test_kmeans_convenience_class(rng):
     assert np.isfinite(err) and km.centroids.shape == (16, 8)
     a = km.assign(x[:100])
     assert a.shape == (100,) and a.max() < 16
+
+
+@pytest.mark.parametrize("metric", [Metric.L2, Metric.IP])
+def test_knn_by_idx_reranks_candidate_lists(rng, metric):
+    """reference knn_L2sqr_by_idx / knn_inner_products_by_idx
+    (utils.cpp:729-823): top-k restricted to per-query id lists."""
+    from auncel_tpu.ops.knn import knn_by_idx, compute_distance_subset
+    q = rng.randn(6, 24).astype(np.float32)
+    db = rng.randn(200, 24).astype(np.float32)
+    labels = np.stack([rng.choice(200, 20, replace=False)
+                       for _ in range(6)]).astype(np.int64)
+    labels[0, 15:] = -1            # excluded slots
+    res = knn_by_idx(q, db, labels, 5, metric)
+    # numpy oracle over the same candidate sets
+    for i in range(6):
+        cand = labels[i][labels[i] >= 0]
+        if metric is Metric.L2:
+            d = ((q[i][None] - db[cand]) ** 2).sum(1)
+            order = np.argsort(d)
+        else:
+            d = db[cand] @ q[i]
+            order = np.argsort(-d)
+        np.testing.assert_array_equal(res.ids[i], cand[order[:5]])
+        np.testing.assert_allclose(res.vals[i], d[order[:5]], rtol=1e-5)
+    # subset distances come back in label order
+    sub = compute_distance_subset(q, db, labels, metric)
+    assert sub.shape == labels.shape
+    j = labels[2, 3]
+    want = (((q[2] - db[j]) ** 2).sum() if metric is Metric.L2
+            else db[j] @ q[2])
+    np.testing.assert_allclose(sub[2, 3], want, rtol=1e-5)
+    # k > n_candidates pads with worst/-1 like the heap contract
+    wide = knn_by_idx(q, db, labels, 30, metric)
+    assert (wide.ids[:, 25:] == -1).all()
+
+
+def test_knn_by_idx_values_match_main_driver(rng):
+    """Value-consistency: the subset scorer and the blocked kNN driver
+    compute identical f32 distances for shared (query, id) pairs."""
+    from auncel_tpu.ops.knn import knn_by_idx
+    q = rng.randn(4, 32).astype(np.float32)
+    db = rng.randn(100, 32).astype(np.float32)
+    full = knn(q, db, 10, Metric.L2)
+    res = knn_by_idx(q, db, full.ids.astype(np.int64), 10, Metric.L2)
+    np.testing.assert_array_equal(res.ids, full.ids)
+    np.testing.assert_allclose(res.vals, full.vals, rtol=1e-5)
+
+
+def test_imbalance_factor():
+    from auncel_tpu.ops.kmeans import imbalance_factor
+    assert imbalance_factor(np.repeat(np.arange(8), 10), 8) == 1.0
+    assert imbalance_factor(np.zeros(100, np.int64), 8) == 8.0
+    skew = imbalance_factor(np.repeat([0, 1], [90, 10]), 2)
+    assert 1.0 < skew < 2.0
+
+
+def test_flat_compute_distance_subset(rng):
+    from auncel_tpu.index.flat import FlatIndex
+    idx = FlatIndex(16)
+    xb = rng.randn(50, 16).astype(np.float32)
+    idx.add(xb)
+    q = rng.randn(3, 16).astype(np.float32)
+    labels = np.array([[0, 5, -1], [7, 7, 2], [49, 0, 1]], np.int64)
+    out = idx.compute_distance_subset(q, labels)
+    np.testing.assert_allclose(
+        out[1, 0], ((q[1] - xb[7]) ** 2).sum(), rtol=1e-5)
+    assert out[0, 2] == np.float32(np.inf) or out[0, 2] >= 1e30
