@@ -71,9 +71,61 @@ def _pq_scan(pq_books, codes, q, qcodes, ht, n_real, k, metric, block):
     return jax.lax.fori_loop(0, n_blocks, body, init_topk((B,), k, metric))
 
 
+@functools.partial(jax.jit, static_argnames=("k", "mode", "block"))
+def _code_scan(codes, qcodes, qrows, n_real, k, mode, block):
+    """Blocked CODE-DOMAIN scan (reference IndexPQ.h:75-82 search types
+    beyond ADC): ``he`` = bit-Hamming over the M code bytes (ST_HE),
+    ``ghe`` = count of differing sub-codes (ST_generalized_HE ranks by
+    most MATCHING codes — equivalent ascending order), ``sdc`` = symmetric
+    PQ distance summed from per-subspace codebook tables (ST_SDC). All
+    rank ascending; sdc scores come from ``qrows`` [B, M, 256] (the
+    query-code rows of the SDC table) contracted against one-hot stored
+    codes on the MXU."""
+    n = codes.shape[0]
+    B = qcodes.shape[0]
+    pop = jnp.asarray(POPCOUNT8)
+    n_blocks = n // block
+
+    def body(bi, carry):
+        rvals, rids = carry
+        blk = jax.lax.dynamic_slice_in_dim(codes, bi * block, block, 0)
+        diff = blk[None, :, :] ^ qcodes[:, None, :]     # [B, block, M]
+        if mode == "he":
+            scores = jnp.sum(pop[diff.astype(jnp.int32)],
+                             axis=-1).astype(jnp.float32)
+        elif mode == "ghe":
+            scores = jnp.sum((diff != 0).astype(jnp.float32), axis=-1)
+        else:  # sdc
+            onehot = jax.nn.one_hot(blk, 256, dtype=jnp.float32)
+            scores = jnp.einsum("bmc,nmc->bn", qrows, onehot,
+                                preferred_element_type=jnp.float32,
+                                precision=jax.lax.Precision.HIGHEST)
+        ids = bi * block + jax.lax.broadcasted_iota(
+            jnp.int32, (B, block), 1)
+        ok = ids < n_real
+        scores = jnp.where(ok, scores, jnp.inf)
+        ids = jnp.where(ok, ids, -1)
+        allv = jnp.concatenate([rvals, scores], -1)
+        alli = jnp.concatenate([rids, ids], -1)
+        return topk_scores(allv, alli, k, Metric.L2)
+
+    return jax.lax.fori_loop(0, n_blocks, body,
+                             init_topk((B,), k, Metric.L2))
+
+
 class IndexPQ(Index):
+    """search_type mirrors the reference enum (IndexPQ.h:75-82):
+    "pq" = ADC (default), "he" / "ghe" = (generalized) Hamming over
+    codes, "sdc" = symmetric PQ distance, "polysemous" = ADC with the
+    Hamming prefilter (requires polysemous=True training + ht > 0)."""
+
+    SEARCH_TYPES = ("pq", "he", "ghe", "sdc", "polysemous")
+
     def __init__(self, d: int, M: int = 8, metric: Metric = Metric.L2,
-                 polysemous: bool = False, polysemous_ht: int = 0):
+                 polysemous: bool = False, polysemous_ht: int = 0,
+                 search_type: str = "pq"):
+        assert search_type in self.SEARCH_TYPES, search_type
+        self.search_type = search_type
         self.d = d
         self.M = M
         self.metric = Metric.parse(metric)
@@ -100,6 +152,7 @@ class IndexPQ(Index):
                                         seed=123 + m)
                 out[m, perm] = books[m]
             self.pq = PQCodebooks(jnp.asarray(out))
+        self._sdc = None  # SDC tables follow the codebooks
         self.is_trained = True
 
     def add(self, x: np.ndarray, ids=None) -> None:
@@ -114,9 +167,27 @@ class IndexPQ(Index):
         self._codes = np.zeros((0, self.M), np.uint8)
         self._dev = None
 
-    def search(self, q: np.ndarray, k: int, ht: int | None = None):
-        """ADC search; ``ht`` > 0 applies the polysemous Hamming filter
+    def _sdc_table(self) -> jnp.ndarray:
+        """[M, 256, 256] per-subspace squared-L2 codeword tables
+        (reference ProductQuantizer::compute_sdc_table). Built lazily
+        once per trained codebook."""
+        if getattr(self, "_sdc", None) is None:
+            cb = self.pq.codebooks                     # [M, 256, d/M]
+            sq = jnp.sum(jnp.square(cb), -1)
+            dots = jnp.einsum("mid,mjd->mij", cb, cb,
+                              preferred_element_type=jnp.float32,
+                              precision=jax.lax.Precision.HIGHEST)
+            self._sdc = jnp.maximum(
+                sq[:, :, None] + sq[:, None, :] - 2.0 * dots, 0.0)
+        return self._sdc
+
+    def search(self, q: np.ndarray, k: int, ht: int | None = None,
+               search_type: str | None = None):
+        """Search under ``search_type`` (default: the constructor's).
+        For "pq"/"polysemous", ``ht`` > 0 applies the Hamming prefilter
         (reference search_core_polysemous)."""
+        st = search_type or self.search_type
+        assert st in self.SEARCH_TYPES, st
         q = np.asarray(q, np.float32)
         ht = self.polysemous_ht if ht is None else ht
         n = self.ntotal
@@ -131,8 +202,20 @@ class IndexPQ(Index):
             self._dev = jnp.asarray(codes)
         qd = jnp.asarray(q)
         qcodes = encode_pq(self.pq, qd)
-        vals, ids = _pq_scan(
-            self.pq.codebooks, self._dev, qd, qcodes,
-            jnp.int32(ht if ht and ht > 0 else -1), jnp.int32(n), k,
-            self.metric, block)
+        if st in ("he", "ghe", "sdc"):
+            if st == "sdc":
+                if self.metric is not Metric.L2:
+                    raise ValueError("ST_SDC is an L2 capability "
+                                     "(IndexPQ.cpp search_core_sdc)")
+                qrows = self._sdc_table()[
+                    jnp.arange(self.M)[None, :], qcodes]   # [B, M, 256]
+            else:
+                qrows = jnp.zeros((q.shape[0], self.M, 256), jnp.float32)
+            vals, ids = _code_scan(self._dev, qcodes, qrows, jnp.int32(n),
+                                   k, st, block)
+        else:
+            vals, ids = _pq_scan(
+                self.pq.codebooks, self._dev, qd, qcodes,
+                jnp.int32(ht if ht and ht > 0 else -1), jnp.int32(n), k,
+                self.metric, block)
         return np.asarray(vals), np.asarray(ids).astype(np.int64)

@@ -145,3 +145,54 @@ def test_ivfpq_polysemous_ht():
     dims = dict(ps.parameter_ranges())
     assert "ht" in dims and "nprobe" in dims
     idx.polysemous_ht = 0
+
+
+def test_search_types_he_ghe_sdc(ds, gt):
+    """The code-domain search types (reference IndexPQ.h:75-82): each is
+    verified against a numpy oracle on the stored codes; SDC recall must
+    land near ADC's (both rank by codeword geometry)."""
+    _, gti = gt
+    idx = IndexPQ(ds.d, M=8, polysemous=True)
+    idx.train(ds.xb[:4000], sa_iters=10_000)
+    idx.add(ds.xb)
+    from auncel_tpu.ops.pq import encode_pq
+    import jax.numpy as jnp
+    codes = idx._codes
+    qcodes = np.asarray(encode_pq(idx.pq, jnp.asarray(ds.xq)))
+    POP = np.unpackbits(np.arange(256, dtype=np.uint8)[:, None],
+                        axis=1).sum(1)
+
+    # ST_HE: bit-Hamming over code bytes
+    v, i = idx.search(ds.xq, 5, search_type="he")
+    for qi in range(0, len(ds.xq), 7):
+        ham = POP[codes ^ qcodes[qi]].sum(1)
+        assert v[qi, 0] == ham.min()
+        assert ham[i[qi, 0]] == ham.min()
+        # returned list is ascending and matches the oracle multiset
+        np.testing.assert_array_equal(np.sort(v[qi]), v[qi])
+        np.testing.assert_array_equal(v[qi], np.sort(ham)[:5])
+
+    # ST_generalized_HE: differing sub-code count
+    v, i = idx.search(ds.xq, 5, search_type="ghe")
+    for qi in range(0, len(ds.xq), 7):
+        g = (codes != qcodes[qi]).sum(1)
+        np.testing.assert_array_equal(v[qi], np.sort(g)[:5])
+
+    # ST_SDC: symmetric distance via codeword tables
+    v, i = idx.search(ds.xq, 10, search_type="sdc")
+    sdc = np.asarray(idx._sdc_table())
+    for qi in range(0, len(ds.xq), 11):
+        d = sdc[np.arange(8)[None, :], qcodes[qi][None, :],
+                codes].sum(1)
+        np.testing.assert_allclose(v[qi, 0], d.min(), rtol=1e-4)
+        assert abs(d[i[qi, 0]] - d.min()) < 1e-3
+    rec_sdc = _recall(i, gti)
+    _, i_adc = idx.search(ds.xq, 10, search_type="pq")
+    rec_adc = _recall(i_adc, gti)
+    assert rec_sdc >= rec_adc - 0.15, (rec_sdc, rec_adc)
+
+    with pytest.raises(ValueError, match="SDC"):
+        ip = IndexPQ(ds.d, M=8, metric=Metric.IP, search_type="sdc")
+        ip.train(ds.xb[:2000])
+        ip.add(ds.xb[:2000])
+        ip.search(ds.xq, 5)
