@@ -111,15 +111,29 @@ class OnDiskIVFIndex:
     def _page_blocks(self, lists: np.ndarray):
         """Page the given lists from disk (deduplicated) and upload one
         compact block batch padded to a power-of-two block count."""
+        from auncel_tpu import native
         uniq = np.unique(np.asarray(lists).ravel())
         uniq = uniq[uniq >= 0]
         nb = self._bucket(max(int(uniq.size), 1))
         cap = self.db.shape[1]
         blocks = np.zeros((nb, cap, self.d), np.float32)
         block_ids = np.full((nb, cap), -1, np.int32)
-        # this indexing is what pages the touched lists from disk
-        blocks[: uniq.size] = self.db[uniq]
-        block_ids[: uniq.size] = self.vec_ids[uniq]
+        # this indexing is what pages the touched lists from disk; the
+        # native threaded gather fans the page faults + copies across
+        # cores (reference prefetch_lists capability), numpy fallback
+        # pages serially
+        # (tests substitute a counting proxy for self.db to PROVE only
+        # probed lists are touched — the native gather reads raw memory,
+        # so it runs only on real ndarrays/memmaps; by construction it
+        # copies exactly the `uniq` rows, the same contract the proxy
+        # test enforces on the fallback path)
+        def _page(src, dst):
+            if (uniq.size and isinstance(src, np.ndarray)
+                    and native.gather_rows(src, uniq, out=dst) is not None):
+                return
+            dst[:] = src[uniq]
+        _page(self.db, blocks[: uniq.size])
+        _page(self.vec_ids, block_ids[: uniq.size])
         return jnp.asarray(blocks), jnp.asarray(block_ids), uniq
 
     def attach_profile(self, traces, multipler: float = 1.0,

@@ -93,4 +93,19 @@ void pack_lists(const float* x, const int64_t* vid, const int64_t* order,
   }
 }
 
+// Gather scattered rows from a (possibly mmap'd) source into a contiguous
+// destination: dst[i] = src[rows[i]], row_bytes each. The parallel loop
+// fans mmap page faults out across threads — the capability of the
+// reference's pread-thread list prefetcher (OnDiskInvertedLists.h:51
+// prefetch_lists), recast for the npy-mmap on-disk layout. Single-thread
+// numpy fancy indexing faults and copies rows serially; this overlaps
+// both.
+void gather_rows(const char* src, const int64_t* rows, int64_t n_rows,
+                 int64_t row_bytes, char* dst) {
+#pragma omp parallel for schedule(dynamic, 1)
+  for (int64_t i = 0; i < n_rows; i++) {
+    std::memcpy(dst + i * row_bytes, src + rows[i] * row_bytes, row_bytes);
+  }
+}
+
 }  // extern "C"

@@ -69,3 +69,31 @@ def test_pack_lists_matches_python(lib_ok, rng):
         np.testing.assert_array_equal(ids[l, : e - s], sorted_ids[s:e])
         assert np.all(ids[l, e - s:] == -1)
         assert np.all(db[l, e - s:] == 0)
+
+
+def test_gather_rows_matches_fancy_index(tmp_path):
+    """Threaded row gather (reference prefetch_lists capability) ==
+    numpy fancy index, on both in-memory and mmap'd sources."""
+    from auncel_tpu import native
+    if not native.available():
+        import pytest
+        pytest.skip("native lib unavailable")
+    rng = np.random.RandomState(3)
+    src = rng.randn(500, 17, 8).astype(np.float32)
+    rows = rng.choice(500, 160, replace=False)
+    out = native.gather_rows(src, rows)
+    np.testing.assert_array_equal(out, src[rows])
+    # int32 source + preallocated destination
+    isrc = rng.randint(0, 1 << 30, (300, 9)).astype(np.int32)
+    rows2 = rng.choice(300, 10, replace=False)
+    dst = np.empty((10, 9), np.int32)
+    got = native.gather_rows(isrc, rows2, out=dst)
+    assert got is dst
+    np.testing.assert_array_equal(dst, isrc[rows2])
+    # mmap'd npy source (the on-disk pager's case)
+    p = str(tmp_path / "src.npy")
+    np.save(p, src)
+    mm = np.load(p, mmap_mode="r")
+    np.testing.assert_array_equal(native.gather_rows(mm, rows), src[rows])
+    # empty row set
+    assert native.gather_rows(src, np.zeros(0, np.int64)).shape[0] == 0
