@@ -87,11 +87,26 @@ def set_invlist_range(index, i0: int, i1: int, src) -> None:
     value-identical for quantizer-consistent slices. Requires the default
     no-spill packing (cap_quantile == 1.0); spilled layouts re-home
     boundary vectors differently and the splice would not round-trip."""
-    from auncel_tpu.index.ivf import decoded_db, preserve_sq_range
+    from auncel_tpu.index.ivf import (decoded_db, preserve_sq_range,
+                                      IVFFlatDedupIndex)
     ivf = extract_index_ivf(index)
     if ivf.cap_quantile < 1.0:
         raise ValueError("set_invlist_range requires cap_quantile == 1.0 "
                          "(list spilling re-homes boundary vectors)")
+    if isinstance(ivf, IVFFlatDedupIndex):
+        # the rebuild path would drop the dedup multimap for EVERY list,
+        # not just the replaced range (the reference splices raw invlist
+        # memory and leaves its dedup map intact)
+        raise TypeError("set_invlist_range does not support "
+                        "IVFFlatDedupIndex")
+    if ivf.storage.startswith("pq"):
+        # re-adding decoded vectors RETRAINS the PQ codebooks, shifting
+        # codes (and distances) for lists the splice never touched —
+        # unlike SQ, there is no exact-code re-encode to pin
+        # (preserve_sq_range's trick has no PQ equivalent)
+        raise ValueError("set_invlist_range does not support pq storage "
+                         "(codebooks would retrain; distances of "
+                         "untouched lists would shift)")
     a = ivf.arrays
     n_src = np.asarray(src.db).shape[0]
     if not (0 <= i0 < i1 <= a.nlist and n_src == i1 - i0):

@@ -210,7 +210,10 @@ class IndexPQ(Index):
                 qrows = self._sdc_table()[
                     jnp.arange(self.M)[None, :], qcodes]   # [B, M, 256]
             else:
-                qrows = jnp.zeros((q.shape[0], self.M, 256), jnp.float32)
+                # mode is a static argname, so the he/ghe trace never
+                # reads qrows — a [1,1,1] dummy satisfies the signature
+                # without materializing a [B, M, 256] f32 buffer per call
+                qrows = jnp.zeros((1, 1, 1), jnp.float32)
             vals, ids = _code_scan(self._dev, qcodes, qrows, jnp.int32(n),
                                    k, st, block)
         else:

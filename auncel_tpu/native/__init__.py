@@ -21,18 +21,29 @@ def _try_load():
         # remember failure: re-running `make` (up to its 120 s timeout)
         # on EVERY call would tax each numpy-fallback code path
         return None
-    if not os.path.exists(_LIB_PATH):
-        try:
-            subprocess.run(["make", "-C", _DIR, "-s"], check=True,
-                           capture_output=True, timeout=120)
-        except Exception:
+    # ALWAYS let make decide (no-op when the .so is newer than the .cpp):
+    # an exists-only check would dlopen a STALE library built before a
+    # newer entry point was added, and the symbol binding below would
+    # crash every native code path instead of rebuilding.
+    try:
+        subprocess.run(["make", "-C", _DIR, "-s"], check=True,
+                       capture_output=True, timeout=120)
+    except Exception:
+        if not os.path.exists(_LIB_PATH):
             _load_failed = True
             return None
     try:
         lib = ctypes.CDLL(_LIB_PATH)
-    except OSError:
+        return _bind(lib)
+    except (OSError, AttributeError):
+        # missing file or missing symbol (stale build that make could not
+        # refresh): soft-fail to the numpy fallbacks, never crash callers
         _load_failed = True
         return None
+
+
+def _bind(lib):
+    global _lib
     lib.vecs_strip_headers.restype = ctypes.c_int
     lib.vecs_strip_headers.argtypes = [
         ctypes.c_void_p, ctypes.c_int64, ctypes.c_int64, ctypes.c_void_p]
@@ -49,6 +60,12 @@ def _try_load():
         ctypes.c_void_p]
     _lib = lib
     return lib
+
+
+def _reset_for_tests() -> None:
+    """Drop the cached handle/failure so tests can exercise _try_load."""
+    global _lib, _load_failed
+    _lib, _load_failed = None, False
 
 
 def available() -> bool:
@@ -106,16 +123,22 @@ def gather_rows(src: np.ndarray, rows: np.ndarray,
     if lib is None:
         return None
     rows = np.ascontiguousarray(rows, np.int64)
+    # every validation failure returns None (the documented fallback
+    # contract) instead of asserting: the C memcpy has no bounds checks,
+    # and `assert` disappears under python -O — the numpy fallback then
+    # surfaces a caller bug as a safe IndexError, not heap corruption
     if not src.flags["C_CONTIGUOUS"]:
         return None
     if out is None:
         out = np.empty((rows.size,) + src.shape[1:], src.dtype)
-    else:
-        assert out.flags["C_CONTIGUOUS"] and out.dtype == src.dtype
-        assert out.shape == (rows.size,) + src.shape[1:]
-    row_bytes = int(np.prod(src.shape[1:], dtype=np.int64)) * src.itemsize
+    elif (not out.flags["C_CONTIGUOUS"] or out.dtype != src.dtype
+          or out.shape != (rows.size,) + src.shape[1:]):
+        return None
     if rows.size:
-        assert rows.min() >= 0 and rows.max() < src.shape[0]
+        if rows.min() < 0 or rows.max() >= src.shape[0]:
+            return None
+        row_bytes = (int(np.prod(src.shape[1:], dtype=np.int64))
+                     * src.itemsize)
         lib.gather_rows(src.ctypes.data, rows.ctypes.data, rows.size,
                         row_bytes, out.ctypes.data)
     return out

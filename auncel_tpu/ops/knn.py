@@ -154,6 +154,10 @@ def knn_by_idx(queries: np.ndarray, corpus: np.ndarray,
     db = jnp.asarray(np.asarray(corpus, np.float32))
     lab = jnp.asarray(np.asarray(labels, np.int64).astype(np.int32))
     scores = _subset_scores(q, db, lab, metric)
+    # excluded slots carry worst_value scores but would otherwise keep
+    # their RAW negative label (e.g. -2) in the output; the heap contract
+    # (and this function's own k>width padding below) emits -1
+    lab = jnp.where(lab >= 0, lab, -1)
     vals, ids = topk_scores(scores, lab, min(k, lab.shape[1]), metric)
     if k > lab.shape[1]:  # pad like the heap (worst value, id -1)
         from auncel_tpu.types import worst_value

@@ -122,7 +122,11 @@ def plan_mr_waves(rows_per_list: np.ndarray, nlist: int, decide_only: bool,
     S = bounds[-1] if decide_only else nlist
     out_slots = int(sum_top[min(S, nlist)])
     waves = []
-    prev = 0
+    # the window's frontier starts with min_stage lists complete, so the
+    # first kept stage's delta counts from there — bounds below min_stage
+    # may have been coalesced away entirely (min_decide_stage), in which
+    # case the skip branch below never runs to seed prev
+    prev = min_stage
     for s in bounds:
         if s <= min_stage:
             prev = s

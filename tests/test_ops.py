@@ -118,7 +118,13 @@ def test_knn_by_idx_reranks_candidate_lists(rng, metric):
     labels = np.stack([rng.choice(200, 20, replace=False)
                        for _ in range(6)]).astype(np.int64)
     labels[0, 15:] = -1            # excluded slots
+    labels[1, 18:] = -7            # ANY negative id is excluded...
     res = knn_by_idx(q, db, labels, 5, metric)
+    # ...and excluded slots surface as the heap's -1 sentinel, never the
+    # raw negative input label
+    wide0 = knn_by_idx(q, db, labels, 20, metric)
+    assert (wide0.ids[0, 15:] == -1).all()
+    assert (wide0.ids[1, 18:] == -1).all()
     # numpy oracle over the same candidate sets
     for i in range(6):
         cand = labels[i][labels[i] >= 0]
