@@ -1,4 +1,5 @@
 """Tutorial 1: exact brute-force search (reference tutorial/cpp/1-Flat)."""
+import _bootstrap  # noqa: F401  (repo-root fallback for script runs)
 import numpy as np
 import auncel_tpu as at
 

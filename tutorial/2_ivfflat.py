@@ -1,4 +1,5 @@
 """Tutorial 2: IVF-Flat approximate search (reference tutorial 3-IVFFlat)."""
+import _bootstrap  # noqa: F401  (repo-root fallback for script runs)
 import numpy as np
 import auncel_tpu as at
 from auncel_tpu.data import make_clustered_dataset

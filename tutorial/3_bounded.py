@@ -3,6 +3,7 @@
 Each query carries its own recall requirement; the engine terminates
 multi-probe search per query as early as its trained error profile allows.
 """
+import _bootstrap  # noqa: F401  (repo-root fallback for script runs)
 import numpy as np
 import auncel_tpu as at
 from auncel_tpu.data import make_clustered_dataset

@@ -1,4 +1,5 @@
 """Tutorial 4: compressed storage codecs (SQ8 / SQ4 / PQ with OPQ)."""
+import _bootstrap  # noqa: F401  (repo-root fallback for script runs)
 import auncel_tpu as at
 from auncel_tpu.data import make_clustered_dataset
 

@@ -3,8 +3,15 @@
 Run with simulated devices:
   XLA_FLAGS=--xla_force_host_platform_device_count=8 python tutorial/5_sharded.py
 """
+import _bootstrap  # noqa: F401  (repo-root fallback for script runs)
+import os
 import numpy as np
 import jax
+if "host_platform_device_count" in os.environ.get("XLA_FLAGS", ""):
+    # the documented simulated-mesh invocation: pick CPU BEFORE the first
+    # jax.devices() call, which would otherwise initialize (and, when the
+    # tunnel is down, hang on) the real accelerator backend
+    jax.config.update("jax_platforms", "cpu")
 if len(jax.devices()) < 4:
     jax.config.update("jax_platforms", "cpu")
 from auncel_tpu.parallel import ShardedIVF, make_mesh

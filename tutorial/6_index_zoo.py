@@ -1,5 +1,6 @@
 """Tutorial 6: the index zoo — graph, product-quantized, multi-index and
 on-disk variants (reference tutorial/cpp + c_api coverage)."""
+import _bootstrap  # noqa: F401  (repo-root fallback for script runs)
 import os
 import tempfile
 

@@ -6,6 +6,7 @@ overlaps the next window's device execution; (b) error-bounded search
 served directly FROM DISK (larger-than-RAM corpora); (c) the
 latency-budget mode with a calibrated per-probe cost model.
 """
+import _bootstrap  # noqa: F401  (repo-root fallback for script runs)
 import os
 import tempfile
 
