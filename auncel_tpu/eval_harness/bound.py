@@ -28,7 +28,8 @@ def run(db: str = "synth100K", ts: int = 1000, ses: int = 1000,
         input_k: int = 10, error_bound: float = 0.10,
         figure_id: int | None = None, nlist: int = 1024,
         max_topk: int = 100, calibrate: bool = True,
-        batch_latency: int = 100, log_dir: str = "."):
+        batch_latency: int = 100, log_dir: str = ".",
+        storage: str = "f32"):
     t0 = time.time()
 
     def log(m):
@@ -37,8 +38,12 @@ def run(db: str = "synth100K", ts: int = 1000, ses: int = 1000,
     data = common.load_dataset(db, nq=ts + ses)
     assert data.xq.shape[0] >= ts + ses
     log(f"loaded {db}: nb={data.xb.shape[0]} d={data.xb.shape[1]}")
-    idx = common.build_or_load_index(data, nlist=nlist)
-    log("index built")
+    idx = common.build_or_load_index(data, nlist=nlist, storage=storage)
+    mr = idx.enable_multirow()  # production row layout (every other eval
+    # driver and bench.py already serve it; the bounded engine's decide +
+    # tail phases ride the one-shot multirow program)
+    log(f"index built (multirow {mr.rows.db.shape[0]} rows x "
+        f"{mr.rows.db.shape[1]})")
     gt_D, gt_I = common.ensure_gt(data, idx, max_topk)
     log("ground truth ready")
 
@@ -64,14 +69,17 @@ def run(db: str = "synth100K", ts: int = 1000, ses: int = 1000,
     qps = ses / batch_dt
 
     # Per-query latency: pipelined single-query dispatches.
+    # batch_latency=0 skips this phase (and its B=1 program compiles) —
+    # useful when only throughput + bound are wanted on a cold cache.
     nlat = min(batch_latency, ses)
-    es.search(ts, 1)  # compile B=1
+    if nlat:
+        es.search(ts, 1)  # compile B=1
     lat = []
     for i in range(nlat):
         tt0 = time.perf_counter()
         es.search(ts + i, 1)
         lat.append(time.perf_counter() - tt0)
-    lat = np.asarray(lat)
+    lat = np.asarray(lat) if nlat else np.asarray([float("nan")])
 
     ok, minf = common.check_bound(D, gt_D[ts:ts + ses], input_k,
                                   error_bound, data.metric)
@@ -91,7 +99,8 @@ def run(db: str = "synth100K", ts: int = 1000, ses: int = 1000,
     log(f"wrote {fn}")
     return dict(qps=qps, min_recall=minf, bound_ok=ok,
                 mean_latency_ms=float(lat.mean() * 1e3),
-                mean_nscan=float(es.n_scanned[ts:ts + ses].mean()))
+                mean_nscan=float(es.n_scanned[ts:ts + ses].mean()),
+                multirow_rows=int(mr.rows.db.shape[0]))
 
 
 def main():
@@ -103,9 +112,12 @@ def main():
     ap.add_argument("error_bound", nargs="?", type=float, default=0.10)
     ap.add_argument("figure_id", nargs="?", type=int, default=None)
     ap.add_argument("--nlist", type=int, default=1024)
+    ap.add_argument("--storage", default="f32")
+    ap.add_argument("--batch-latency", type=int, default=100)
     args = ap.parse_args()
     run(args.db, args.train_size, args.query_size, args.topk,
-        args.error_bound, args.figure_id, nlist=args.nlist)
+        args.error_bound, args.figure_id, nlist=args.nlist,
+        storage=args.storage, batch_latency=args.batch_latency)
 
 
 if __name__ == "__main__":

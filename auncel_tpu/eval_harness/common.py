@@ -39,7 +39,14 @@ FILE_DATASETS = {
 }
 
 SYNTH_SIZES = {"synth1M": 1_000_000, "synth100K": 100_000,
-               "synth10K": 10_000}
+               "synth10K": 10_000,
+               # DEEP10M-like proxy (reference headline scale,
+               # eval/bound.cpp:174-183): 10M x 96, perturbed-corpus
+               # queries. d=96 matches DEEP and keeps both device layouts
+               # (padded + multirow) resident in one v5e chip's 16 GB HBM.
+               "synthDeep10M": 10_000_000}
+SYNTH_D = {"synthDeep10M": 96}          # per-dataset dim override (else 128)
+SYNTH_PERTURB = {"synthDeep10M"}        # query_mode="perturb" (bench model)
 # "Hard" variants carry a heavy difficulty tail (a minority of queries
 # drift far toward/past Voronoi boundaries): a worst-case-tuned global
 # nprobe must pay the tail on EVERY query, which is exactly the regime
@@ -98,31 +105,62 @@ def load_dataset(name: str, nq: int = 10000, max_topk: int = 100,
         metric = Metric.L2
         kw = dict(hard_frac=0.25, pert_easy=0.3, pert_hard=2.5) if hard \
             else {}
-        ds = make_clustered_dataset(nb=nb, nq=nq, d=128,
+        if name in SYNTH_PERTURB:
+            kw = dict(query_mode="perturb", cluster_std=0.22)
+        tag = "" if seed == 42 else f"_s{seed}"
+        # Generating >= 5M-point corpora costs minutes of single-core
+        # numpy; cache them like bench.py does (same .bench_cache dir,
+        # keyed by every generation parameter via the registry name).
+        cache = None
+        if nb >= 5_000_000:
+            cdir = os.environ.get("BENCH_CACHE", ".bench_cache")
+            os.makedirs(cdir, exist_ok=True)
+            cache = os.path.join(cdir, f"evalds_{name}{tag}_nq{nq}.npz")
+            if os.path.exists(cache):
+                with np.load(cache) as z:
+                    return EvalData(name, z["xb"], z["xq"], None, None,
+                                    metric, cache_tag=tag)
+        ds = make_clustered_dataset(nb=nb, nq=nq, d=SYNTH_D.get(name, 128),
                                     n_clusters=max(nb // 256, 64),
                                     seed=seed, metric=metric, **kw)
+        if cache is not None:
+            np.savez(cache, xb=ds.xb, xq=ds.xq)
         return EvalData(name, ds.xb, ds.xq, None, None, metric,
-                        cache_tag="" if seed == 42 else f"_s{seed}")
+                        cache_tag=tag)
     raise KeyError(f"unknown dataset {name!r} "
                    f"(file: {sorted(FILE_DATASETS)}, "
                    f"synthetic: {sorted(SYNTH_SIZES) + sorted(SYNTH_HARD)})")
 
 
 def build_or_load_index(data: EvalData, nlist: int = 1024,
-                        cache_dir: str = "trained_index") -> IVFFlatIndex:
-    """Build IVF<nlist>,Flat, caching the trained coarse quantizer like the
-    reference (eval/bound.cpp:265-268 writes trained_index/*.index)."""
+                        cache_dir: str = "trained_index",
+                        storage: str = "f32") -> IVFFlatIndex:
+    """Build IVF<nlist>,<storage>, caching the trained coarse quantizer
+    like the reference (eval/bound.cpp:265-268 writes
+    trained_index/*.index). ``storage`` other than "f32" serves the
+    corpus through the matching scalar/PQ codec (e.g. "sq8" at 10M scale,
+    where two resident f32 layouts exceed one chip's HBM); k-means is
+    storage-independent, so a cached Flat quantizer is reused."""
     os.makedirs(cache_dir, exist_ok=True)
+    stag = "Flat" if storage == "f32" else storage.upper()
     cache = os.path.join(
+        cache_dir,
+        f"{data.name}{data.cache_tag}_IVF{nlist},{stag}_trained.npz")
+    flat_cache = os.path.join(
         cache_dir,
         f"{data.name}{data.cache_tag}_IVF{nlist},Flat_trained.npz")
     if os.path.exists(cache):
         idx = load_index(cache)
         assert isinstance(idx, IVFFlatIndex)
     else:
-        idx = IVFFlatIndex(data.xb.shape[1], nlist, data.metric)
-        nt = min(data.xb.shape[0], 400_000)
-        idx.train(data.xb[:nt])
+        idx = IVFFlatIndex(data.xb.shape[1], nlist, data.metric,
+                           storage=storage)
+        if storage != "f32" and os.path.exists(flat_cache):
+            donor = load_index(flat_cache)
+            idx.set_centroids(donor.centroids)
+        else:
+            nt = min(data.xb.shape[0], 400_000)
+            idx.train(data.xb[:nt])
         save_index(idx, cache)
     idx.add(data.xb)
     return idx

@@ -36,6 +36,10 @@ def test_bound_eval_end_to_end(tmp_path):
                     batch_latency=5, log_dir=str(tmp_path))
     assert res["bound_ok"], res
     assert res["qps"] > 0
+    # the driver must serve the production row layout (parity with every
+    # other eval driver; a padded-path regression would silently change
+    # what the headline latency log measures)
+    assert res["multirow_rows"] > 0
     logf = tmp_path / "Auncel_Latency_synth10K_10_10.log"
     assert logf.exists()
     assert len(logf.read_text().splitlines()) == 5
