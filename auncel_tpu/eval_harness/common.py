@@ -46,7 +46,21 @@ SYNTH_SIZES = {"synth1M": 1_000_000, "synth100K": 100_000,
                # (padded + multirow) resident in one v5e chip's 16 GB HBM.
                "synthDeep10M": 10_000_000}
 SYNTH_D = {"synthDeep10M": 96}          # per-dataset dim override (else 128)
-SYNTH_PERTURB = {"synthDeep10M"}        # query_mode="perturb" (bench model)
+# Per-dataset generation overrides. The "ver" tag is baked into every
+# cache key (corpus npz + trained quantizer), so changing a dataset's
+# parameterization can never silently reuse stale caches.
+# synthDeep10M p2: the first parameterization (registry-default 39k
+# clusters at std 0.22, RESULTS_r3 10M section) overlapped so heavily at
+# d=96 that coarse pruning was impossible (mean decided scan 948/1024 —
+# near-uniform data). p2 uses fewer, tighter clusters (8 per IVF cell,
+# spread/separation ~ 0.44) so the proxy has DEEP-like prunability with
+# a graded difficulty tail (hard queries perturbed past their home
+# cluster's radius toward Voronoi boundaries).
+SYNTH_PARAMS = {
+    "synthDeep10M": dict(query_mode="perturb", cluster_std=0.13,
+                         pert_easy=0.4, pert_hard=1.2, n_clusters=8192),
+}
+SYNTH_VER = {"synthDeep10M": "p2"}
 # "Hard" variants carry a heavy difficulty tail (a minority of queries
 # drift far toward/past Voronoi boundaries): a worst-case-tuned global
 # nprobe must pay the tail on EVERY query, which is exactly the regime
@@ -105,9 +119,11 @@ def load_dataset(name: str, nq: int = 10000, max_topk: int = 100,
         metric = Metric.L2
         kw = dict(hard_frac=0.25, pert_easy=0.3, pert_hard=2.5) if hard \
             else {}
-        if name in SYNTH_PERTURB:
-            kw = dict(query_mode="perturb", cluster_std=0.22)
+        kw.update(SYNTH_PARAMS.get(name, {}))
+        n_clusters = kw.pop("n_clusters", max(nb // 256, 64))
         tag = "" if seed == 42 else f"_s{seed}"
+        if name in SYNTH_VER:
+            tag += f"_{SYNTH_VER[name]}"
         # Generating >= 5M-point corpora costs minutes of single-core
         # numpy; cache them like bench.py does (same .bench_cache dir,
         # keyed by every generation parameter via the registry name).
@@ -121,7 +137,7 @@ def load_dataset(name: str, nq: int = 10000, max_topk: int = 100,
                     return EvalData(name, z["xb"], z["xq"], None, None,
                                     metric, cache_tag=tag)
         ds = make_clustered_dataset(nb=nb, nq=nq, d=SYNTH_D.get(name, 128),
-                                    n_clusters=max(nb // 256, 64),
+                                    n_clusters=n_clusters,
                                     seed=seed, metric=metric, **kw)
         if cache is not None:
             np.savez(cache, xb=ds.xb, xq=ds.xq)
