@@ -58,8 +58,13 @@ def run(db: str = "synth100K", ts: int = 1000, ses: int = 1000,
     if figure_id is not None:
         es.setparam(figure_id)
     elif calibrate:
-        m = es.calibrate(0, min(ts, 500), target_bound=1.0 - error_bound)
-        log(f"auto-calibrated multipler={m:.2f}")
+        # margin-study default (RESULTS_r3 calibration study): >= 1000
+        # calibration queries where the training set affords them —
+        # smaller samples were measured to miss the held-out worst case
+        # at the 1M difficulty tail; calibrate() itself warns below the
+        # floor.
+        m = es.calibrate(0, min(ts, 1000), target_bound=1.0 - error_bound)
+        log(f"auto-calibrated multipler={m:.2f} std_m={es.std_m:g}")
 
     # Throughput (batched) measurement.
     D, I = es.search(ts, ses)  # warm + compile
@@ -79,7 +84,7 @@ def run(db: str = "synth100K", ts: int = 1000, ses: int = 1000,
         tt0 = time.perf_counter()
         es.search(ts + i, 1)
         lat.append(time.perf_counter() - tt0)
-    lat = np.asarray(lat) if nlat else np.asarray([float("nan")])
+    lat = np.asarray(lat)
 
     ok, minf = common.check_bound(D, gt_D[ts:ts + ses], input_k,
                                   error_bound, data.metric)
@@ -88,17 +93,25 @@ def run(db: str = "synth100K", ts: int = 1000, ses: int = 1000,
     else:
         log("WARNING: error bound NOT guaranteed — enlarge multipler")
     log(f"Error Bound : {minf:.4f}")
-    log(f"throughput: {qps:.1f} qps (batch {ses}); batch-1 latency "
-        f"mean={lat.mean() * 1e3:.2f} ms p99={np.quantile(lat, .99) * 1e3:.2f}"
-        f" ms (incl. host RTT); mean scanned lists="
-        f"{es.n_scanned[ts:ts + ses].mean():.1f}")
+    lat_msg = (f"batch-1 latency mean={lat.mean() * 1e3:.2f} ms "
+               f"p99={np.quantile(lat, .99) * 1e3:.2f} ms (incl. host RTT)"
+               if nlat else "batch-1 latency not measured")
+    log(f"throughput: {qps:.1f} qps (batch {ses}); {lat_msg}; "
+        f"mean scanned lists={es.n_scanned[ts:ts + ses].mean():.1f}")
 
-    fn = (f"{log_dir}/Auncel_Latency_{db}_{input_k}_"
-         f"{round(error_bound * 100)}.log")
-    common.write_log(fn, lat.tolist())
-    log(f"wrote {fn}")
+    mean_lat = None
+    if nlat:
+        # only write the figures-facing log when latency was actually
+        # measured — a 'nan' placeholder poisons the latency CDF /
+        # slowdown plots downstream (figures/plots.py)
+        fn = (f"{log_dir}/Auncel_Latency_{db}_{input_k}_"
+              f"{round(error_bound * 100)}.log")
+        common.write_log(fn, lat.tolist())
+        log(f"wrote {fn}")
+        mean_lat = float(lat.mean() * 1e3)
     return dict(qps=qps, min_recall=minf, bound_ok=ok,
-                mean_latency_ms=float(lat.mean() * 1e3),
+                mean_latency_ms=mean_lat,
+                multipler=float(es.multipler), std_m=float(es.std_m),
                 mean_nscan=float(es.n_scanned[ts:ts + ses].mean()),
                 multirow_rows=int(mr.rows.db.shape[0]))
 

@@ -44,8 +44,15 @@ SYNTH_SIZES = {"synth1M": 1_000_000, "synth100K": 100_000,
                # eval/bound.cpp:174-183): 10M x 96, perturbed-corpus
                # queries. d=96 matches DEEP and keeps both device layouts
                # (padded + multirow) resident in one v5e chip's 16 GB HBM.
-               "synthDeep10M": 10_000_000}
-SYNTH_D = {"synthDeep10M": 96}          # per-dataset dim override (else 128)
+               "synthDeep10M": 10_000_000,
+               # The round-3 p1 parameterization kept under its own name:
+               # 39k clusters at std 0.22 overlap so heavily at d=96 that
+               # coarse pruning is impossible (mean decided scan 948/1024)
+               # — near-uniform data, the worst case for IVF and the
+               # regime the dense-scan crossover exists for.
+               "synthDeep10Mw": 10_000_000}
+SYNTH_D = {"synthDeep10M": 96,          # per-dataset dim override (else 128)
+           "synthDeep10Mw": 96}
 # Per-dataset generation overrides. The "ver" tag is baked into every
 # cache key (corpus npz + trained quantizer), so changing a dataset's
 # parameterization can never silently reuse stale caches.
@@ -59,8 +66,10 @@ SYNTH_D = {"synthDeep10M": 96}          # per-dataset dim override (else 128)
 SYNTH_PARAMS = {
     "synthDeep10M": dict(query_mode="perturb", cluster_std=0.13,
                          pert_easy=0.4, pert_hard=1.2, n_clusters=8192),
+    "synthDeep10Mw": dict(query_mode="perturb", cluster_std=0.22,
+                          n_clusters=39062),
 }
-SYNTH_VER = {"synthDeep10M": "p2"}
+SYNTH_VER = {"synthDeep10M": "p2", "synthDeep10Mw": "p1"}
 # "Hard" variants carry a heavy difficulty tail (a minority of queries
 # drift far toward/past Voronoi boundaries): a worst-case-tuned global
 # nprobe must pay the tail on EVERY query, which is exactly the regime
@@ -125,23 +134,34 @@ def load_dataset(name: str, nq: int = 10000, max_topk: int = 100,
         if name in SYNTH_VER:
             tag += f"_{SYNTH_VER[name]}"
         # Generating >= 5M-point corpora costs minutes of single-core
-        # numpy; cache them like bench.py does (same .bench_cache dir,
-        # keyed by every generation parameter via the registry name).
+        # numpy; cache them like bench.py does (same .bench_cache dir).
+        # ONE file per (name, tag): the generator draws xb before xq from
+        # the seeded RNG, so xb is nq-invariant, and queries are stored as
+        # a superset (shuffled at generation, so a prefix slice keeps the
+        # hard/easy mix) and sliced — distinct nq values no longer each
+        # store another multi-GB copy of the same corpus. Registry
+        # parameter changes must bump SYNTH_VER (enforced by the cache
+        # name carrying the tag).
         cache = None
         if nb >= 5_000_000:
             cdir = os.environ.get("BENCH_CACHE", ".bench_cache")
             os.makedirs(cdir, exist_ok=True)
-            cache = os.path.join(cdir, f"evalds_{name}{tag}_nq{nq}.npz")
+            cache = os.path.join(cdir, f"evalds_{name}{tag}.npz")
             if os.path.exists(cache):
                 with np.load(cache) as z:
-                    return EvalData(name, z["xb"], z["xq"], None, None,
-                                    metric, cache_tag=tag)
-        ds = make_clustered_dataset(nb=nb, nq=nq, d=SYNTH_D.get(name, 128),
+                    if z["xq"].shape[0] >= nq:
+                        return EvalData(name, z["xb"], z["xq"][:nq], None,
+                                        None, metric, cache_tag=tag)
+                # stored query superset too small: regenerate (xb values
+                # are identical per seed, so overwriting is safe)
+        nq_gen = max(nq, 10_000) if cache is not None else nq
+        ds = make_clustered_dataset(nb=nb, nq=nq_gen,
+                                    d=SYNTH_D.get(name, 128),
                                     n_clusters=n_clusters,
                                     seed=seed, metric=metric, **kw)
         if cache is not None:
             np.savez(cache, xb=ds.xb, xq=ds.xq)
-        return EvalData(name, ds.xb, ds.xq, None, None, metric,
+        return EvalData(name, ds.xb, ds.xq[:nq], None, None, metric,
                         cache_tag=tag)
     raise KeyError(f"unknown dataset {name!r} "
                    f"(file: {sorted(FILE_DATASETS)}, "
@@ -168,6 +188,16 @@ def build_or_load_index(data: EvalData, nlist: int = 1024,
     if os.path.exists(cache):
         idx = load_index(cache)
         assert isinstance(idx, IVFFlatIndex)
+        if idx.storage != storage:
+            # save_index downgrades pq* storage to f32 (io.py), so a
+            # cached "PQ16" file reloads as an f32 index — silently
+            # evaluating the wrong codec. The k-means is still good:
+            # rebuild with the requested storage around the cached
+            # centroids instead of trusting the roundtripped header.
+            donor = idx
+            idx = IVFFlatIndex(data.xb.shape[1], nlist, data.metric,
+                               storage=storage)
+            idx.set_centroids(donor.centroids)
     else:
         idx = IVFFlatIndex(data.xb.shape[1], nlist, data.metric,
                            storage=storage)

@@ -42,6 +42,9 @@ class MultiRowArrays(NamedTuple):
     rows_per_list: jax.Array  # [nlist] int32
     row_base: jax.Array    # [nlist] int32: first row id of each list
                            # (rows of a list are consecutive)
+    row_list: jax.Array    # [n_rows] int32: owning list id per row, -1 at
+                           # padding rows (the dense-scan crossover masks
+                           # each row by its list's per-query coarse rank)
 
     @property
     def max_rows(self) -> int:
@@ -125,7 +128,8 @@ def build_multirow(arrays: IVFArrays, row_cap: int | None = None,
     )
     return MultiRowArrays(rows, jnp.asarray(row_table),
                           jnp.asarray(rows_per.astype(np.int32)),
-                          jnp.asarray(row_table[:, 0].astype(np.int32)))
+                          jnp.asarray(row_table[:, 0].astype(np.int32)),
+                          jnp.asarray(src_list))
 
 
 def expand_probes(mr: MultiRowArrays, cids: jax.Array, n_slots: int,

@@ -347,6 +347,112 @@ def ivf_full_scan(
     return jax.lax.fori_loop(0, n_chunks, body, init)
 
 
+def masked_full_scan(
+    rows: IVFArrays,
+    row_list: jax.Array,     # [R] owning list id per row, -1 at pad rows
+    inv_rank: jax.Array,     # [B, nlist] coarse rank of each list per query
+    target: jax.Array,       # [B] per-query list budgets (1..nlist)
+    q: jax.Array,            # [B, d]
+    q_sq: jax.Array,         # [B]
+    k: int,
+    metric: Metric,
+    block_rows: int = 256,
+    merge_blocks: int = 1,
+) -> tuple[jax.Array, jax.Array]:
+    """Dense-scan crossover: exact top-k over each query's first
+    ``target[b]`` coarse-ranked lists, computed as ONE shared pass over the
+    row corpus instead of per-query row gathers.
+
+    The reference switches its kNN driver from per-vector SIMD loops to a
+    blocked SGEMM over the whole corpus at >= 20 queries
+    (``distance_compute_blas_threshold``, /root/reference/Auncel/
+    utils.cpp:538-622). This is that switch for the HIGH-BUDGET regime of
+    bounded search: when the batch's decided budgets cover most of the
+    corpus anyway, reading each row block ONCE for all B queries (a single
+    [B,d]x[d,C*cap] MXU contraction) beats B private gathers both on HBM
+    traffic (corpus bytes, not sum-of-budgets bytes) and on MXU
+    utilization. Per-query decision semantics are preserved exactly by
+    masking: a (query, vector) pair is active iff the vector's list ranks
+    inside the query's own decided budget — the same candidate set the
+    gather tail scans, so the returned top-k is identical (same f32
+    HIGHEST contraction over d).
+
+    A merge is ``lax.cond``-skipped when no active candidate in its window
+    beats any query's current kth value (exactness unaffected: skipped
+    candidates were all strictly worse than every query's current k-th).
+    """
+    B = q.shape[0]
+    R, cap = rows.vec_ids.shape
+    worst = worst_value(metric)
+    C = min(block_rows, R)
+    n_blocks = -(-R // C)
+    G = max(1, min(merge_blocks, n_blocks))
+    n_merges = -(-n_blocks // G)
+    vals, ids = init_topk((B,), k, metric)
+
+    def gather_block(bi):
+        """Scores/ids for rows [bi*C, (bi+1)*C) as [B, C*cap]; the last
+        block's slice is clamped and already-covered rows masked off."""
+        s = jnp.maximum(jnp.minimum(bi * C, R - C), 0)
+        blk = jax.lax.dynamic_slice_in_dim(rows.db, s, C, 0)
+        blk_sq = jax.lax.dynamic_slice_in_dim(rows.db_sq, s, C, 0)
+        blk_ids = jax.lax.dynamic_slice_in_dim(rows.vec_ids, s, C, 0)
+        lists = jax.lax.dynamic_slice_in_dim(row_list, s, C, 0)
+        blk = rows.decode_block(blk)
+        dots = jnp.einsum(
+            "rcd,bd->brc", blk, q.astype(blk.dtype),
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST)
+        if metric is Metric.L2:
+            scores = jnp.maximum(
+                q_sq[:, None, None] + blk_sq[None] - 2.0 * dots, 0.0)
+        else:
+            scores = dots
+        ranks = inv_rank[:, jnp.maximum(lists, 0)]       # [B, C]
+        fresh = s + jnp.arange(C, dtype=jnp.int32) >= bi * C  # clamp dedup
+        active = ((ranks < target[:, None])[:, :, None]
+                  & (blk_ids >= 0)[None]
+                  & (fresh & (lists >= 0))[None, :, None])
+        scores = jnp.where(active, scores, worst).reshape(B, C * cap)
+        sub_ids = jnp.where(active, blk_ids[None], -1).reshape(B, C * cap)
+        return scores, sub_ids
+
+    def merge_body(mi, carry):
+        rvals, rids = carry
+        if G == 1:
+            scores, sub_ids = gather_block(mi)
+        else:
+            buf_s = jnp.full((B, G * C * cap), worst, jnp.float32)
+            buf_i = jnp.full((B, G * C * cap), -1, jnp.int32)
+
+            def g_body(gi, bufs):
+                bs, bi_ = bufs
+                s, si = gather_block(mi * G + gi)
+                off = gi * C * cap
+                return (jax.lax.dynamic_update_slice(bs, s, (0, off)),
+                        jax.lax.dynamic_update_slice(bi_, si, (0, off)))
+
+            scores, sub_ids = jax.lax.fori_loop(
+                0, G, g_body, (buf_s, buf_i))
+        # Skip the (expensive, exact) top-k re-select when this window
+        # cannot improve anyone's current k-th.
+        if metric.lower_is_better:
+            improving = jnp.any(jnp.min(scores, axis=1) < rvals[:, k - 1])
+        else:
+            improving = jnp.any(jnp.max(scores, axis=1) > rvals[:, k - 1])
+
+        def do_merge(c):
+            rv, ri = c
+            return topk_scores(jnp.concatenate([rv, scores], axis=-1),
+                               jnp.concatenate([ri, sub_ids], axis=-1),
+                               k, metric)
+
+        return jax.lax.cond(improving, do_merge, lambda c: c,
+                            (rvals, rids))
+
+    return jax.lax.fori_loop(0, n_merges, merge_body, (vals, ids))
+
+
 def maxcodes_limit(sizes: jax.Array, nprobe: int, max_codes) -> jax.Array:
     """Per-query probe limit under a code-visit budget: the reference scans
     list ik then breaks once ``nscan >= max_codes`` (IndexIVF.cpp:539-541),

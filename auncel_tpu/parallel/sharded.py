@@ -176,8 +176,9 @@ class ShardedIVF:
             table_p = jnp.pad(m.row_table,
                               ((0, 0), (0, max_rows - m.max_rows)),
                               constant_values=-1)
-            padded.append(MultiRowArrays(rows_p, table_p,
-                                         m.rows_per_list, m.row_base))
+            padded.append(MultiRowArrays(
+                rows_p, table_p, m.rows_per_list, m.row_base,
+                jnp.pad(m.row_list, (0, pr), constant_values=-1)))
         self.mr = _shard_leading(_stack_pytrees(padded), self.mesh)
         self._jit_fns.clear()      # plan is baked into the closures
         descs = np.stack([np.sort(np.asarray(m.rows_per_list))[::-1]

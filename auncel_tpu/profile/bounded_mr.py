@@ -397,13 +397,30 @@ class MROneShotPlan(NamedTuple):
     a2_cap: int       # compacted sub-batch for late decide waves
     tail_cap: int     # compacted sub-batch for tail scans
     tail_out: int     # out_slots of the full-nlist tail expansion
+    # Dense-scan crossover (reference distance_compute_blas_threshold
+    # analog, utils.cpp:538-622): when the batch's decided budgets imply
+    # gathering more than xover_rows rows in total, the tail switches to
+    # ONE shared masked pass over the whole row corpus
+    # (scan.masked_full_scan). xover_rows < 0 disables the branch (the
+    # plan then compiles no dense program at all).
+    xover_rows: int = -1
+    mean_rpl: float = 1.0   # rows-per-list mean: list -> row unit estimate
+    dense_block: int = 256  # corpus rows per dense-scan block
+    dense_merge: int = 1    # dense blocks per exact top-k merge
 
 
 def plan_oneshot(rows_per_list: np.ndarray, nlist: int, split: int = 8,
                  a2_cap: int = 64, tail_cap: int = 256,
                  slack: float = 1.35, min_width: int = 8,
                  tail_waves: int | None = None,
-                 min_decide_stage: int = 1) -> MROneShotPlan:
+                 min_decide_stage: int = 1,
+                 xover_frac: float | None = None,
+                 dense_block: int = 256,
+                 dense_merge: int = 1) -> MROneShotPlan:
+    """``xover_frac`` enables the dense-scan crossover: the tail goes
+    dense when the batch's total decided row traffic exceeds
+    ``xover_frac x`` the row corpus (i.e. the per-query gathers would
+    re-read the corpus ``xover_frac`` times over). None disables."""
     rpl = np.asarray(rows_per_list, np.int64)
     cap_stage = max(nlist // 8, 1)
     split = min(split, cap_stage)
@@ -430,7 +447,54 @@ def plan_oneshot(rows_per_list: np.ndarray, nlist: int, split: int = 8,
             cum += w
             w = min(w * 2, max(n_rows - cum, 1))
         tail = tuple(tail)
-    return MROneShotPlan(a1, a2, tail, split, a2_cap, tail_cap, n_rows)
+    mean_rpl = float(rpl.mean()) if rpl.size else 1.0
+    xover_rows = -1 if xover_frac is None else int(xover_frac * n_rows)
+    return MROneShotPlan(a1, a2, tail, split, a2_cap, tail_cap, n_rows,
+                         xover_rows, mean_rpl, dense_block, dense_merge)
+
+
+def _dense_tail(arrays, mr, q, q_sq, target, max_topk, metric, plan):
+    """The crossover branch: exact top-k over each query's first
+    ``target`` ranked lists via one shared corpus pass (replaces — not
+    merges with — the phase-A running top-k: the masked dense scan covers
+    every row the decision phases scanned, so a fresh result over rank <
+    target is complete and duplicate-free)."""
+    from auncel_tpu.index.scan import masked_full_scan
+    _, cids_full = coarse_rank(arrays, q, metric, q_sq=q_sq)
+    inv_rank = jnp.argsort(cids_full, axis=1).astype(jnp.int32)
+    tgt = jnp.clip(target, 1, arrays.nlist)
+    return masked_full_scan(mr.rows, mr.row_list, inv_rank, tgt, q, q_sq,
+                            max_topk, metric, plan.dense_block,
+                            plan.dense_merge)
+
+
+def _tail_dispatch(arrays, mr, q, q_sq, vals, ids, frontier, covered,
+                   target, max_topk, metric, plan):
+    """Tail scanning with the dense-scan crossover: per-query gather
+    rounds (the default) or, past the plan's row-traffic threshold, one
+    shared masked corpus pass. Both produce the exact top-k of each
+    query's first ``target`` ranked lists."""
+
+    def run_gather(op):
+        v, i, f, c = op
+        v, i, _, _ = _tail_rounds(arrays, mr, q, q_sq, v, i, f, c, target,
+                                  plan.tail_widths, plan.tail_cap,
+                                  plan.tail_out, metric)
+        return v, i
+
+    if plan.xover_rows < 0:
+        return run_gather((vals, ids, frontier, covered))
+
+    def run_dense(op):
+        return _dense_tail(arrays, mr, q, q_sq, target, max_topk, metric,
+                           plan)
+
+    est_rows = jnp.sum(
+        jnp.clip(target, 0, arrays.nlist).astype(jnp.float32)
+        * jnp.float32(plan.mean_rpl))
+    return jax.lax.cond(est_rows >= jnp.float32(plan.xover_rows),
+                        run_dense, run_gather,
+                        (vals, ids, frontier, covered))
 
 
 def _tail_rounds(arrays, mr, q, q_sq, vals, ids, frontier, covered, target,
@@ -522,9 +586,9 @@ def nprobe_search_mr(
     vals, ids = init_topk((B,), max_topk, metric)
     frontier = jnp.zeros((B,), jnp.int32)
     covered = jnp.zeros((B,), jnp.int32)
-    vals, ids, _, _ = _tail_rounds(
+    vals, ids = _tail_dispatch(
         arrays, mr, q, q_sq, vals, ids, frontier, covered, n_probes,
-        plan.tail_widths, plan.tail_cap, plan.tail_out, metric)
+        max_topk, metric, plan)
     return vals, ids, n_probes
 
 
@@ -611,9 +675,9 @@ def bounded_oneshot_mr(
     # then scans nothing.)
     covered = jnp.minimum(
         target, jnp.where(decided_at <= plan.split, plan.split, cap_stage))
-    vals, ids, frontier, covered = _tail_rounds(
+    vals, ids = _tail_dispatch(
         arrays, mr, q, q_sq, vals, ids, frontier, covered, target,
-        plan.tail_widths, plan.tail_cap, plan.tail_out, metric)
+        max_topk, metric, plan)
 
     if with_true_recall:
         if metric is Metric.L2:

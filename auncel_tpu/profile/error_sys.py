@@ -92,6 +92,14 @@ class ErrorSys:
         # at the same or a later stage with the same snapshot). A perf
         # knob for merge-dominated (easy) workloads.
         self.min_decide_stage = 1
+        # Dense-scan crossover threshold (None disables): the tail phase
+        # switches from per-query row gathers to ONE shared masked corpus
+        # pass when the batch's decided row traffic exceeds this multiple
+        # of the corpus (the reference's distance_compute_blas_threshold
+        # switch, utils.cpp:538-622, recast for the high-budget regime —
+        # unprunable corpora / large-budget tails at 10M scale, where
+        # gathers re-read the corpus hundreds of times over).
+        self.dense_xover: float | None = 32.0
         self.gt_D: np.ndarray | None = None
         self.gt_I: np.ndarray | None = None
         # online state (set_queries)
@@ -200,11 +208,14 @@ class ErrorSys:
 
     def _mr_oneshot_plan(self):
         assert self._mr() is not None, "multirow layout not enabled"
-        key = ("oneshot", int(self.min_decide_stage))
+        xover = (None if self.dense_xover is None
+                 else float(self.dense_xover))
+        key = ("oneshot", int(self.min_decide_stage), xover)
         if key not in self._mr_plans:
             self._mr_plans[key] = plan_oneshot(
                 self._mr_rpl, self.index.nlist,
-                min_decide_stage=int(self.min_decide_stage))
+                min_decide_stage=int(self.min_decide_stage),
+                xover_frac=xover)
         return self._mr_plans[key]
 
     def _dev_all(self):
@@ -549,6 +560,19 @@ class ErrorSys:
         ``safety`` margin covers the worst-case generalization gap of a
         finite calibration sample."""
         assert self.gt_D is not None and self.gt_I is not None
+        # Margin-study floor (RESULTS_r3, scripts/calib_margin_study.py):
+        # at the 1M difficulty tail, calibration samples below ~1000 chose
+        # configs whose held-out worst case missed the bound by one
+        # neighbor while 1000-sample cells held it. Warn rather than
+        # raise: small corpora calibrate fine on less, but the caller
+        # should know the measured generalization floor.
+        if size < 1000 and self.index.ntotal >= 1_000_000:
+            import warnings
+            warnings.warn(
+                f"calibrate() on {size} samples at ntotal="
+                f"{self.index.ntotal}: the measured generalization floor "
+                f"at >=1M scale is 1000 calibration queries "
+                f"(RESULTS_r3 calibration-margin study)", stacklevel=2)
         # Optional headroom demands extra holdout recall beyond the
         # promise (e.g. 1/query_k = one neighbor). Measured at the
         # synthHard1M difficulty tail: even +1/k headroom (mean scan

@@ -1,0 +1,142 @@
+"""Dense-scan crossover: the shared masked corpus pass must produce the
+same results as the per-query gather tail (same candidate set -> same
+top-k), for bounded search and exact-nprobe replay, across storage codecs.
+
+The crossover is the TPU recast of the reference's
+``distance_compute_blas_threshold`` switch (utils.cpp:538-622): at high
+decided budgets one corpus read shared by the whole batch replaces B
+private gathers.
+"""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+import auncel_tpu as at
+from auncel_tpu.types import Metric
+from auncel_tpu.index.ivf import IVFFlatIndex
+from auncel_tpu.profile.bounded_mr import (
+    nprobe_search_mr, bounded_oneshot_mr, plan_oneshot)
+
+
+def _mk(storage="f32", seed=3, d=32, nlist=32, nb=20000):
+    # Unit-scale clusters: keeps the |q.x| / dist^2 ratio small so the
+    # L2-via-GEMM cancellation envelope (eps * dots / dist^2 relative
+    # error, inherent to BOTH engines' kernels) stays under the 1e-5
+    # comparison tolerance. At 10x center scale the envelope alone is
+    # ~5e-5 rel between any two differently-shaped exact kernels.
+    rng = np.random.RandomState(seed)
+    centers = rng.rand(nlist, d).astype(np.float32)
+    pops = 1.0 / np.arange(1, nlist + 1)
+    pops /= pops.sum()
+    which = rng.choice(nlist, size=nb, p=pops)
+    xb = (centers[which] + 0.5 * rng.randn(nb, d)).astype(np.float32)
+    idx = IVFFlatIndex(d, nlist, storage=storage)
+    idx.set_centroids(centers)
+    idx.add(xb)
+    idx.enable_multirow(row_cap=64)
+    xq = (centers[rng.choice(nlist, 48)]
+          + 0.7 * rng.randn(48, d)).astype(np.float32)
+    return idx, xq
+
+
+def _assert_same_results(vg, ig, vd, idn, k):
+    """Gather vs dense top-k: values match to fp-reassociation tolerance;
+    ids match except where equal distances permit tie reordering."""
+    np.testing.assert_allclose(vd[:, :k], vg[:, :k], rtol=1e-5, atol=1e-5)
+    mism = idn[:, :k] != ig[:, :k]
+    if mism.any():
+        # every mismatch must be a distance tie
+        b, j = np.nonzero(mism)
+        np.testing.assert_allclose(vd[b, j], vg[b, j], rtol=1e-6,
+                                   atol=1e-6)
+
+
+@pytest.mark.parametrize("storage", ["f32", "sq8"])
+def test_nprobe_dense_matches_gather(storage):
+    idx, xq = _mk(storage)
+    mr = idx.multirow
+    rpl = np.asarray(mr.rows_per_list)
+    k = 20
+    rng = np.random.RandomState(0)
+    probes = rng.randint(1, idx.nlist + 1, size=xq.shape[0])
+    p_gather = plan_oneshot(rpl, idx.nlist)                 # xover off
+    p_dense = plan_oneshot(rpl, idx.nlist, xover_frac=0.0)  # always dense
+    q = jnp.asarray(xq)
+    npb = jnp.asarray(probes, jnp.int32)
+    vg, ig, _ = [np.asarray(x) for x in nprobe_search_mr(
+        idx.arrays, mr, q, npb, k, idx.metric, p_gather)]
+    vd, idn, _ = [np.asarray(x) for x in nprobe_search_mr(
+        idx.arrays, mr, q, npb, k, idx.metric, p_dense)]
+    _assert_same_results(vg, ig, vd, idn, k)
+    assert (ig[:, :10] >= 0).all()
+
+
+def test_bounded_oneshot_dense_matches_gather():
+    idx, xq = _mk("f32")
+    n_train, n_test, max_topk = 122, 48, 40  # train_num % 10 == 0
+    allq = np.concatenate([
+        xq, xq[np.random.RandomState(1).permutation(48)]
+        + 0.1 * np.random.RandomState(2).randn(48, idx.d).astype(
+            np.float32)])
+    allq = np.concatenate([allq, allq, allq])[: n_train + n_test]
+    gt_D, gt_I = idx.exact_search(allq, max_topk)
+    es = at.ErrorSys(idx, train_num=n_train + n_test, max_topk=max_topk)
+    es.set_gt(gt_D, gt_I)
+    es.sys_train(n_train, allq)
+    es.set_topk(10)
+    acc = np.full(n_train + n_test, 0.9, np.float32)
+    es.set_queries(n_test, allq, acc)
+    es.set_hyper(4.0, 1.0)
+
+    es.dense_xover = None
+    Dg, Ig = es.search(n_train, n_test)
+    nsg = es.n_scanned[n_train:n_train + n_test].copy()
+    es.dense_xover = 0.0          # force the dense branch
+    Dd, Id = es.search(n_train, n_test)
+    nsd = es.n_scanned[n_train:n_train + n_test].copy()
+
+    _assert_same_results(Dg, Ig, Dd, Id, es.query_topk)
+    # decisions are made BEFORE the tail: identical budgets either way
+    np.testing.assert_array_equal(nsg, nsd)
+
+
+def test_xover_threshold_picks_gather_for_small_budgets():
+    """Below the traffic threshold the cond must take the gather branch:
+    same plan (crossover compiled in), tiny budgets, results identical to
+    the crossover-free plan."""
+    idx, xq = _mk("f32")
+    mr = idx.multirow
+    rpl = np.asarray(mr.rows_per_list)
+    k = 10
+    probes = np.full(xq.shape[0], 2)
+    p_off = plan_oneshot(rpl, idx.nlist)
+    p_hi = plan_oneshot(rpl, idx.nlist, xover_frac=1e6)  # never trips
+    q = jnp.asarray(xq)
+    npb = jnp.asarray(probes, jnp.int32)
+    vg, ig, _ = [np.asarray(x) for x in nprobe_search_mr(
+        idx.arrays, mr, q, npb, k, idx.metric, p_off)]
+    vh, ih, _ = [np.asarray(x) for x in nprobe_search_mr(
+        idx.arrays, mr, q, npb, k, idx.metric, p_hi)]
+    np.testing.assert_array_equal(vg, vh)
+    np.testing.assert_array_equal(ig, ih)
+
+
+def test_dense_merge_buffering_matches_single():
+    """merge_blocks > 1 (wider, fewer exact merges) is value-identical."""
+    idx, xq = _mk("sq8")
+    mr = idx.multirow
+    rpl = np.asarray(mr.rows_per_list)
+    k = 15
+    probes = np.full(xq.shape[0], idx.nlist)
+    q = jnp.asarray(xq)
+    npb = jnp.asarray(probes, jnp.int32)
+    outs = []
+    for dm, db in [(1, 16), (4, 16), (1, 64)]:
+        p = plan_oneshot(rpl, idx.nlist, xover_frac=0.0,
+                         dense_block=db, dense_merge=dm)
+        v, i, _ = nprobe_search_mr(idx.arrays, mr, q, npb, k, idx.metric,
+                                   p)
+        outs.append((np.asarray(v), np.asarray(i)))
+    for v, i in outs[1:]:
+        np.testing.assert_allclose(v, outs[0][0], rtol=1e-5, atol=1e-5)
