@@ -20,14 +20,15 @@ MIXED_BOUNDS = [0.9, 0.8, 0.7, 0.6, 0.5, 0.4, 0.3]  # effect_error.cpp:281
 
 def run(db: str = "synth100K", ts: int = 1000, ses: int = 1000,
         input_k: int = 10, figure_id: int | None = None,
-        nlist: int = 1024, max_topk: int = 100, log_dir: str = "."):
+        nlist: int = 1024, max_topk: int = 100, log_dir: str = ".",
+        storage: str = "f32", calibrate: bool = False):
     t0 = time.time()
 
     def log(m):
         print(f"[{time.time() - t0:8.3f} s] {m}", file=sys.stderr, flush=True)
 
     data = common.load_dataset(db, nq=ts + ses)
-    idx = common.build_or_load_index(data, nlist=nlist)
+    idx = common.build_or_load_index(data, nlist=nlist, storage=storage)
     idx.enable_multirow()  # production scan layout
     gt_D, gt_I = common.ensure_gt(data, idx, max_topk)
     es = ErrorSys(idx, train_num=ts + ses, max_topk=max_topk)
@@ -38,9 +39,18 @@ def run(db: str = "synth100K", ts: int = 1000, ses: int = 1000,
 
     acc = np.asarray([MIXED_BOUNDS[i % len(MIXED_BOUNDS)]
                       for i in range(ts + ses)], np.float32)
+    # train-slice positions carry the strictest bound uniformly: only the
+    # test slice needs the reference's mixed cycle (effect_error.cpp:281),
+    # and calibrate() searches train positions against ONE target
+    acc[:ts] = MIXED_BOUNDS[0]
     es.set_queries(ses, data.xq, acc)
     if figure_id is not None:
         es.setparam(figure_id)
+    elif calibrate:
+        # calibrate against the STRICTEST mixed bound (0.9): per-query
+        # decisions at looser bounds only terminate earlier
+        m = es.calibrate(0, min(ts, 1000), target_bound=MIXED_BOUNDS[0])
+        log(f"auto-calibrated multipler={m:.2f} std_m={es.std_m:g}")
     else:
         es.set_hyper(8.0, 1.0)
     es.profile = True  # record achieved true recalls (effect_error.cpp:283)
@@ -64,8 +74,11 @@ def main():
     ap.add_argument("query_size", nargs="?", type=int, default=1000)
     ap.add_argument("topk", nargs="?", type=int, default=10)
     ap.add_argument("figure_id", nargs="?", type=int, default=None)
+    ap.add_argument("--storage", default="f32")
+    ap.add_argument("--calibrate", action="store_true")
     args = ap.parse_args()
-    run(args.db, args.train_size, args.query_size, args.topk, args.figure_id)
+    run(args.db, args.train_size, args.query_size, args.topk,
+        args.figure_id, storage=args.storage, calibrate=args.calibrate)
 
 
 if __name__ == "__main__":

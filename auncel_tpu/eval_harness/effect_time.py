@@ -50,14 +50,14 @@ def _measure_batch1(es: ErrorSys, qids, reps: int = 3) -> np.ndarray:
 
 def run(db: str = "synth100K", ts: int = 1000, ses: int = 1000,
         input_k: int = 10, nlist: int = 1024, max_topk: int = 100,
-        log_dir: str = ".", n_measure: int = 48):
+        log_dir: str = ".", n_measure: int = 48, storage: str = "f32"):
     t0 = time.time()
 
     def log(m):
         print(f"[{time.time() - t0:8.3f} s] {m}", file=sys.stderr, flush=True)
 
     data = common.load_dataset(db, nq=ts + ses)
-    idx = common.build_or_load_index(data, nlist=nlist)
+    idx = common.build_or_load_index(data, nlist=nlist, storage=storage)
     idx.enable_multirow()  # production scan layout
     gt_D, gt_I = common.ensure_gt(data, idx, max_topk)
     es = ErrorSys(idx, train_num=ts + ses, max_topk=max_topk)
@@ -133,8 +133,10 @@ def main():
     ap.add_argument("train_size", nargs="?", type=int, default=1000)
     ap.add_argument("query_size", nargs="?", type=int, default=1000)
     ap.add_argument("topk", nargs="?", type=int, default=10)
+    ap.add_argument("--storage", default="f32")
     args = ap.parse_args()
-    run(args.db, args.train_size, args.query_size, args.topk)
+    run(args.db, args.train_size, args.query_size, args.topk,
+        storage=args.storage)
 
 
 if __name__ == "__main__":

@@ -76,11 +76,23 @@ class ShardedIVF:
     """S independent per-shard IVF indexes executing as one SPMD program."""
 
     def __init__(self, d: int, nlist: int, n_shards: int,
-                 metric: Metric = Metric.L2, mesh: Mesh | None = None):
+                 metric: Metric = Metric.L2, mesh: Mesh | None = None,
+                 storage: str = "f32"):
         self.d = d
         self.nlist = nlist
         self.n_shards = n_shards
         self.metric = Metric.parse(metric)
+        # Per-shard storage codec. At reference scale (DEEP1B shards,
+        # dist/worker.cpp:153-235) each shard serves ~10M vectors; f32
+        # OOMs one v5e chip during add (measured, RESULTS_r3 §10M) while
+        # sq8 fits both layouts in ~4 GB — quantized shards are the
+        # production deployment, not an option. PQ is excluded here only
+        # because the multirow engine needs per-list centroids.
+        if storage.startswith("pq"):
+            raise ValueError(
+                "ShardedIVF supports f32/bf16/sq* shard storage (PQ "
+                "storage cannot ride the multirow bounded engine)")
+        self.storage = storage
         self._configure_mesh(mesh or make_mesh(n_shards), n_shards)
         self.shards: list[IVFFlatIndex] = []
         self.arrays: IVFArrays | None = None     # stacked [S, ...]
@@ -117,7 +129,8 @@ class ShardedIVF:
                     f"shard holds {rows.shape[0]} rows < nlist="
                     f"{self.nlist}: k-means cannot train {self.nlist} "
                     f"centroids; lower nlist or n_shards")
-            idx = IVFFlatIndex(self.d, self.nlist, self.metric)
+            idx = IVFFlatIndex(self.d, self.nlist, self.metric,
+                               storage=self.storage)
             nt = max(int(rows.shape[0] * train_frac), self.nlist)
             idx.train(rows[:nt])
             # the profile engine's boundary geometry needs the real
@@ -143,6 +156,10 @@ class ShardedIVF:
                                 constant_values=-1),
                 list_sizes=a.list_sizes,
                 interdis=a.interdis,
+                # codec state stacks like everything else; decode_block
+                # on the per-device slice then serves the shard's codec
+                sq_scale=a.sq_scale,
+                sq_bias=a.sq_bias,
             ))
         self.arrays = _shard_leading(_stack_pytrees(padded), self.mesh)
         self._jit_fns.clear()      # closures capture the old pytree shapes
@@ -172,7 +189,8 @@ class ShardedIVF:
                 vec_ids=jnp.pad(rows.vec_ids, ((0, pr), (0, 0)),
                                 constant_values=-1),
                 list_sizes=jnp.pad(rows.list_sizes, (0, pr)),
-                interdis=rows.interdis)
+                interdis=rows.interdis,
+                sq_scale=rows.sq_scale, sq_bias=rows.sq_bias)
             table_p = jnp.pad(m.row_table,
                               ((0, 0), (0, max_rows - m.max_rows)),
                               constant_values=-1)
@@ -230,6 +248,7 @@ class ShardedIVF:
         from auncel_tpu.profile.trace import save_trace_set
         os.makedirs(dirpath, exist_ok=True)
         meta = dict(d=self.d, nlist=self.nlist, n_shards=self.n_shards,
+                    storage=self.storage,
                     metric=self.metric.value, multipler=self.multipler,
                     std_m=self.std_m,
                     max_topk=getattr(self, "max_topk", None),
@@ -252,7 +271,8 @@ class ShardedIVF:
         with open(os.path.join(dirpath, "meta.json")) as f:
             meta = json.load(f)
         s = cls(meta["d"], meta["nlist"], meta["n_shards"],
-                Metric.parse(meta["metric"]), mesh=mesh)
+                Metric.parse(meta["metric"]), mesh=mesh,
+                storage=meta.get("storage", "f32"))
         s.multipler = meta["multipler"]
         s.std_m = meta["std_m"]
         if meta.get("max_topk"):

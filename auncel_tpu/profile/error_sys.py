@@ -100,6 +100,11 @@ class ErrorSys:
         # unprunable corpora / large-budget tails at 10M scale, where
         # gathers re-read the corpus hundreds of times over).
         self.dense_xover: float | None = 32.0
+        # Extra plan_oneshot kwargs (a2_cap, tail_cap, split, ...): the
+        # plan constants were tuned at 1M; corpora with very different
+        # rows-per-list profiles (10M: ~39 rows/list) may want wider
+        # compaction sub-batches (scripts/tune10M.py sweeps these).
+        self.plan_overrides: dict = {}
         self.gt_D: np.ndarray | None = None
         self.gt_I: np.ndarray | None = None
         # online state (set_queries)
@@ -210,12 +215,13 @@ class ErrorSys:
         assert self._mr() is not None, "multirow layout not enabled"
         xover = (None if self.dense_xover is None
                  else float(self.dense_xover))
-        key = ("oneshot", int(self.min_decide_stage), xover)
+        key = ("oneshot", int(self.min_decide_stage), xover,
+               tuple(sorted(self.plan_overrides.items())))
         if key not in self._mr_plans:
             self._mr_plans[key] = plan_oneshot(
                 self._mr_rpl, self.index.nlist,
                 min_decide_stage=int(self.min_decide_stage),
-                xover_frac=xover)
+                xover_frac=xover, **self.plan_overrides)
         return self._mr_plans[key]
 
     def _dev_all(self):

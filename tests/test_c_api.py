@@ -1,7 +1,9 @@
 """C API regression test: builds the embedded-CPython C ABI library and
 runs the demo client end to end (the reference's c_api ships its own C
-test drivers; COMPONENTS.md #29). Skips cleanly when no C toolchain or
-libpython is available."""
+test drivers; COMPONENTS.md #29). Skips ONLY when the toolchain itself is
+missing (no compiler, or python3-config can't describe an embeddable
+libpython); a failing build with a working toolchain is a real
+regression and FAILS the suite."""
 
 import os
 import shutil
@@ -13,9 +15,22 @@ C_API_DIR = os.path.join(os.path.dirname(__file__), os.pardir,
                          "auncel_tpu", "c_api")
 
 
-@pytest.mark.skipif(shutil.which("gcc") is None and
-                    shutil.which("cc") is None,
-                    reason="no C compiler")
+def _toolchain_available() -> bool:
+    if shutil.which("gcc") is None and shutil.which("cc") is None:
+        return False
+    if shutil.which("make") is None:
+        return False
+    try:
+        out = subprocess.run(
+            ["python3-config", "--includes"], capture_output=True,
+            text=True, timeout=30)
+    except FileNotFoundError:
+        return False
+    return out.returncode == 0 and "-I" in out.stdout
+
+
+@pytest.mark.skipif(not _toolchain_available(),
+                    reason="no C compiler / make / python3-config")
 def test_c_api_demo_builds_and_runs():
     env = dict(os.environ)
     # the embedded interpreter must come up on CPU: axon sitecustomize
@@ -26,8 +41,11 @@ def test_c_api_demo_builds_and_runs():
         os.path.join(C_API_DIR, os.pardir, os.pardir))
     build = subprocess.run(["make", "-C", C_API_DIR, "demo"],
                            capture_output=True, text=True, timeout=300)
-    if build.returncode != 0:
-        pytest.skip(f"c_api build unavailable: {build.stderr[-400:]}")
+    # toolchain present (checked above): a build error is an ABI/Makefile
+    # regression, not an environment gap — fail, don't skip
+    assert build.returncode == 0, (
+        f"c_api build FAILED with a working toolchain\n"
+        f"stdout: {build.stdout[-600:]}\nstderr: {build.stderr[-800:]}")
     run = subprocess.run([os.path.join(C_API_DIR, "demo_c")],
                          capture_output=True, text=True, timeout=600,
                          env=env, cwd=C_API_DIR)

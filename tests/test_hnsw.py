@@ -108,9 +108,13 @@ def test_hnsw_save_load(built, ds, tmp_path, gt):
     np.testing.assert_array_equal(i1, i2)
 
 
-@pytest.mark.skipif(not __import__("os").environ.get("AUNCEL_TEST_SCALE"),
-                    reason="200K-scale recall check (set AUNCEL_TEST_SCALE=1;"
-                           " minutes-long, run on TPU)")
+@pytest.mark.skipif(
+    not (__import__("os").environ.get("AUNCEL_TEST_SCALE")
+         or __import__("os").environ.get("AUNCEL_TEST_TPU")),
+    reason="200K-scale recall check: TPU-gated (runs whenever the suite "
+           "runs on hardware via AUNCEL_TEST_TPU=1, or explicitly via "
+           "AUNCEL_TEST_SCALE=1; a 200K frozen-batch build needs >25 min "
+           "on CPU — measured, round 4)")
 def test_hnsw_recall_at_scale():
     """Reference-grade quality at 200K (VERDICT round-2 gap: the
     frozen-batch build read 0.80 @ ef=64; the additive refinement pass

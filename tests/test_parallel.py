@@ -219,3 +219,64 @@ def test_drop_shard_degrades_gracefully(ds):
     d2 = ((ds.xq[:, None, :] - rows[None]) ** 2).sum(-1)
     want = keep_ids[np.argsort(d2, axis=1)[:, :5]]
     np.testing.assert_array_equal(np.sort(want, 1), np.sort(idf, 1))
+
+
+def test_sharded_sq8_storage_decision_parity(ds, tmp_path):
+    """Quantized shards (round-4: storage= threads through the per-shard
+    build, matching the reference's dist-mode DEEP1B deployments,
+    dist/worker.cpp:153-235 — f32 was measured to OOM one chip at 10M
+    per shard, RESULTS_r3 §10M). Decision parity: the SPMD sq8 shard must
+    make EXACTLY the decisions its own single-device sq8 engine makes —
+    stacking/shard_map/codec plumbing adds nothing."""
+    import jax.numpy as jnp
+    from auncel_tpu.profile.bounded_mr import bounded_oneshot_mr
+    s = ShardedIVF(ds.d, nlist=32, n_shards=4, mesh=make_mesh(4),
+                   storage="sq8")
+    s.build(ds.xb)
+    assert all(sh.storage == "sq8" for sh in s.shards)
+    assert s.arrays.sq_scale is not None
+    s.train_profiles(ds.xq[:20], max_topk=50)
+    s.multipler = 8.0
+    s.enable_multirow(row_cap=64)
+    acc = np.full(40, 0.9, np.float32)
+    v, i, n_scanned = s.search_bounded(ds.xq, acc, query_k=10)
+
+    # single-device replay of shard 0's bounded engine (same profile,
+    # same plan): n_scanned row must match the SPMD run exactly
+    sh = s.shards[0]
+    sh.enable_multirow(64)
+    tr0 = jax.tree.map(lambda a: np.asarray(a)[0],
+                       jax.device_get(s.traces))
+    from auncel_tpu.profile.trace import TraceSet
+    tr0 = TraceSet(*[jnp.asarray(x) for x in tr0])
+    out = bounded_oneshot_mr(
+        sh.arrays, sh.multirow, tr0, jnp.asarray(ds.xq),
+        jnp.asarray(acc), jnp.float32(8.0), jnp.float32(1.0),
+        jnp.zeros(40, jnp.float32), 10, 50, Metric.L2, s._mr_plan)
+    np.testing.assert_array_equal(n_scanned[0], np.asarray(out[3]))
+
+    # the sq8 merge still satisfies the bound vs the quantized corpus'
+    # own exact scan (bound composition across shards is covered by
+    # test_sharded_bounded_search_bound_composes)
+    gt_D = None
+    for sh2 in s.shards:
+        D_s, _ = sh2.exact_search(ds.xq, 10)
+        gt_D = D_s if gt_D is None else np.sort(
+            np.concatenate([gt_D, D_s], axis=1), axis=1)[:, :10]
+    from auncel_tpu.autotune import recall_counts
+    cnt = recall_counts(v, gt_D, 10, Metric.L2)
+    assert cnt.min() / 10 >= 0.9
+
+    # save/load round-trips the codec (sq range persists exactly)
+    p = str(tmp_path / "sharded_sq8")
+    s.save(p)
+    loaded = ShardedIVF.load(p, mesh=make_mesh(4))
+    assert loaded.storage == "sq8"
+    v2, i2, n2 = loaded.search_bounded(ds.xq, acc, query_k=10)
+    np.testing.assert_array_equal(n_scanned, n2)
+    np.testing.assert_array_equal(v, v2)
+
+
+def test_sharded_rejects_pq_storage():
+    with pytest.raises(ValueError):
+        ShardedIVF(32, nlist=16, n_shards=4, storage="pq8")
