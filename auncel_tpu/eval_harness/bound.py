@@ -29,7 +29,7 @@ def run(db: str = "synth100K", ts: int = 1000, ses: int = 1000,
         figure_id: int | None = None, nlist: int = 1024,
         max_topk: int = 100, calibrate: bool = True,
         batch_latency: int = 100, log_dir: str = ".",
-        storage: str = "f32"):
+        storage: str = "f32", profile_size: int | None = None):
     t0 = time.time()
 
     def log(m):
@@ -47,24 +47,32 @@ def run(db: str = "synth100K", ts: int = 1000, ses: int = 1000,
     gt_D, gt_I = common.ensure_gt(data, idx, max_topk)
     log("ground truth ready")
 
+    # ``profile_size`` < ts splits the train slice: the profile trains on
+    # the first profile_size queries and calibration runs on the REST —
+    # disjoint slices. Measured at 10M (Recal_synthDeep10M log, round 4):
+    # calibrating on profile-seen queries under-estimates the multipler
+    # (traces are optimistic on the queries they were fit to) and missed
+    # the held-out bound; profile 1000 + disjoint calibrate 2000 holds it.
+    psz = min(profile_size or ts, ts)
     es = ErrorSys(idx, train_num=ts + ses, max_topk=max_topk)
     es.set_gt(gt_D, gt_I)
-    es.sys_train(ts, data.xq)
+    es.sys_train(psz, data.xq)
     es.set_topk(input_k)
-    log("error profile trained")
+    log(f"error profile trained (on {psz} queries)")
 
     acc = np.full(ts + ses, 1.0 - error_bound, np.float32)
     es.set_queries(ses, data.xq, acc)
     if figure_id is not None:
         es.setparam(figure_id)
     elif calibrate:
-        # margin-study default (RESULTS_r3 calibration study): >= 1000
-        # calibration queries where the training set affords them —
-        # smaller samples were measured to miss the held-out worst case
-        # at the 1M difficulty tail; calibrate() itself warns below the
-        # floor.
-        m = es.calibrate(0, min(ts, 1000), target_bound=1.0 - error_bound)
-        log(f"auto-calibrated multipler={m:.2f} std_m={es.std_m:g}")
+        # margin-study floor (RESULTS_r3/r4): >= 1000 calibration queries
+        # at 1M, 2000 at 10M — smaller samples were measured to miss the
+        # held-out worst case; calibrate() itself warns below the floor.
+        c0, csz = (psz, min(ts - psz, 2000)) if psz < ts \
+            else (0, min(ts, 2000))
+        m = es.calibrate(c0, csz, target_bound=1.0 - error_bound)
+        log(f"auto-calibrated multipler={m:.2f} std_m={es.std_m:g} "
+            f"(on {csz} queries at [{c0}:{c0 + csz}])")
 
     # Throughput (batched) measurement.
     D, I = es.search(ts, ses)  # warm + compile
@@ -127,10 +135,14 @@ def main():
     ap.add_argument("--nlist", type=int, default=1024)
     ap.add_argument("--storage", default="f32")
     ap.add_argument("--batch-latency", type=int, default=100)
+    ap.add_argument("--profile-size", type=int, default=None,
+                    help="train the profile on the first N train queries "
+                         "and calibrate on the rest (disjoint slices)")
     args = ap.parse_args()
     run(args.db, args.train_size, args.query_size, args.topk,
         args.error_bound, args.figure_id, nlist=args.nlist,
-        storage=args.storage, batch_latency=args.batch_latency)
+        storage=args.storage, batch_latency=args.batch_latency,
+        profile_size=args.profile_size)
 
 
 if __name__ == "__main__":

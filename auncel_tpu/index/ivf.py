@@ -176,6 +176,9 @@ class IVFFlatIndex(Index):
         # — the reference breaks the scan loop after the list that crosses
         # the budget; its ParameterSpace sweeps this for IMI quantizers)
         self.max_codes = 0
+        # dense-scan crossover threshold for fixed-nprobe batches (see
+        # search(); None disables). Units: gather-traffic / corpus-size.
+        self.dense_xover: float | None = 32.0
         self.centroids: np.ndarray | None = None
         self.interdis: np.ndarray | None = None
         self._sq_range_override = None  # (vmin, scale) from exact reload
@@ -526,15 +529,33 @@ class IVFFlatIndex(Index):
                                       jnp.int32(self.polysemous_ht),
                                       self.metric)
         elif self.multirow is not None:
-            from auncel_tpu.index.multirow import multirow_search_fixed
+            from auncel_tpu.index.multirow import (
+                multirow_search_fixed, multirow_dense_fixed)
             mr = self.multirow
-            out_slots = self._mr_out_slots(nprobe)
-            res = multirow_search_fixed(
-                mr, q, k, nprobe, out_slots, self.metric,
-                code_sizes=(self.arrays.list_sizes if self.max_codes
-                            else None),
-                max_codes=int(self.max_codes))
-            ndis = q.shape[0] * out_slots * mr.rows.db.shape[1]
+            n_rows = mr.rows.db.shape[0]
+            # dense-scan crossover, host-decided (nprobe is uniform): when
+            # the batch's gather traffic would re-read the corpus
+            # dense_xover times over, serve the batch as one shared
+            # masked corpus pass (reference blas-threshold analog)
+            est_rows = q.shape[0] * nprobe * (n_rows / self.nlist)
+            # n_rows floor: below ~0.5M vectors everything is fast and
+            # the shared pass buys nothing (and its kernel reassociates
+            # fp differently — keep small indexes bit-stable).
+            # dense_xover == 0.0 forces dense (bypasses the floor).
+            if (self.dense_xover is not None and not self.max_codes
+                    and (n_rows >= 2048 or not self.dense_xover)
+                    and est_rows >= self.dense_xover * n_rows):
+                res = multirow_dense_fixed(mr, q, jnp.int32(nprobe), k,
+                                           self.metric)
+                ndis = q.shape[0] * n_rows * mr.rows.db.shape[1]
+            else:
+                out_slots = self._mr_out_slots(nprobe)
+                res = multirow_search_fixed(
+                    mr, q, k, nprobe, out_slots, self.metric,
+                    code_sizes=(self.arrays.list_sizes if self.max_codes
+                                else None),
+                    max_codes=int(self.max_codes))
+                ndis = q.shape[0] * out_slots * mr.rows.db.shape[1]
         else:
             res = ivf_search_fixed(self.arrays, q, k, nprobe, self.metric,
                                    max_codes=int(self.max_codes))

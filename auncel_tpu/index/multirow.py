@@ -172,6 +172,34 @@ def expand_probes(mr: MultiRowArrays, cids: jax.Array, n_slots: int,
     return out, offsets
 
 
+@functools.partial(jax.jit, static_argnames=("k", "metric", "block_rows",
+                                             "merge_blocks"))
+def multirow_dense_fixed(
+    mr: MultiRowArrays,
+    q: jax.Array,
+    nprobe: jax.Array,       # [B] or scalar per-query list budgets
+    k: int,
+    metric: Metric,
+    block_rows: int = 256,
+    merge_blocks: int = 1,
+):
+    """Fixed-nprobe search served by the dense-scan crossover: one shared
+    masked corpus pass instead of per-query row gathers (the reference's
+    distance_compute_blas_threshold kernel switch, utils.cpp:538-622).
+    Identical candidate sets to multirow_search_fixed — callers switch on
+    host-known batch x nprobe traffic (IVFFlatIndex.search)."""
+    from auncel_tpu.index.scan import masked_full_scan
+    B = q.shape[0]
+    q_sq = sqnorms(q)
+    _, cids = coarse_rank(mr.rows, q, metric, q_sq=q_sq)
+    inv_rank = jnp.argsort(cids, axis=1).astype(jnp.int32)
+    nlist = mr.rows_per_list.shape[0]
+    target = jnp.broadcast_to(
+        jnp.clip(jnp.asarray(nprobe, jnp.int32), 1, nlist), (B,))
+    return masked_full_scan(mr.rows, mr.row_list, inv_rank, target, q,
+                            q_sq, k, metric, block_rows, merge_blocks)
+
+
 @functools.partial(jax.jit, static_argnames=("k", "nprobe", "out_slots",
                                              "metric"))
 def multirow_search_fixed(

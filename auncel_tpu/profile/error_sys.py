@@ -215,6 +215,12 @@ class ErrorSys:
         assert self._mr() is not None, "multirow layout not enabled"
         xover = (None if self.dense_xover is None
                  else float(self.dense_xover))
+        # production gating only: small corpora (< ~0.5M vectors) gain
+        # nothing from the shared pass — keep them on the (bit-stable
+        # across batchings) gather tail. dense_xover == 0.0 means "always
+        # dense" and bypasses the floor (tests / forced operation).
+        if xover and self._mr_obj.rows.db.shape[0] < 2048:
+            xover = None
         key = ("oneshot", int(self.min_decide_stage), xover,
                tuple(sorted(self.plan_overrides.items())))
         if key not in self._mr_plans:

@@ -140,3 +140,18 @@ def test_dense_merge_buffering_matches_single():
         outs.append((np.asarray(v), np.asarray(i)))
     for v, i in outs[1:]:
         np.testing.assert_allclose(v, outs[0][0], rtol=1e-5, atol=1e-5)
+
+
+def test_index_search_dense_matches_gather():
+    """IVFFlatIndex.search's host-decided crossover: same results as the
+    gather engine at the same nprobe."""
+    idx, xq = _mk("sq8")
+    k = 10
+    idx.dense_xover = None
+    vg, ig = idx.search(xq, k, nprobe=idx.nlist)
+    idx.dense_xover = 0.0          # force dense for any batch
+    vd, idn = idx.search(xq, k, nprobe=idx.nlist)
+    _assert_same_results(vg, ig, vd, idn, k)
+    idx.dense_xover = 1e9          # never
+    vh, ih = idx.search(xq, k, nprobe=idx.nlist)
+    np.testing.assert_array_equal(vg, vh)
