@@ -176,9 +176,10 @@ class IVFFlatIndex(Index):
         # — the reference breaks the scan loop after the list that crosses
         # the budget; its ParameterSpace sweeps this for IMI quantizers)
         self.max_codes = 0
-        # dense-scan crossover threshold for fixed-nprobe batches (see
-        # search(); None disables). Units: gather-traffic / corpus-size.
-        self.dense_xover: float | None = 32.0
+        # dense-scan crossover threshold for fixed-nprobe search (see
+        # search(); None disables, 0.0 forces). Units: the fraction of
+        # corpus rows one query's nprobe covers.
+        self.dense_cut: float | None = 0.25
         self.centroids: np.ndarray | None = None
         self.interdis: np.ndarray | None = None
         self._sq_range_override = None  # (vmin, scale) from exact reload
@@ -533,18 +534,19 @@ class IVFFlatIndex(Index):
                 multirow_search_fixed, multirow_dense_fixed)
             mr = self.multirow
             n_rows = mr.rows.db.shape[0]
-            # dense-scan crossover, host-decided (nprobe is uniform): when
-            # the batch's gather traffic would re-read the corpus
-            # dense_xover times over, serve the batch as one shared
-            # masked corpus pass (reference blas-threshold analog)
-            est_rows = q.shape[0] * nprobe * (n_rows / self.nlist)
+            # dense-scan crossover, host-decided (nprobe is uniform, so
+            # the per-query criterion is one comparison): when one
+            # query's nprobe covers >= dense_cut of the corpus rows,
+            # serve the batch as a shared masked corpus pass (reference
+            # blas-threshold analog, utils.cpp:538-622)
+            est_rows = nprobe * (n_rows / self.nlist)
             # n_rows floor: below ~0.5M vectors everything is fast and
             # the shared pass buys nothing (and its kernel reassociates
             # fp differently — keep small indexes bit-stable).
-            # dense_xover == 0.0 forces dense (bypasses the floor).
-            if (self.dense_xover is not None and not self.max_codes
-                    and (n_rows >= 2048 or not self.dense_xover)
-                    and est_rows >= self.dense_xover * n_rows):
+            # dense_cut == 0.0 forces dense (bypasses the floor).
+            if (self.dense_cut is not None and not self.max_codes
+                    and (n_rows >= 2048 or not self.dense_cut)
+                    and est_rows >= self.dense_cut * n_rows):
                 res = multirow_dense_fixed(mr, q, jnp.int32(nprobe), k,
                                            self.metric)
                 ndis = q.shape[0] * n_rows * mr.rows.db.shape[1]

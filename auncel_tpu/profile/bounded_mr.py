@@ -398,12 +398,17 @@ class MROneShotPlan(NamedTuple):
     tail_cap: int     # compacted sub-batch for tail scans
     tail_out: int     # out_slots of the full-nlist tail expansion
     # Dense-scan crossover (reference distance_compute_blas_threshold
-    # analog, utils.cpp:538-622): when the batch's decided budgets imply
-    # gathering more than xover_rows rows in total, the tail switches to
-    # ONE shared masked pass over the whole row corpus
-    # (scan.masked_full_scan). xover_rows < 0 disables the branch (the
-    # plan then compiles no dense program at all).
-    xover_rows: int = -1
+    # analog, utils.cpp:538-622), routed PER QUERY: a query whose decided
+    # budget covers >= dense_cut_rows corpus rows is served by a shared
+    # masked corpus pass over a compacted sub-batch instead of private
+    # row gathers — the gather ladder's exact-merge count explodes with
+    # budget width (measured at 10M: forced-cap queries drag the whole
+    # window, Tune10M.log), while the dense pass costs ~one corpus read +
+    # a fixed merge ladder regardless of budget. Per-query routing keeps
+    # results batch-invariant (a query's path depends only on its own
+    # budget). dense_cut_rows < 0 disables (no dense program compiled).
+    dense_cut_rows: int = -1
+    dense_cap: int = 256    # compacted sub-batch for dense rounds
     mean_rpl: float = 1.0   # rows-per-list mean: list -> row unit estimate
     dense_block: int = 256  # corpus rows per dense-scan block
     dense_merge: int = 1    # dense blocks per exact top-k merge
@@ -414,13 +419,13 @@ def plan_oneshot(rows_per_list: np.ndarray, nlist: int, split: int = 8,
                  slack: float = 1.35, min_width: int = 8,
                  tail_waves: int | None = None,
                  min_decide_stage: int = 1,
-                 xover_frac: float | None = None,
+                 dense_cut: float | None = None,
+                 dense_cap: int = 256,
                  dense_block: int = 256,
                  dense_merge: int = 1) -> MROneShotPlan:
-    """``xover_frac`` enables the dense-scan crossover: the tail goes
-    dense when the batch's total decided row traffic exceeds
-    ``xover_frac x`` the row corpus (i.e. the per-query gathers would
-    re-read the corpus ``xover_frac`` times over). None disables."""
+    """``dense_cut`` enables the dense-scan crossover: a query goes dense
+    when its own decided row budget exceeds ``dense_cut x`` the corpus
+    row count (0.0 = every query dense; None disables)."""
     rpl = np.asarray(rows_per_list, np.int64)
     cap_stage = max(nlist // 8, 1)
     split = min(split, cap_stage)
@@ -448,53 +453,75 @@ def plan_oneshot(rows_per_list: np.ndarray, nlist: int, split: int = 8,
             w = min(w * 2, max(n_rows - cum, 1))
         tail = tuple(tail)
     mean_rpl = float(rpl.mean()) if rpl.size else 1.0
-    xover_rows = -1 if xover_frac is None else int(xover_frac * n_rows)
+    cut_rows = -1 if dense_cut is None else int(dense_cut * n_rows)
     return MROneShotPlan(a1, a2, tail, split, a2_cap, tail_cap, n_rows,
-                         xover_rows, mean_rpl, dense_block, dense_merge)
+                         cut_rows, dense_cap, mean_rpl, dense_block,
+                         dense_merge)
 
 
-def _dense_tail(arrays, mr, q, q_sq, target, max_topk, metric, plan):
-    """The crossover branch: exact top-k over each query's first
-    ``target`` ranked lists via one shared corpus pass (replaces — not
-    merges with — the phase-A running top-k: the masked dense scan covers
-    every row the decision phases scanned, so a fresh result over rank <
-    target is complete and duplicate-free)."""
+def _dense_rounds(arrays, mr, q, q_sq, vals, ids, pending, target,
+                  max_topk, metric, plan):
+    """Serve ``pending`` queries by compacted shared corpus passes: while
+    any remain, sort them to the front, run one masked_full_scan over a
+    ``dense_cap``-wide sub-batch, and scatter the fresh top-k back. The
+    dense result REPLACES (not merges with) the phase-A running top-k:
+    rank < target covers every row the decision phases scanned, so it is
+    complete and duplicate-free. A query's values depend only on its own
+    rows/budget — sub-batch composition cannot change results (the
+    improve-gate skips a merge only when every candidate in the window
+    loses to every query's current k-th, which leaves skipped queries'
+    top-k bitwise unchanged)."""
     from auncel_tpu.index.scan import masked_full_scan
-    _, cids_full = coarse_rank(arrays, q, metric, q_sq=q_sq)
-    inv_rank = jnp.argsort(cids_full, axis=1).astype(jnp.int32)
-    tgt = jnp.clip(target, 1, arrays.nlist)
-    return masked_full_scan(mr.rows, mr.row_list, inv_rank, tgt, q, q_sq,
-                            max_topk, metric, plan.dense_block,
-                            plan.dense_merge)
+    nlist = arrays.nlist
+
+    def d_cond(st):
+        return jnp.any(st[2])
+
+    def d_body(st):
+        vals, ids, pend = st
+        idx = jnp.argsort(~pend)[: plan.dense_cap]   # pending first
+        take = pend[idx]
+        subq = q[idx]
+        sub_sq = q_sq[idx]
+        _, cids_full = coarse_rank(arrays, subq, metric, q_sq=sub_sq)
+        inv_rank = jnp.argsort(cids_full, axis=1).astype(jnp.int32)
+        tgt = jnp.where(take, jnp.clip(target[idx], 1, nlist), 0)
+        v, i = masked_full_scan(mr.rows, mr.row_list, inv_rank, tgt,
+                                subq, sub_sq, max_topk, metric,
+                                plan.dense_block, plan.dense_merge)
+        vals = vals.at[idx].set(jnp.where(take[:, None], v, vals[idx]))
+        ids = ids.at[idx].set(jnp.where(take[:, None], i, ids[idx]))
+        return vals, ids, pend.at[idx].set(False)
+
+    return jax.lax.while_loop(d_cond, d_body, (vals, ids, pending))
 
 
 def _tail_dispatch(arrays, mr, q, q_sq, vals, ids, frontier, covered,
                    target, max_topk, metric, plan):
-    """Tail scanning with the dense-scan crossover: per-query gather
-    rounds (the default) or, past the plan's row-traffic threshold, one
-    shared masked corpus pass. Both produce the exact top-k of each
-    query's first ``target`` ranked lists."""
-
-    def run_gather(op):
-        v, i, f, c = op
-        v, i, _, _ = _tail_rounds(arrays, mr, q, q_sq, v, i, f, c, target,
-                                  plan.tail_widths, plan.tail_cap,
-                                  plan.tail_out, metric)
-        return v, i
-
-    if plan.xover_rows < 0:
-        return run_gather((vals, ids, frontier, covered))
-
-    def run_dense(op):
-        return _dense_tail(arrays, mr, q, q_sq, target, max_topk, metric,
-                           plan)
-
-    est_rows = jnp.sum(
-        jnp.clip(target, 0, arrays.nlist).astype(jnp.float32)
-        * jnp.float32(plan.mean_rpl))
-    return jax.lax.cond(est_rows >= jnp.float32(plan.xover_rows),
-                        run_dense, run_gather,
-                        (vals, ids, frontier, covered))
+    """Tail scanning with the per-query dense-scan crossover: queries
+    whose decided budget covers >= plan.dense_cut_rows corpus rows ride
+    compacted shared passes; the rest keep the gather rounds. Both paths
+    produce the exact top-k of each query's first ``target`` ranked
+    lists."""
+    if plan.dense_cut_rows >= 0:
+        est_rows = (jnp.clip(target, 0, arrays.nlist).astype(jnp.float32)
+                    * jnp.float32(plan.mean_rpl))
+        sel = est_rows >= jnp.float32(plan.dense_cut_rows)
+        vals, ids, _ = _dense_rounds(arrays, mr, q, q_sq, vals, ids, sel,
+                                     target, max_topk, metric, plan)
+        # Dense-served queries leave the gather rounds FINISHED: covered
+        # = target ends their participation, and the row frontier moves
+        # past every slot so that riding a later round as sorting padding
+        # can never rescan (and duplicate-merge) rows their replaced
+        # top-k already contains. target itself must stay >= 1
+        # (_goal_rows indexes offsets at target-1).
+        covered = jnp.where(sel, target, covered)
+        frontier = jnp.where(sel, plan.tail_out, frontier)
+    vals, ids, _, _ = _tail_rounds(arrays, mr, q, q_sq, vals, ids,
+                                   frontier, covered, target,
+                                   plan.tail_widths, plan.tail_cap,
+                                   plan.tail_out, metric)
+    return vals, ids
 
 
 def _tail_rounds(arrays, mr, q, q_sq, vals, ids, frontier, covered, target,

@@ -92,14 +92,15 @@ class ErrorSys:
         # at the same or a later stage with the same snapshot). A perf
         # knob for merge-dominated (easy) workloads.
         self.min_decide_stage = 1
-        # Dense-scan crossover threshold (None disables): the tail phase
-        # switches from per-query row gathers to ONE shared masked corpus
-        # pass when the batch's decided row traffic exceeds this multiple
-        # of the corpus (the reference's distance_compute_blas_threshold
-        # switch, utils.cpp:538-622, recast for the high-budget regime —
-        # unprunable corpora / large-budget tails at 10M scale, where
-        # gathers re-read the corpus hundreds of times over).
-        self.dense_xover: float | None = 32.0
+        # Dense-scan crossover threshold (None disables; 0.0 = always): a
+        # query whose decided budget covers >= this fraction of the
+        # corpus rows is served by a shared masked corpus pass instead of
+        # private row gathers (the reference's
+        # distance_compute_blas_threshold switch, utils.cpp:538-622,
+        # recast per query — forced-cap/unprunable queries whose gather
+        # ladders are merge-bound). Routing is per query, so results stay
+        # batch-invariant.
+        self.dense_cut: float | None = 0.25
         # Extra plan_oneshot kwargs (a2_cap, tail_cap, split, ...): the
         # plan constants were tuned at 1M; corpora with very different
         # rows-per-list profiles (10M: ~39 rows/list) may want wider
@@ -213,21 +214,20 @@ class ErrorSys:
 
     def _mr_oneshot_plan(self):
         assert self._mr() is not None, "multirow layout not enabled"
-        xover = (None if self.dense_xover is None
-                 else float(self.dense_xover))
+        cut = None if self.dense_cut is None else float(self.dense_cut)
         # production gating only: small corpora (< ~0.5M vectors) gain
-        # nothing from the shared pass — keep them on the (bit-stable
-        # across batchings) gather tail. dense_xover == 0.0 means "always
-        # dense" and bypasses the floor (tests / forced operation).
-        if xover and self._mr_obj.rows.db.shape[0] < 2048:
-            xover = None
-        key = ("oneshot", int(self.min_decide_stage), xover,
+        # nothing from the shared pass — keep them on the gather tail.
+        # dense_cut == 0.0 means "every query dense" and bypasses the
+        # floor (tests / forced operation).
+        if cut and self._mr_obj.rows.db.shape[0] < 2048:
+            cut = None
+        key = ("oneshot", int(self.min_decide_stage), cut,
                tuple(sorted(self.plan_overrides.items())))
         if key not in self._mr_plans:
             self._mr_plans[key] = plan_oneshot(
                 self._mr_rpl, self.index.nlist,
                 min_decide_stage=int(self.min_decide_stage),
-                xover_frac=xover, **self.plan_overrides)
+                dense_cut=cut, **self.plan_overrides)
         return self._mr_plans[key]
 
     def _dev_all(self):

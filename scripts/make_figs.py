@@ -36,6 +36,36 @@ if lat:
                       title="synth100K bounded-search latency")
     print("latency_cdf.png")
 
+# round-4: per-dataset latency CDFs + ELP slowdown figures (fig 10-12
+# evidence shape, figures/overall/figure10-1.py:36-80)
+for db in ("synth1M", "synthDeep10M"):
+    a = p(f"Auncel_Latency_{db}_10_10.log")
+    e = p(f"ELP_Latency_{db}_10_10.log")
+    if os.path.exists(a):
+        d = {"Auncel": a}
+        if os.path.exists(e):
+            d["ELP (worst-case tuned)"] = e
+        plots.latency_cdf(d, os.path.join(OUT, f"latency_cdf_{db}.png"),
+                          title=f"{db} k=10 eps=10% "
+                                "(incl. ~40ms tunnel RTT)")
+        print(f"latency_cdf_{db}.png")
+    if os.path.exists(a) and os.path.exists(e):
+        sl = plots.latency_slowdown(
+            e, a, os.path.join(OUT, f"slowdown_{db}.png"),
+            label="ELP / Auncel")
+        print(f"slowdown_{db}.png (mean slowdown {sl:.2f}x)")
+
+for db in ("synthHard1M", "synthDeep10M"):
+    if have(p(f"Effective_error_{db}.log")):
+        plots.bound_satisfaction(
+            p(f"Effective_error_{db}.log"),
+            os.path.join(OUT, f"bound_satisfaction_{db}.png"))
+        print(f"bound_satisfaction_{db}.png")
+    if have(p(f"Effective_time_{db}.log")):
+        plots.time_budget(p(f"Effective_time_{db}.log"),
+                          os.path.join(OUT, f"time_budget_{db}.png"))
+        print(f"time_budget_{db}.png")
+
 if have(p("Effective_error_synth100K.log")):
     plots.bound_satisfaction(p("Effective_error_synth100K.log"),
                              os.path.join(OUT, "bound_satisfaction.png"))

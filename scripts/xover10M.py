@@ -52,7 +52,7 @@ def main():
     results = []
 
     def cell(tag, xover, block=256, merge=1):
-        es.dense_xover = xover
+        es.dense_cut = xover
         es.plan_overrides = ({} if (block, merge) == (256, 1) else
                              dict(dense_block=block, dense_merge=merge))
         try:
@@ -67,7 +67,7 @@ def main():
             log(f"{tag}: FAILED {type(e).__name__}: {e}")
             return
         ok, minf = common.check_bound(D, gt_D[ts:], k, eps, data.metric)
-        row = dict(config=tag, dense_xover=xover, dense_block=block,
+        row = dict(config=tag, dense_cut=xover, dense_block=block,
                    dense_merge=merge, oneshot_qps=round(one, 1),
                    stream_qps=round(st, 1), min_recall=round(minf, 4),
                    bound_ok=bool(ok),
@@ -76,10 +76,10 @@ def main():
         results.append(row)
 
     cell("gather (r3 engine)", None)
-    cell("dense default", 32.0)
-    cell("dense block512", 32.0, block=512)
-    cell("dense merge2", 32.0, block=256, merge=2)
-    cell("dense block512 merge2", 32.0, block=512, merge=2)
+    cell("dense default", 0.25)
+    cell("dense block512", 0.25, block=512)
+    cell("dense merge2", 0.25, block=256, merge=2)
+    cell("dense block512 merge2", 0.25, block=512, merge=2)
     with open("Xover_synthDeep10Mw.log", "w") as f:
         for r in results:
             f.write(json.dumps(r) + "\n")

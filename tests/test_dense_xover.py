@@ -61,7 +61,7 @@ def test_nprobe_dense_matches_gather(storage):
     rng = np.random.RandomState(0)
     probes = rng.randint(1, idx.nlist + 1, size=xq.shape[0])
     p_gather = plan_oneshot(rpl, idx.nlist)                 # xover off
-    p_dense = plan_oneshot(rpl, idx.nlist, xover_frac=0.0)  # always dense
+    p_dense = plan_oneshot(rpl, idx.nlist, dense_cut=0.0)  # always dense
     q = jnp.asarray(xq)
     npb = jnp.asarray(probes, jnp.int32)
     vg, ig, _ = [np.asarray(x) for x in nprobe_search_mr(
@@ -89,10 +89,10 @@ def test_bounded_oneshot_dense_matches_gather():
     es.set_queries(n_test, allq, acc)
     es.set_hyper(4.0, 1.0)
 
-    es.dense_xover = None
+    es.dense_cut = None
     Dg, Ig = es.search(n_train, n_test)
     nsg = es.n_scanned[n_train:n_train + n_test].copy()
-    es.dense_xover = 0.0          # force the dense branch
+    es.dense_cut = 0.0          # force the dense branch
     Dd, Id = es.search(n_train, n_test)
     nsd = es.n_scanned[n_train:n_train + n_test].copy()
 
@@ -111,7 +111,7 @@ def test_xover_threshold_picks_gather_for_small_budgets():
     k = 10
     probes = np.full(xq.shape[0], 2)
     p_off = plan_oneshot(rpl, idx.nlist)
-    p_hi = plan_oneshot(rpl, idx.nlist, xover_frac=1e6)  # never trips
+    p_hi = plan_oneshot(rpl, idx.nlist, dense_cut=1e6)  # never trips
     q = jnp.asarray(xq)
     npb = jnp.asarray(probes, jnp.int32)
     vg, ig, _ = [np.asarray(x) for x in nprobe_search_mr(
@@ -133,7 +133,7 @@ def test_dense_merge_buffering_matches_single():
     npb = jnp.asarray(probes, jnp.int32)
     outs = []
     for dm, db in [(1, 16), (4, 16), (1, 64)]:
-        p = plan_oneshot(rpl, idx.nlist, xover_frac=0.0,
+        p = plan_oneshot(rpl, idx.nlist, dense_cut=0.0,
                          dense_block=db, dense_merge=dm)
         v, i, _ = nprobe_search_mr(idx.arrays, mr, q, npb, k, idx.metric,
                                    p)
@@ -147,11 +147,37 @@ def test_index_search_dense_matches_gather():
     gather engine at the same nprobe."""
     idx, xq = _mk("sq8")
     k = 10
-    idx.dense_xover = None
+    idx.dense_cut = None
     vg, ig = idx.search(xq, k, nprobe=idx.nlist)
-    idx.dense_xover = 0.0          # force dense for any batch
+    idx.dense_cut = 0.0          # force dense for any batch
     vd, idn = idx.search(xq, k, nprobe=idx.nlist)
     _assert_same_results(vg, ig, vd, idn, k)
-    idx.dense_xover = 1e9          # never
+    idx.dense_cut = 1e9          # never
     vh, ih = idx.search(xq, k, nprobe=idx.nlist)
     np.testing.assert_array_equal(vg, vh)
+
+
+def test_mixed_routing_matches_gather():
+    """Per-query routing: a batch where only SOME queries cross the cut
+    must return, for every query, the same results as the all-gather
+    plan (dense-served and gather-served queries coexist in one batch)."""
+    idx, xq = _mk("f32")
+    mr = idx.multirow
+    rpl = np.asarray(mr.rows_per_list)
+    k = 10
+    probes = np.where(np.arange(xq.shape[0]) % 3 == 0, idx.nlist, 2)
+    p_off = plan_oneshot(rpl, idx.nlist)
+    p_mix = plan_oneshot(rpl, idx.nlist, dense_cut=0.5)   # only monsters
+    q = jnp.asarray(xq)
+    npb = jnp.asarray(probes, jnp.int32)
+    vg, ig, _ = [np.asarray(x) for x in nprobe_search_mr(
+        idx.arrays, mr, q, npb, k, idx.metric, p_off)]
+    vm, im, _ = [np.asarray(x) for x in nprobe_search_mr(
+        idx.arrays, mr, q, npb, k, idx.metric, p_mix)]
+    # gather-routed queries (budget 2 lists) must be BITWISE identical;
+    # dense-routed ones match to the kernel envelope
+    small = probes == 2
+    np.testing.assert_array_equal(vm[small], vg[small])
+    np.testing.assert_array_equal(im[small], ig[small])
+    _assert_same_results(vg[~small], ig[~small], vm[~small], im[~small],
+                         k)

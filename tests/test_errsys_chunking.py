@@ -23,14 +23,9 @@ def test_search_larger_than_max_bucket(monkeypatch):
     acc = np.full(70, 0.9, np.float32)
     es.set_queries(70, ds.xq, acc)
     es.set_hyper(4.0, 1.0)
-    # The dense-scan crossover picks its kernel from BATCH-level decided
-    # traffic (like the reference's batch-size-dependent
-    # distance_compute_blas_threshold, utils.cpp:622), so results across
-    # DIFFERENT batchings agree only to the fp-reassociation envelope.
-    # This test asserts bitwise equality across batchings, so pin the
-    # gather tail; dense-vs-gather value parity is covered by
-    # test_dense_xover.py.
-    es.dense_xover = None
+    # (The dense-scan crossover routes PER QUERY, so it cannot break the
+    # bitwise equality across batchings this test asserts — a query's
+    # path and values depend only on its own budget.)
     # shrink the buckets so 70 queries exceed the largest one
     monkeypatch.setattr(at.ErrorSys, "BATCH_BUCKETS", (1, 16, 32))
     D_chunk, I_chunk = es.search(0, 70)
