@@ -221,9 +221,31 @@ def ensure_gt(data: EvalData, idx: IVFFlatIndex, max_topk: int = 100):
     kept only as an id-overlap sanity check."""
     file_I = data.gt_I
     if data.gt_D is None or data.gt_D.shape[1] < max_topk             or data.gt_I is None or not getattr(data, "_gt_exact", False):
+        # >=5M corpora: cache GT on disk like the corpus itself — the
+        # exact scan of a few thousand queries over 10M rows costs
+        # minutes of TPU time per eval process otherwise. Keyed by
+        # (name, tag, storage) because exact_search scans the index's
+        # DECODED vectors (sq8 GT != f32 GT at the 1e-5 tolerance).
+        gt_cache = None
+        nq = data.xq.shape[0]
+        if data.xb.shape[0] >= 5_000_000:
+            cdir = os.environ.get("BENCH_CACHE", ".bench_cache")
+            os.makedirs(cdir, exist_ok=True)
+            gt_cache = os.path.join(
+                cdir, f"gt_{data.name}{data.cache_tag}_{idx.storage}.npz")
+            if os.path.exists(gt_cache):
+                with np.load(gt_cache) as z:
+                    if (z["D"].shape[0] >= nq
+                            and z["D"].shape[1] >= max_topk):
+                        data.gt_D = z["D"][:nq, :max_topk]
+                        data.gt_I = z["I"][:nq, :max_topk]
+                        data._gt_exact = True
+                        return data.gt_D, data.gt_I
         data.gt_D, data.gt_I = idx.exact_search(data.xq, max_topk,
                                                 batch=1000)
         data._gt_exact = True
+        if gt_cache is not None:
+            np.savez(gt_cache, D=data.gt_D, I=data.gt_I)
         if file_I is not None:
             k = min(10, file_I.shape[1])
             overlap = np.mean([len(set(a[:k].tolist())

@@ -47,13 +47,16 @@ def main(db="synth1M", ts=1000, ses=1000, k=10, eps=0.10, storage="f32",
     gt_D, gt_I = common.ensure_gt(data, idx, 100)
     log("index + gt ready")
 
+    # Disjoint protocol (shipped default since round 4): profile on the
+    # first half of the train slice, calibrate on the second half.
+    psz = max(ts // 2, 1)
     es = ErrorSys(idx, train_num=ts + ses, max_topk=100)
     es.set_gt(gt_D, gt_I)
-    es.sys_train(ts, data.xq)
+    es.sys_train(psz, data.xq)
     es.set_topk(k)
     acc = np.full(ts + ses, 1.0 - eps, np.float32)
     es.set_queries(ses, data.xq, acc)
-    es.calibrate(0, min(ts, 2000), target_bound=1.0 - eps)
+    es.calibrate(psz, min(ts - psz, 2000), target_bound=1.0 - eps)
     log(f"calibrated multipler={es.multipler:.2f} std_m={es.std_m:g}")
 
     n_lat = min(n_lat, ses)
