@@ -21,6 +21,11 @@ from auncel_tpu.index.io import save_index, load_index
 
 DATA_ROOT = os.environ.get("AUNCEL_DATA_ROOT", "/workspace/data")
 
+# Corpora at or above this row count get their generated vectors and
+# exact GT cached on disk (BENCH_CACHE, default .bench_cache/): both cost
+# minutes per eval process at 10M scale.
+BIG_CORPUS_ROWS = 5_000_000
+
 # name -> (base fvecs, query fvecs, gt ivecs, gt-distance fvecs, metric)
 # matching the reference's hardcoded table (eval/bound.cpp:160-210).
 FILE_DATASETS = {
@@ -143,7 +148,7 @@ def load_dataset(name: str, nq: int = 10000, max_topk: int = 100,
         # parameter changes must bump SYNTH_VER (enforced by the cache
         # name carrying the tag).
         cache = None
-        if nb >= 5_000_000:
+        if nb >= BIG_CORPUS_ROWS:
             cdir = os.environ.get("BENCH_CACHE", ".bench_cache")
             os.makedirs(cdir, exist_ok=True)
             cache = os.path.join(cdir, f"evalds_{name}{tag}.npz")
@@ -228,7 +233,7 @@ def ensure_gt(data: EvalData, idx: IVFFlatIndex, max_topk: int = 100):
         # DECODED vectors (sq8 GT != f32 GT at the 1e-5 tolerance).
         gt_cache = None
         nq = data.xq.shape[0]
-        if data.xb.shape[0] >= 5_000_000:
+        if data.xb.shape[0] >= BIG_CORPUS_ROWS:
             cdir = os.environ.get("BENCH_CACHE", ".bench_cache")
             os.makedirs(cdir, exist_ok=True)
             gt_cache = os.path.join(

@@ -25,6 +25,34 @@ def test_load_synthetic_dataset():
     assert d.xq.shape[0] == 100
 
 
+def test_big_corpus_and_gt_disk_cache(tmp_path, monkeypatch):
+    """>=BIG_CORPUS_ROWS corpora cache their vectors AND exact GT on
+    disk (10M-scale evals cost minutes per process otherwise). Scaled
+    down via the threshold so the whole path runs on synth10K."""
+    monkeypatch.setenv("BENCH_CACHE", str(tmp_path))
+    monkeypatch.setattr(common, "BIG_CORPUS_ROWS", 5_000)
+    d1 = common.load_dataset("synth10K", nq=60)
+    assert (tmp_path / "evalds_synth10K.npz").exists()
+    # second load must come from the cache, sliced to the smaller nq
+    d2 = common.load_dataset("synth10K", nq=40)
+    np.testing.assert_array_equal(d1.xb, d2.xb)
+    np.testing.assert_array_equal(d1.xq[:40], d2.xq)
+
+    idx = common.build_or_load_index(d1, nlist=32, cache_dir=str(tmp_path))
+    gt_D, gt_I = common.ensure_gt(d1, idx, max_topk=20)
+    gtf = tmp_path / f"gt_synth10K_{idx.storage}.npz"
+    assert gtf.exists()
+    # a fresh EvalData (no in-memory GT) must hit the disk cache —
+    # exact_search is forbidden to prove it
+    d3 = common.load_dataset("synth10K", nq=40)
+    monkeypatch.setattr(
+        idx, "exact_search",
+        lambda *a, **k: pytest.fail("GT disk cache missed"))
+    g3_D, g3_I = common.ensure_gt(d3, idx, max_topk=20)
+    np.testing.assert_array_equal(g3_D, gt_D[:40, :20])
+    np.testing.assert_array_equal(g3_I, gt_I[:40, :20])
+
+
 def test_unknown_dataset_raises():
     with pytest.raises(KeyError):
         common.load_dataset("nope")
