@@ -21,7 +21,8 @@ MIXED_BOUNDS = [0.9, 0.8, 0.7, 0.6, 0.5, 0.4, 0.3]  # effect_error.cpp:281
 def run(db: str = "synth100K", ts: int = 1000, ses: int = 1000,
         input_k: int = 10, figure_id: int | None = None,
         nlist: int = 1024, max_topk: int = 100, log_dir: str = ".",
-        storage: str = "f32", calibrate: bool = False):
+        storage: str = "f32", calibrate: bool = False,
+        profile_size: int | None = None):
     t0 = time.time()
 
     def log(m):
@@ -34,7 +35,9 @@ def run(db: str = "synth100K", ts: int = 1000, ses: int = 1000,
     # when auto-calibrating, train the profile on the first half of the
     # train slice so calibration runs on DISJOINT queries (the shipped
     # round-4 protocol; profile-seen calibration under-estimates)
-    psz = max(ts // 2, 1) if calibrate else ts
+    # --profile-size lets 10M runs match the P0 protocol exactly (1000
+    # profile + 2000 calibration; Recal_synthDeep10M floor)
+    psz = (min(profile_size or max(ts // 2, 1), ts) if calibrate else ts)
     es = ErrorSys(idx, train_num=ts + ses, max_topk=max_topk)
     es.set_gt(gt_D, gt_I)
     es.sys_train(psz, data.xq)
@@ -82,9 +85,13 @@ def main():
     ap.add_argument("figure_id", nargs="?", type=int, default=None)
     ap.add_argument("--storage", default="f32")
     ap.add_argument("--calibrate", action="store_true")
+    ap.add_argument("--profile-size", type=int, default=None,
+                    help="train the profile on the first N train queries "
+                         "and calibrate on the rest (default: ts // 2)")
     args = ap.parse_args()
     run(args.db, args.train_size, args.query_size, args.topk,
-        args.figure_id, storage=args.storage, calibrate=args.calibrate)
+        args.figure_id, storage=args.storage, calibrate=args.calibrate,
+        profile_size=args.profile_size)
 
 
 if __name__ == "__main__":

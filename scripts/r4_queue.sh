@@ -29,7 +29,7 @@ run_job xover10M 10800 python scripts/xover10M.py
 run_job matrix10M 10800 python scripts/matrix10M.py
 
 # 4. VERDICT #9 (10M half): effectiveness experiments at 10M-p2
-run_job effErr10M 7200 python -m auncel_tpu.eval_harness.effect_error synthDeep10M 2000 1000 10 --storage sq8 --calibrate
+run_job effErr10M 7200 python -m auncel_tpu.eval_harness.effect_error synthDeep10M 3000 1000 10 --storage sq8 --calibrate --profile-size 1000
 run_job effTime10M 7200 python -m auncel_tpu.eval_harness.effect_time synthDeep10M 2000 1000 10 --storage sq8
 
 # 5. plan sweep at 10M (RESULTS_r4 placeholder)
