@@ -38,7 +38,7 @@ if lat:
 
 # round-4: per-dataset latency CDFs + ELP slowdown figures (fig 10-12
 # evidence shape, figures/overall/figure10-1.py:36-80)
-for db in ("synth1M", "synthDeep10M"):
+for db in ("synth1M", "synthHard1M", "synthDeep10M"):
     a = p(f"Auncel_Latency_{db}_10_10.log")
     e = p(f"ELP_Latency_{db}_10_10.log")
     if os.path.exists(a):
