@@ -44,6 +44,7 @@ def main(db="synthDeep10M", storage="sq8"):
     e0 = n_prof + n_cal
     acc = np.zeros(nq, np.float32)
     results = []
+    open(f"Matrix_{db}.log", "w").close()  # fresh log; rows append below
     for k in (10, 50, 100):
         es.set_topk(k)
         for eps in (0.10, 0.05, 0.01):
@@ -68,9 +69,10 @@ def main(db="synthDeep10M", storage="sq8"):
                        qps=round(n_eval / dt, 1))
             log(json.dumps(row))
             results.append(row)
-    with open(f"Matrix_{db}.log", "w") as f:
-        for r in results:
-            f.write(json.dumps(r) + "\n")
+            # append incrementally: a timeout mid-matrix must not lose
+            # finished cells
+            with open(f"Matrix_{db}.log", "a") as f:
+                f.write(json.dumps(row) + "\n")
     held = sum(r["bound_ok"] for r in results)
     log(f"wrote Matrix_{db}.log ({held}/{len(results)} cells hold)")
 

@@ -68,6 +68,7 @@ def main(multipler=None, std_m=None):
                          headroom=1.0 / k)
             log(f"calibrated ({es.multipler:.2f}, {es.std_m:g})")
     e0 = n_prof + n_cal
+    open("Tune10M.log", "w").close()  # fresh log; rows append below
 
     grids = [
         dict(),                                     # shipped defaults
@@ -113,10 +114,11 @@ def main(multipler=None, std_m=None):
                        decisions_invariant=same)
             log(json.dumps(row))
             results.append(row)
-    with open("Tune10M.log", "w") as f:
-        for r in results:
-            f.write(json.dumps(r) + "\n")
-    log("wrote Tune10M.log")
+            # append incrementally: a timeout mid-sweep (compile lottery
+            # is per distinct plan shape) must not lose finished cells
+            with open("Tune10M.log", "a") as f:
+                f.write(json.dumps(row) + "\n")
+    log(f"wrote Tune10M.log ({len(results)} cells)")
 
 
 if __name__ == "__main__":
