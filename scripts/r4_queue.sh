@@ -54,4 +54,8 @@ run_job bench 3600 python bench.py
 #     job last so everything above is already banked if it blows the box)
 run_job hnsw1M 10800 python scripts/hnsw1M.py
 
+# 11. xover rerun on the disjoint P0 protocol (first run calibrated on
+#     profile-seen queries and missed the bound on every cell)
+run_job xover10Mb 10800 python scripts/xover10M.py
+
 echo "=== [$(date +%H:%M:%S)] QUEUE DONE" | tee -a logs_r4/queue.log
