@@ -58,4 +58,8 @@ run_job hnsw1M 10800 python scripts/hnsw1M.py
 #     profile-seen queries and missed the bound on every cell)
 run_job xover10Mb 10800 python scripts/xover10M.py
 
+# 12. strict-eps matrix supplement: raised multipler cap (disjoint) +
+#     the reference's own tuned-on-served-queries protocol, both labeled
+run_job matrix10Msupp 10800 python scripts/matrix10M_supp.py
+
 echo "=== [$(date +%H:%M:%S)] QUEUE DONE" | tee -a logs_r4/queue.log
