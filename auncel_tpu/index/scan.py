@@ -453,6 +453,110 @@ def masked_full_scan(
     return jax.lax.fori_loop(0, n_merges, merge_body, (vals, ids))
 
 
+def dense_stage_snapshots(
+    rows: IVFArrays,
+    row_list: jax.Array,     # [R] owning list id per row, -1 at pad rows
+    inv_rank: jax.Array,     # [B, nlist] coarse rank per list (>= nlist
+                             #   for lists outside the ranked prefix)
+    q: jax.Array,            # [B, d]
+    q_sq: jax.Array,         # [B]
+    stages: tuple,           # static increasing decision stages (list units)
+    k: int,
+    metric: Metric,
+    block_rows: int = 128,
+) -> jax.Array:
+    """Per-stage top-k VALUE snapshots from ONE shared corpus pass.
+
+    Returns [B, len(stages), k] sorted best-first: entry j is the exact
+    top-k distance values over each query's first ``stages[j]``
+    coarse-ranked lists — the snapshot the bounded-termination predicate
+    consumes at that decision boundary (IndexIVF.cpp:551-568 reads the
+    sorted heap after exactly `stage` probed lists).
+
+    The decide-phase analog of ``masked_full_scan``: the wave engine
+    produces these snapshots by gathering each query's private ranked
+    rows stage by stage (sum-of-budgets HBM traffic, B x nlist/8 lists in
+    the worst case); here every corpus block is read ONCE for the whole
+    batch and each candidate (query, vector) lands in the rank BUCKET
+    ``stages[j-1] <= rank < stages[j]`` of its list's per-query coarse
+    rank. Buckets are disjoint, so one running top-k per bucket suffices;
+    the cumulative union across buckets (post-pass, len(stages) tiny
+    merges) yields every stage's snapshot exactly. Values are the same
+    f32 HIGHEST contraction over d the gather path computes; like the
+    dense tail (masked_full_scan), they can differ from the gather
+    kernel's by fp reassociation (~1e-7 rel; tests budget 1e-5), so a
+    decision replayed from them can flip only on a query whose predicate
+    sits inside that envelope of its threshold.
+
+    Per-bucket merges are ``lax.cond``-skipped when no candidate in the
+    block improves that bucket's current k-th (skipped candidates are
+    strictly worse than everything their stage snapshot keeps, so
+    exactness is unaffected).
+    """
+    B = q.shape[0]
+    R, cap = rows.vec_ids.shape
+    worst = worst_value(metric)
+    n_st = len(stages)
+    lo = (0,) + tuple(stages[:-1])
+    C = min(block_rows, R)
+    n_blocks = -(-R // C)
+    snap = jnp.full((B, n_st, k), worst, jnp.float32)
+
+    def body(bi, snap):
+        s = jnp.maximum(jnp.minimum(bi * C, R - C), 0)
+        blk = jax.lax.dynamic_slice_in_dim(rows.db, s, C, 0)
+        blk_sq = jax.lax.dynamic_slice_in_dim(rows.db_sq, s, C, 0)
+        blk_ids = jax.lax.dynamic_slice_in_dim(rows.vec_ids, s, C, 0)
+        lists = jax.lax.dynamic_slice_in_dim(row_list, s, C, 0)
+        blk = rows.decode_block(blk)
+        dots = jnp.einsum(
+            "rcd,bd->brc", blk, q.astype(blk.dtype),
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST)
+        if metric is Metric.L2:
+            scores = jnp.maximum(
+                q_sq[:, None, None] + blk_sq[None] - 2.0 * dots, 0.0)
+        else:
+            scores = dots
+        ranks = inv_rank[:, jnp.maximum(lists, 0)]       # [B, C]
+        fresh = s + jnp.arange(C, dtype=jnp.int32) >= bi * C  # clamp dedup
+        valid = ((blk_ids >= 0)[None]
+                 & (fresh & (lists >= 0))[None, :, None])
+        flat = jnp.where(valid, scores, worst).reshape(B, C * cap)
+        rk = jnp.broadcast_to(
+            ranks[:, :, None], (B, C, cap)).reshape(B, C * cap)
+        for j in range(n_st):
+            sc = jnp.where((rk >= lo[j]) & (rk < stages[j]), flat, worst)
+            if metric.lower_is_better:
+                improving = jnp.any(jnp.min(sc, axis=1) < snap[:, j, k - 1])
+            else:
+                improving = jnp.any(jnp.max(sc, axis=1) > snap[:, j, k - 1])
+
+            def do_merge(sn, sc=sc, j=j):
+                cand = jnp.concatenate([sn[:, j], sc], axis=-1)
+                if metric.lower_is_better:
+                    best = -jax.lax.top_k(-cand, k)[0]
+                else:
+                    best = jax.lax.top_k(cand, k)[0]
+                return sn.at[:, j].set(best)
+
+            snap = jax.lax.cond(improving, do_merge, lambda sn: sn, snap)
+        return snap
+
+    snap = jax.lax.fori_loop(0, n_blocks, body, snap)
+    # Disjoint buckets -> cumulative union gives each stage's snapshot.
+    outs = []
+    run = jnp.full((B, k), worst, jnp.float32)
+    for j in range(n_st):
+        cand = jnp.concatenate([run, snap[:, j]], axis=-1)
+        if metric.lower_is_better:
+            run = -jax.lax.top_k(-cand, k)[0]
+        else:
+            run = jax.lax.top_k(cand, k)[0]
+        outs.append(run)
+    return jnp.stack(outs, axis=1)
+
+
 def maxcodes_limit(sizes: jax.Array, nprobe: int, max_codes) -> jax.Array:
     """Per-query probe limit under a code-visit budget: the reference scans
     list ik then breaks once ``nscan >= max_codes`` (IndexIVF.cpp:539-541),

@@ -412,6 +412,17 @@ class MROneShotPlan(NamedTuple):
     mean_rpl: float = 1.0   # rows-per-list mean: list -> row unit estimate
     dense_block: int = 256  # corpus rows per dense-scan block
     dense_merge: int = 1    # dense blocks per exact top-k merge
+    # Dense DECIDE phase: serve the decision ladder itself from ONE shared
+    # corpus pass (index/scan.py::dense_stage_snapshots) instead of the
+    # A1/A2 gather waves. Same snapshots and ladder arithmetic (decisions
+    # differ only inside the dense kernel's fp-reassociation envelope,
+    # like the dense tail); the win is HBM traffic — gather decide reads
+    # sum-of-budgets bytes (B x nlist/8 lists worst case), dense decide
+    # reads the corpus once per batch. Right when the workload's decided
+    # scan fraction is high (unprunable corpora); wrong when budgets are
+    # tiny (the shared pass reads rows gathers would never touch).
+    dense_decide: bool = False
+    decide_block: int = 128  # corpus rows per snapshot block (VMEM-sized)
 
 
 def plan_oneshot(rows_per_list: np.ndarray, nlist: int, split: int = 8,
@@ -422,10 +433,14 @@ def plan_oneshot(rows_per_list: np.ndarray, nlist: int, split: int = 8,
                  dense_cut: float | None = None,
                  dense_cap: int = 256,
                  dense_block: int = 256,
-                 dense_merge: int = 1) -> MROneShotPlan:
+                 dense_merge: int = 1,
+                 dense_decide: bool = False,
+                 decide_block: int = 128) -> MROneShotPlan:
     """``dense_cut`` enables the dense-scan crossover: a query goes dense
     when its own decided row budget exceeds ``dense_cut x`` the corpus
-    row count (0.0 = every query dense; None disables)."""
+    row count (0.0 = every query dense; None disables). ``dense_decide``
+    additionally serves the decision ladder from one shared corpus pass
+    (see MROneShotPlan.dense_decide)."""
     rpl = np.asarray(rows_per_list, np.int64)
     cap_stage = max(nlist // 8, 1)
     split = min(split, cap_stage)
@@ -456,7 +471,79 @@ def plan_oneshot(rows_per_list: np.ndarray, nlist: int, split: int = 8,
     cut_rows = -1 if dense_cut is None else int(dense_cut * n_rows)
     return MROneShotPlan(a1, a2, tail, split, a2_cap, tail_cap, n_rows,
                          cut_rows, dense_cap, mean_rpl, dense_block,
-                         dense_merge)
+                         dense_merge, bool(dense_decide), decide_block)
+
+
+def _dense_decide(arrays, mr, traces, q, q_sq, require_acc, multipler,
+                  std_m, query_k, max_topk, metric, plan):
+    """Decision phase as ONE shared corpus pass + a ladder replay.
+
+    ``dense_stage_snapshots`` computes the exact sorted top-``max_topk``
+    VALUE snapshot after each decision stage; this function then replays
+    the per-boundary termination predicate over those snapshots with the
+    identical arithmetic the wave engine runs at each COMPLETE boundary
+    (IndexIVF.cpp:551-601: phi -> U -> cur_num, stagnation by list gap,
+    forced decision at nlist/8) — every stage is complete by construction
+    here, exactly the exact_cover wave plans' situation. Decisions match
+    the wave engine's except on queries whose predicate sits inside the
+    dense kernel's fp-reassociation envelope of its threshold (~1e-7 rel,
+    the same envelope the dense tail carries vs the gather tail); the
+    stagnation equality test is internally consistent (each candidate's
+    score is computed once per pass, so an unchanged top-k set keeps an
+    exactly-unchanged max_val). Returns (my_np, decided_at).
+    """
+    from auncel_tpu.index.scan import dense_stage_snapshots
+    B = q.shape[0]
+    nlist = arrays.nlist
+    cap_stage = max(nlist // 8, 1)
+    stages = tuple(b for b in wave_boundaries(nlist) if b <= cap_stage)
+    rank_k = min(nlist, max(cap_stage, n_boundaries(nlist) + 1))
+    cdis, cids = coarse_rank(arrays, q, metric, q_sq=q_sq, rank_k=rank_k)
+    dtb = boundary_distances(cdis, cids, arrays.interdis, metric)
+    # Per-list coarse rank per query; lists outside the decide window get
+    # rank nlist (outside every stage bucket).
+    binx = jnp.arange(B, dtype=jnp.int32)[:, None]
+    win = jnp.broadcast_to(
+        jnp.arange(cap_stage, dtype=jnp.int32)[None], (B, cap_stage))
+    inv_rank = jnp.full((B, nlist), nlist, jnp.int32).at[
+        binx, cids[:, :cap_stage]].set(win)
+    snaps = dense_stage_snapshots(
+        mr.rows, mr.row_list, inv_rank, q, q_sq, stages, max_topk, metric,
+        plan.decide_block)
+
+    stops = jnp.floor(require_acc * STAGNATION_FACTOR).astype(jnp.int32)
+    my_np = jnp.zeros((B,), jnp.int32)
+    decided_at = jnp.zeros((B,), jnp.int32)
+    stoped = jnp.zeros((B,), jnp.int32)
+    pre_val = jnp.zeros((B,), jnp.float32)
+    last_stage = 0
+    for si, stage in enumerate(stages):
+        vals = snaps[:, si]
+        recall = _decide_at_stage(traces, dtb, vals, stage, nlist,
+                                  query_k, max_topk, std_m, metric)
+        max_val = vals[:, max_topk - 1]
+        seen = last_stage > 0  # python bool: every boundary is complete
+        if seen:
+            stoped = jnp.where(max_val == pre_val,
+                               stoped + (stage - last_stage), 0)
+            recall = jnp.where(stoped >= stops, 1.0, recall)
+        pre_val = max_val
+        last_stage = stage
+        is_forced = stage >= cap_stage
+        sat = (recall >= require_acc) & (my_np == 0)
+        if is_forced:
+            sat = sat | (my_np == 0)
+        new_np = jnp.floor(stage * multipler).astype(jnp.int32)
+        if is_forced:
+            # conservative floor: full scan (see run_wave's forced note)
+            new_np = jnp.where(new_np > 0, new_np, nlist)
+        eff = sat & (new_np > 0)
+        my_np = jnp.where(eff, new_np, my_np)
+        decided_at = jnp.where(eff, jnp.int32(stage), decided_at)
+    # A ladder whose last stage is below nlist/8 (non-power-of-two nlist)
+    # has no forced boundary; the conservative floor is a full scan.
+    my_np = jnp.where(my_np == 0, nlist, my_np)
+    return my_np, decided_at
 
 
 def _dense_rounds(arrays, mr, q, q_sq, vals, ids, pending, target,
@@ -658,6 +745,37 @@ def bounded_oneshot_mr(
     nlist = arrays.nlist
     cap_stage = max(nlist // 8, 1)
     z = jnp.zeros((B,), jnp.float32)
+
+    if plan.dense_decide:
+        # Decide phase from ONE shared corpus pass (same ladder
+        # arithmetic; decisions can differ from the gather waves only
+        # inside the dense kernel's fp envelope — see _dense_decide); the
+        # serve phase then runs from a fresh top-k over each query's
+        # whole budget — the same candidate set (first `target` ranked
+        # lists), so the final top-k matches the budgets' exact answer.
+        q_sq = sqnorms(q)
+        my_np, decided_at = _dense_decide(
+            arrays, mr, traces, q, q_sq, require_acc, multipler, std_m,
+            query_k, max_topk, metric, plan)
+        target = jnp.clip(jnp.maximum(my_np, decided_at), 1, nlist)
+        vals, ids = init_topk((B,), max_topk, metric)
+        vals, ids = _tail_dispatch(
+            arrays, mr, q, q_sq, vals, ids,
+            jnp.zeros((B,), jnp.int32), jnp.zeros((B,), jnp.int32),
+            target, max_topk, metric, plan)
+        if with_true_recall:
+            if metric is Metric.L2:
+                cnt = jnp.sum(vals <= gt_kth[:, None] * TRUE_RECALL_SLACK,
+                              axis=1)
+            else:
+                cnt = jnp.sum(
+                    vals >= gt_kth[:, None] * (2.0 - TRUE_RECALL_SLACK),
+                    axis=1)
+            true_recall = cnt.astype(jnp.float32) / float(query_k)
+            true_recall = jnp.where(my_np >= nlist, 1.0, true_recall)
+        else:
+            true_recall = jnp.zeros((B,), jnp.float32)
+        return vals, ids, my_np, target, true_recall
 
     state, q_sq = _mr_impl(arrays, mr, traces, q, require_acc, multipler,
                            std_m, z, query_k, max_topk, metric, plan.a1,

@@ -101,6 +101,16 @@ class ErrorSys:
         # ladders are merge-bound). Routing is per query, so results stay
         # batch-invariant.
         self.dense_cut: float | None = 0.25
+        # Dense DECIDE phase (bounded_mr.MROneShotPlan.dense_decide):
+        # serve the decision ladder itself from one shared corpus pass.
+        # Same ladder arithmetic as the gather waves (decisions differ
+        # only inside the dense kernel's fp envelope); the trade is HBM
+        # traffic (one corpus read per batch vs sum-of-budgets gathers),
+        # so it wins exactly when the workload's decided scan fraction is
+        # high (unprunable corpora) and loses when budgets are tiny. Off
+        # by default; flip per workload (scripts/xover10M measures both)
+        # or let calibrate()'s measured mean scan set it.
+        self.dense_decide: bool = False
         # Extra plan_oneshot kwargs (a2_cap, tail_cap, split, ...): the
         # plan constants were tuned at 1M; corpora with very different
         # rows-per-list profiles (10M: ~39 rows/list) may want wider
@@ -221,13 +231,14 @@ class ErrorSys:
         # floor (tests / forced operation).
         if cut and self._mr_obj.rows.db.shape[0] < 2048:
             cut = None
-        key = ("oneshot", int(self.min_decide_stage), cut,
+        dd = bool(self.dense_decide) and cut is not None
+        key = ("oneshot", int(self.min_decide_stage), cut, dd,
                tuple(sorted(self.plan_overrides.items())))
         if key not in self._mr_plans:
             self._mr_plans[key] = plan_oneshot(
                 self._mr_rpl, self.index.nlist,
                 min_decide_stage=int(self.min_decide_stage),
-                dense_cut=cut, **self.plan_overrides)
+                dense_cut=cut, dense_decide=dd, **self.plan_overrides)
         return self._mr_plans[key]
 
     def _dev_all(self):

@@ -157,6 +157,113 @@ def test_index_search_dense_matches_gather():
     np.testing.assert_array_equal(vg, vh)
 
 
+@pytest.mark.parametrize("storage", ["f32", "sq8"])
+def test_dense_stage_snapshots_exact(storage):
+    """One shared corpus pass must reproduce, for every decision stage,
+    the exact top-k values over each query's first `stage` ranked lists
+    (numpy brute force on the decoded corpus, kernel-envelope rtol)."""
+    import jax
+    from auncel_tpu.index.scan import dense_stage_snapshots, coarse_rank
+    from auncel_tpu.ops.distance import sqnorms
+
+    idx, xq = _mk(storage, nb=6000)
+    mr = idx.multirow
+    nlist = idx.nlist
+    stages = (1, 2, 4)                    # cap_stage = 32 // 8
+    k = 25
+    q = jnp.asarray(xq)
+    q_sq = sqnorms(q)
+    _, cids = coarse_rank(idx.arrays, q, idx.metric, q_sq=q_sq)
+    cids = np.asarray(cids)
+    B = xq.shape[0]
+    cap_stage = stages[-1]
+    inv_rank = np.full((B, nlist), nlist, np.int32)
+    for b in range(B):
+        inv_rank[b, cids[b, :cap_stage]] = np.arange(cap_stage)
+    snaps = np.asarray(dense_stage_snapshots(
+        mr.rows, mr.row_list, jnp.asarray(inv_rank), q, q_sq, stages, k,
+        idx.metric, block_rows=7))       # odd block size: clamp/dedup path
+
+    # brute force on the decoded rows (same codec the kernel reads)
+    rows = np.asarray(mr.rows.decode_block(mr.rows.db))
+    vec_ids = np.asarray(mr.rows.vec_ids)
+    row_list = np.asarray(mr.row_list)
+    flat = rows.reshape(-1, idx.d)
+    flat_list = np.repeat(row_list, rows.shape[1])
+    flat_ok = (vec_ids.reshape(-1) >= 0) & (flat_list >= 0)
+    for b in range(min(B, 12)):
+        d2 = ((flat - xq[b]) ** 2).sum(axis=1)
+        ranks = np.where(flat_list >= 0, inv_rank[b][np.maximum(
+            flat_list, 0)], nlist)
+        for j, s in enumerate(stages):
+            cand = np.sort(d2[flat_ok & (ranks < s)])[:k]
+            got = snaps[b, j, : cand.size]
+            np.testing.assert_allclose(got, cand, rtol=1e-4, atol=1e-4)
+            assert np.isinf(snaps[b, j, cand.size:]).all()
+
+
+@pytest.mark.parametrize("storage", ["f32", "sq8"])
+def test_dense_decide_matches_wave_engine(storage):
+    """dense_decide serves the decision ladder from one shared pass: on
+    this fixed seed every decision (n_scanned) matches the gather waves,
+    and results match to the dense kernel envelope."""
+    idx, xq = _mk(storage)
+    n_train, n_test, max_topk = 122, 48, 40
+    allq = np.concatenate([
+        xq, xq[np.random.RandomState(1).permutation(48)]
+        + 0.1 * np.random.RandomState(2).randn(48, idx.d).astype(
+            np.float32)])
+    allq = np.concatenate([allq, allq, allq])[: n_train + n_test]
+    gt_D, gt_I = idx.exact_search(allq, max_topk)
+    es = at.ErrorSys(idx, train_num=n_train + n_test, max_topk=max_topk)
+    es.set_gt(gt_D, gt_I)
+    es.sys_train(n_train, allq)
+    es.set_topk(10)
+    acc = np.full(n_train + n_test, 0.9, np.float32)
+    es.set_queries(n_test, allq, acc)
+    es.set_hyper(4.0, 1.0)
+
+    es.dense_cut = 0.0            # keep the serve path identical (dense)
+    Dg, Ig = es.search(n_train, n_test)
+    nsg = es.n_scanned[n_train:n_train + n_test].copy()
+    es.dense_decide = True        # flip ONLY the decide phase
+    Dd, Id = es.search(n_train, n_test)
+    nsd = es.n_scanned[n_train:n_train + n_test].copy()
+
+    np.testing.assert_array_equal(nsg, nsd)
+    _assert_same_results(Dg, Ig, Dd, Id, es.query_topk)
+
+
+def test_dense_decide_forced_floor_is_full_scan():
+    """A tiny multipler floors every forced decision to a FULL scan in the
+    gather engine (terminate-later invariant); the dense replay must keep
+    that floor."""
+    idx, xq = _mk("f32")
+    mr = idx.multirow
+    rpl = np.asarray(mr.rows_per_list)
+    n_train, n_test, max_topk = 122, 48, 40
+    allq = np.concatenate([xq, xq, xq, xq])[: n_train + n_test]
+    gt_D, gt_I = idx.exact_search(allq, max_topk)
+    es = at.ErrorSys(idx, train_num=n_train + n_test, max_topk=max_topk)
+    es.set_gt(gt_D, gt_I)
+    es.sys_train(n_train, allq)
+    es.set_topk(10)
+    # an impossible bound + vanishing multipler: every query reaches the
+    # forced stage and must floor to nlist, not to floor(stage * m) == 0
+    acc = np.full(n_train + n_test, 0.999999, np.float32)
+    es.set_queries(n_test, allq, acc)
+    es.set_hyper(1e-6, 12.0)
+    plan = plan_oneshot(rpl, idx.nlist, dense_cut=0.0, dense_decide=True)
+    out = bounded_oneshot_mr(
+        idx.arrays, mr, es.traces, jnp.asarray(allq[n_train:]),
+        jnp.asarray(acc[n_train:]), jnp.float32(es.multipler),
+        jnp.float32(es.std_m), jnp.zeros(n_test, jnp.float32),
+        es.query_topk, es.max_topk, idx.metric, plan)
+    my_np, n_scanned = np.asarray(out[2]), np.asarray(out[3])
+    assert (n_scanned[my_np == idx.nlist] == idx.nlist).all()
+    assert (n_scanned >= 1).all()
+
+
 def test_mixed_routing_matches_gather():
     """Per-query routing: a batch where only SOME queries cross the cut
     must return, for every query, the same results as the all-gather
