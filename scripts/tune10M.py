@@ -118,6 +118,54 @@ def main(multipler=None, std_m=None):
             # is per distinct plan shape) must not lose finished cells
             with open("Tune10M.log", "a") as f:
                 f.write(json.dumps(row) + "\n")
+
+    # --- dense serving on the PRUNABLE corpus -------------------------
+    # At B=1024 a shared corpus pass reads fewer bytes than per-query
+    # gathers whenever the mean decided scan exceeds nlist/B (~1 list);
+    # p2's mean scan is ~34, i.e. gathers move ~34x the corpus bytes per
+    # batch. dense_cut=0.0 serves EVERY query through masked_full_scan
+    # (routing never alters decisions, so n_scanned must stay invariant);
+    # dense_decide additionally replaces the decide-phase gathers (may
+    # flip knife-edge queries within the kernel envelope, so its
+    # mean_scan is reported, not asserted).
+    es.min_decide_stage = 1
+    dense_cells = [
+        ("dense serve cap256", 0.0, False, {}),
+        ("dense serve cap1024", 0.0, False, dict(dense_cap=1024)),
+        ("dense serve cap1024 blk512", 0.0, False,
+         dict(dense_cap=1024, dense_block=512)),
+        ("dense serve+decide cap1024", 0.0, True, dict(dense_cap=1024)),
+        ("dense decide only", 0.25, True, {}),
+    ]
+    for tag, cut, dd, ov in dense_cells:
+        es.dense_cut = cut
+        es.dense_decide = dd
+        es.plan_overrides = ov
+        try:
+            es.search(e0, n_eval)          # compile + warm
+            t1 = time.perf_counter()
+            D, I = es.search(e0, n_eval)
+            one = n_eval / (time.perf_counter() - t1)
+            ns = es.n_scanned[e0:nq].copy()
+            t1 = time.perf_counter()
+            es.search_stream(e0, n_eval)
+            st = n_eval / (time.perf_counter() - t1)
+            ok, minf = common.check_bound(D, gt_D[e0:nq], k, eps,
+                                          data.metric)
+        except Exception as e:
+            log(f"{tag}: FAILED {type(e).__name__}: {e}")
+            continue
+        same = (bool((ns == base_ns).all())
+                if (base_ns is not None and not dd) else None)
+        row = dict(config=tag, dense_cut=cut, dense_decide=dd, plan=ov,
+                   oneshot_qps=round(one, 1), stream_qps=round(st, 1),
+                   min_recall=round(minf, 4), bound_ok=bool(ok),
+                   mean_scan=round(float(ns.mean()), 1),
+                   decisions_invariant=same)
+        log(json.dumps(row))
+        results.append(row)
+        with open("Tune10M.log", "a") as f:
+            f.write(json.dumps(row) + "\n")
     log(f"wrote Tune10M.log ({len(results)} cells)")
 
 
