@@ -234,6 +234,86 @@ def test_dense_decide_matches_wave_engine(storage):
     _assert_same_results(Dg, Ig, Dd, Id, es.query_topk)
 
 
+def test_dense_stage_snapshots_ip_metric():
+    """IP ordering (higher is better, -inf padding) through the snapshot
+    kernel: brute force per stage on normalized vectors."""
+    from auncel_tpu.index.scan import dense_stage_snapshots, coarse_rank
+    from auncel_tpu.ops.distance import sqnorms
+
+    rng = np.random.RandomState(11)
+    d, nlist, nb = 16, 32, 4000
+    xb = rng.randn(nb, d).astype(np.float32)
+    xb /= np.linalg.norm(xb, axis=1, keepdims=True)
+    idx = IVFFlatIndex(d, nlist, metric=Metric.IP)
+    idx.train(xb)
+    idx.add(xb)
+    idx.enable_multirow(row_cap=32)
+    mr = idx.multirow
+    xq = xb[rng.choice(nb, 8)] + 0.05 * rng.randn(8, d).astype(np.float32)
+    xq = (xq / np.linalg.norm(xq, axis=1, keepdims=True)).astype(
+        np.float32)
+    stages, k = (1, 2, 4), 12
+    q = jnp.asarray(xq)
+    q_sq = sqnorms(q)
+    _, cids = coarse_rank(idx.arrays, q, idx.metric, q_sq=q_sq)
+    cids = np.asarray(cids)
+    B = xq.shape[0]
+    inv_rank = np.full((B, nlist), nlist, np.int32)
+    for b in range(B):
+        inv_rank[b, cids[b, : stages[-1]]] = np.arange(stages[-1])
+    snaps = np.asarray(dense_stage_snapshots(
+        mr.rows, mr.row_list, jnp.asarray(inv_rank), q, q_sq, stages, k,
+        idx.metric, block_rows=9))
+    rows = np.asarray(mr.rows.decode_block(mr.rows.db))
+    vec_ids = np.asarray(mr.rows.vec_ids)
+    row_list = np.asarray(mr.row_list)
+    flat = rows.reshape(-1, d)
+    flat_list = np.repeat(row_list, rows.shape[1])
+    flat_ok = (vec_ids.reshape(-1) >= 0) & (flat_list >= 0)
+    for b in range(B):
+        ips = flat @ xq[b]
+        ranks = np.where(flat_list >= 0,
+                         inv_rank[b][np.maximum(flat_list, 0)], nlist)
+        for j, s in enumerate(stages):
+            cand = np.sort(ips[flat_ok & (ranks < s)])[::-1][:k]
+            got = snaps[b, j, : cand.size]
+            np.testing.assert_allclose(got, cand, rtol=1e-4, atol=1e-5)
+            assert np.isneginf(snaps[b, j, cand.size:]).all()
+
+
+def test_dense_decide_stream_matches_oneshot():
+    """search_stream over dense_decide windows == looping search() over
+    the SAME windows (the documented stream contract). NOTE the dense
+    kernels' einsum values are stable only per window SHAPE — unlike the
+    gather engine, different paddings can move values within the fp
+    envelope (and flip a knife-edge decision), so the comparison pins the
+    window size on both sides."""
+    idx, xq = _mk("f32")
+    n_train, n_test, max_topk = 122, 48, 40
+    allq = np.concatenate([xq, xq, xq, xq])[: n_train + n_test]
+    gt_D, gt_I = idx.exact_search(allq, max_topk)
+    es = at.ErrorSys(idx, train_num=n_train + n_test, max_topk=max_topk)
+    es.set_gt(gt_D, gt_I)
+    es.sys_train(n_train, allq)
+    es.set_topk(10)
+    acc = np.full(n_train + n_test, 0.9, np.float32)
+    es.set_queries(n_test, allq, acc)
+    es.set_hyper(4.0, 1.0)
+    es.dense_cut = 0.0
+    es.dense_decide = True
+    w = 16
+    outs = [es.search(n_train + o, min(w, n_test - o))
+            for o in range(0, n_test, w)]
+    D1 = np.concatenate([o[0] for o in outs])
+    I1 = np.concatenate([o[1] for o in outs])
+    ns1 = es.n_scanned[n_train:n_train + n_test].copy()
+    D2, I2 = es.search_stream(n_train, n_test, window=w)
+    ns2 = es.n_scanned[n_train:n_train + n_test].copy()
+    np.testing.assert_array_equal(D1, D2)
+    np.testing.assert_array_equal(I1, I2)
+    np.testing.assert_array_equal(ns1, ns2)
+
+
 def test_dense_decide_forced_floor_is_full_scan():
     """A tiny multipler floors every forced decision to a FULL scan in the
     gather engine (terminate-later invariant); the dense replay must keep

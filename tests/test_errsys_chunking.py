@@ -23,9 +23,11 @@ def test_search_larger_than_max_bucket(monkeypatch):
     acc = np.full(70, 0.9, np.float32)
     es.set_queries(70, ds.xq, acc)
     es.set_hyper(4.0, 1.0)
-    # (The dense-scan crossover routes PER QUERY, so it cannot break the
-    # bitwise equality across batchings this test asserts — a query's
-    # path and values depend only on its own budget.)
+    # (The dense-scan crossover is gated OFF at this corpus size
+    # (error_sys.py small-corpus floor), so only the gather engine's
+    # bitwise batch-width invariance is asserted here. The dense kernels
+    # are value-stable only per window SHAPE — see
+    # test_dense_xover.py::test_dense_decide_stream_matches_oneshot.)
     # shrink the buckets so 70 queries exceed the largest one
     monkeypatch.setattr(at.ErrorSys, "BATCH_BUCKETS", (1, 16, 32))
     D_chunk, I_chunk = es.search(0, 70)
