@@ -27,14 +27,14 @@ from auncel_tpu.eval_harness import common
 def run(db: str = "synth100K", ts: int = 1000, ses: int = 1000,
         input_k: int = 10, error_bound: float = 0.10, nlist: int = 1024,
         max_topk: int = 100, log_dir: str = ".", reps: int = 3,
-        profile_size: int | None = None):
+        profile_size: int | None = None, storage: str = "f32"):
     t0 = time.time()
 
     def log(m):
         print(f"[{time.time() - t0:8.3f} s] {m}", file=sys.stderr, flush=True)
 
     data = common.load_dataset(db, nq=ts + ses)
-    idx = common.build_or_load_index(data, nlist=nlist)
+    idx = common.build_or_load_index(data, nlist=nlist, storage=storage)
     idx.enable_multirow()
     gt_D, gt_I = common.ensure_gt(data, idx, max_topk)
     target = 1.0 - error_bound
@@ -144,9 +144,13 @@ def main():
     ap.add_argument("--profile-size", type=int, default=None,
                     help="train the profile on the first N train queries "
                          "and calibrate on the rest (default: ts // 2)")
+    ap.add_argument("--storage", default="f32",
+                    help="corpus codec (e.g. sq8 at 10M scale, where two "
+                         "resident f32 layouts exceed one chip's HBM)")
     args = ap.parse_args()
     run(args.db, args.train_size, args.query_size, args.topk,
-        args.error_bound, profile_size=args.profile_size)
+        args.error_bound, profile_size=args.profile_size,
+        storage=args.storage)
 
 
 if __name__ == "__main__":

@@ -89,7 +89,10 @@ def main():
     mr = idx.multirow
     nlist = idx.nlist
     B = 1024
-    q = jnp.asarray(data.xq[ts:ts + B])
+    # Unit-cost phases (1-3) are timing-only: the eval slice has just
+    # n_eval=1000 queries (< B), so time on the head of the query set —
+    # phase cost is shape-, not value-, determined.
+    q = jnp.asarray(data.xq[:B])
     q_sq = sqnorms(q)
     accB = jnp.asarray(acc[ts:ts + B])
     rpl = np.asarray(mr.rows_per_list)
