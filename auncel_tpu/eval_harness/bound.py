@@ -29,7 +29,8 @@ def run(db: str = "synth100K", ts: int = 1000, ses: int = 1000,
         figure_id: int | None = None, nlist: int = 1024,
         max_topk: int = 100, calibrate: bool = True,
         batch_latency: int = 100, log_dir: str = ".",
-        storage: str = "f32", profile_size: int | None = None):
+        storage: str = "f32", profile_size: int | None = None,
+        dense_cut: float | None = 0.25, dense_decide: bool = False):
     t0 = time.time()
 
     def log(m):
@@ -62,6 +63,12 @@ def run(db: str = "synth100K", ts: int = 1000, ses: int = 1000,
 
     acc = np.full(ts + ses, 1.0 - error_bound, np.float32)
     es.set_queries(ses, data.xq, acc)
+    # Dense-routing knobs (scripts/tune10M measured dense serving 1.8x
+    # over gathers on the prunable 10M corpus at B=1000 — one shared
+    # corpus pass reads fewer bytes than per-query gathers whenever the
+    # batch's total decided budget exceeds the corpus).
+    es.dense_cut = dense_cut
+    es.dense_decide = dense_decide
     if figure_id is not None:
         es.setparam(figure_id)
     elif calibrate:
@@ -138,11 +145,21 @@ def main():
     ap.add_argument("--profile-size", type=int, default=None,
                     help="train the profile on the first N train queries "
                          "and calibrate on the rest (disjoint slices)")
+    ap.add_argument("--dense-cut", type=float, default=0.25,
+                    help="per-query dense-routing threshold as a corpus "
+                         "fraction (0.0 = serve every query via the "
+                         "shared corpus pass; negative = disable)")
+    ap.add_argument("--dense-decide", action="store_true",
+                    help="serve the decision ladder from shared corpus "
+                         "passes too (wins when decided budgets are "
+                         "large; scripts/tune10M measures both)")
     args = ap.parse_args()
     run(args.db, args.train_size, args.query_size, args.topk,
         args.error_bound, args.figure_id, nlist=args.nlist,
         storage=args.storage, batch_latency=args.batch_latency,
-        profile_size=args.profile_size)
+        profile_size=args.profile_size,
+        dense_cut=None if args.dense_cut < 0 else args.dense_cut,
+        dense_decide=args.dense_decide)
 
 
 if __name__ == "__main__":
