@@ -94,7 +94,7 @@ def main():
     # phase cost is shape-, not value-, determined.
     q = jnp.asarray(data.xq[:B])
     q_sq = sqnorms(q)
-    accB = jnp.asarray(acc[ts:ts + B])
+    accB = jnp.asarray(acc[:B])          # uniform 1-eps; must match q's B
     rpl = np.asarray(mr.rows_per_list)
     R, cap = np.asarray(mr.rows.vec_ids).shape
 
