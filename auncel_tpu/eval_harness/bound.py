@@ -30,7 +30,8 @@ def run(db: str = "synth100K", ts: int = 1000, ses: int = 1000,
         max_topk: int = 100, calibrate: bool = True,
         batch_latency: int = 100, log_dir: str = ".",
         storage: str = "f32", profile_size: int | None = None,
-        dense_cut: float | None = 0.25, dense_decide: bool = False):
+        dense_cut: float | None = 0.25, dense_decide: bool = False,
+        dense_auto: bool = True):
     t0 = time.time()
 
     def log(m):
@@ -69,6 +70,7 @@ def run(db: str = "synth100K", ts: int = 1000, ses: int = 1000,
     # batch's total decided budget exceeds the corpus).
     es.dense_cut = dense_cut
     es.dense_decide = dense_decide
+    es.dense_auto = dense_auto
     if figure_id is not None:
         es.setparam(figure_id)
     elif calibrate:
@@ -153,13 +155,17 @@ def main():
                     help="serve the decision ladder from shared corpus "
                          "passes too (wins when decided budgets are "
                          "large; scripts/tune10M measures both)")
+    ap.add_argument("--no-dense-auto", action="store_true",
+                    help="disable the batch-amortized auto dense routing "
+                         "(measure the explicit dense-cut config only)")
     args = ap.parse_args()
     run(args.db, args.train_size, args.query_size, args.topk,
         args.error_bound, args.figure_id, nlist=args.nlist,
         storage=args.storage, batch_latency=args.batch_latency,
         profile_size=args.profile_size,
         dense_cut=None if args.dense_cut < 0 else args.dense_cut,
-        dense_decide=args.dense_decide)
+        dense_decide=args.dense_decide,
+        dense_auto=not args.no_dense_auto)
 
 
 if __name__ == "__main__":

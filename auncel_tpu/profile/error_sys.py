@@ -111,6 +111,22 @@ class ErrorSys:
         # by default; flip per workload (scripts/xover10M measures both)
         # or let calibrate()'s measured mean scan set it.
         self.dense_decide: bool = False
+        # Batch-amortized auto-routing (the batch-global analog of the
+        # reference's distance_compute_blas_threshold, utils.cpp:538-622):
+        # one shared corpus pass costs ~corpus bytes per WINDOW while
+        # per-query gathers cost ~mean_scan/nlist x corpus PER QUERY, so
+        # dense serving wins whenever bsz x mean_scan >> nlist even
+        # though no single query crosses dense_cut. After calibrate()
+        # records the holdout mean scan, windows whose
+        # bsz x mean_scan >= dense_auto_factor x nlist are served with
+        # dense_cut=0.0 (identical top-k per query — routing never
+        # alters decisions; measured: tune10M dense cells, decisions
+        # asserted invariant, 1.9x at a 19x byte ratio). B=1 latency
+        # windows never trigger, keeping single-query latency on the
+        # gather path.
+        self.dense_auto: bool = True
+        self.dense_auto_factor: float = 16.0
+        self._cal_mean_scan: float | None = None
         # Extra plan_oneshot kwargs (a2_cap, tail_cap, split, ...): the
         # plan constants were tuned at 1M; corpora with very different
         # rows-per-list profiles (10M: ~39 rows/list) may want wider
@@ -222,7 +238,7 @@ class ErrorSys:
             self._mr_plans = {}
         return mr
 
-    def _mr_oneshot_plan(self):
+    def _mr_oneshot_plan(self, bsz: int | None = None):
         assert self._mr() is not None, "multirow layout not enabled"
         cut = None if self.dense_cut is None else float(self.dense_cut)
         # production gating only: small corpora (< ~0.5M vectors) gain
@@ -231,6 +247,11 @@ class ErrorSys:
         # floor (tests / forced operation).
         if cut and self._mr_obj.rows.db.shape[0] < 2048:
             cut = None
+        if (cut and bsz is not None and self.dense_auto
+                and self._cal_mean_scan
+                and bsz * self._cal_mean_scan
+                    >= self.dense_auto_factor * self.index.nlist):
+            cut = 0.0  # batch-amortized: serve this window dense
         dd = bool(self.dense_decide) and cut is not None
         key = ("oneshot", int(self.min_decide_stage), cut, dd,
                tuple(sorted(self.plan_overrides.items())))
@@ -350,7 +371,7 @@ class ErrorSys:
                 gtk_all, jnp.float32(self.multipler),
                 jnp.float32(self.std_m), jnp.int32(start), jnp.int32(size),
                 bsz, self.query_topk, self.max_topk, self.index.metric,
-                self._mr_oneshot_plan(), want_true)
+                self._mr_oneshot_plan(bsz), want_true)
             vals, ids, my_np, n_scanned, t_rec = jax.device_get(out)
             if want_true:
                 self.t_recalls[start:start + size] = t_rec[:size]
@@ -462,8 +483,8 @@ class ErrorSys:
             gtk_all, jnp.float32(self.multipler),
             jnp.float32(self.std_m), jnp.int32(start),
             jnp.int32(size), self._bucket(size), self.query_topk,
-            self.max_topk, self.index.metric, self._mr_oneshot_plan(),
-            want_true)
+            self.max_topk, self.index.metric,
+            self._mr_oneshot_plan(self._bucket(size)), want_true)
         return (start, size, want_true, out)
 
     def finish_bounded(self, handle):
@@ -672,6 +693,12 @@ class ErrorSys:
                 break
             m *= 1.25
         self.multipler = min(m, max_multipler)
+        # Holdout mean scan at the shipped config: the workload statistic
+        # the batch-amortized dense auto-routing keys on (routing never
+        # alters decisions, so an estimate is safe — it only moves the
+        # serve-phase byte crossover).
+        self._cal_mean_scan = float(
+            self.n_scanned[start + half:start + size].mean())
         return self.multipler
 
     def _min_recall(self, D: np.ndarray, start: int, size: int) -> float:

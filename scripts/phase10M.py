@@ -143,6 +143,7 @@ def main():
 
     # --- 4. end-to-end serving, bound re-checked held-out ------------
     def cell(tag, dd, decide_block=128):
+        es.dense_auto = False   # sweep measures EXPLICIT routings only
         es.dense_cut = 0.25
         es.dense_decide = dd
         es.plan_overrides = (dict(decide_block=decide_block)
