@@ -113,20 +113,23 @@ class ErrorSys:
         self.dense_decide: bool = False
         # Batch-amortized auto-routing (the batch-global analog of the
         # reference's distance_compute_blas_threshold, utils.cpp:538-622):
-        # one shared corpus pass costs ~corpus bytes per WINDOW while
-        # per-query gathers cost ~mean_scan/nlist x corpus PER QUERY, so
-        # dense serving wins whenever bsz x mean_scan >> nlist even
-        # though no single query crosses dense_cut. After calibrate()
-        # records the holdout mean scan, windows whose
-        # bsz x mean_scan >= dense_auto_factor x nlist are served with
-        # dense_cut=0.0 (identical top-k per query — routing never
-        # alters decisions; measured: tune10M dense cells, decisions
-        # asserted invariant, 1.9x at a 19x byte ratio). B=1 latency
-        # windows never trigger, keeping single-query latency on the
-        # gather path.
+        # one shared corpus pass costs ~flat wall-clock per WINDOW while
+        # per-query gathers scale with the decided budgets, so dense
+        # serving wins on big windows of scan-heavy workloads even though
+        # no single query crosses dense_cut. A byte-ratio rule is WRONG
+        # across scales (measured: at 10M the dense window costs ~5 s —
+        # ~50x its HBM bytes, merge-ladder bound — crossing gather only
+        # at mean scan ~77/1024, while at 1M dense wins already at ~75;
+        # Tune10M.log + logs_r4/dense10M), so calibrate() MEASURES the
+        # crossover: it times one gather window vs one dense window at
+        # the calibrated config and derives the minimum window size where
+        # dense wins (dense cost is ~window-size-flat, gather ~linear).
+        # Routing never alters results (dense == gather bitwise for the
+        # same budgets, asserted in tests); B=1 latency windows never
+        # flip.
         self.dense_auto: bool = True
-        self.dense_auto_factor: float = 16.0
         self._cal_mean_scan: float | None = None
+        self._dense_min_bsz: int | None = None
         # Extra plan_oneshot kwargs (a2_cap, tail_cap, split, ...): the
         # plan constants were tuned at 1M; corpora with very different
         # rows-per-list profiles (10M: ~39 rows/list) may want wider
@@ -248,9 +251,8 @@ class ErrorSys:
         if cut and self._mr_obj.rows.db.shape[0] < 2048:
             cut = None
         if (cut and bsz is not None and self.dense_auto
-                and self._cal_mean_scan
-                and bsz * self._cal_mean_scan
-                    >= self.dense_auto_factor * self.index.nlist):
+                and self._dense_min_bsz is not None
+                and bsz >= self._dense_min_bsz):
             cut = 0.0  # batch-amortized: serve this window dense
         dd = bool(self.dense_decide) and cut is not None
         key = ("oneshot", int(self.min_decide_stage), cut, dd,
@@ -693,12 +695,40 @@ class ErrorSys:
                 break
             m *= 1.25
         self.multipler = min(m, max_multipler)
-        # Holdout mean scan at the shipped config: the workload statistic
-        # the batch-amortized dense auto-routing keys on (routing never
-        # alters decisions, so an estimate is safe — it only moves the
-        # serve-phase byte crossover).
+        # Holdout mean scan at the shipped config (a workload statistic
+        # for observability) + the MEASURED dense crossover: time one
+        # gather window vs one dense window at the final config and set
+        # the minimum window size where the shared corpus pass wins
+        # (dense wall-clock is ~window-size-flat, gather ~linear in it,
+        # so the break-even scales as bsz_probe x t_dense / t_gather).
+        # Routing never alters results, so a mis-timed probe costs only
+        # throughput, never the bound. Costs 4 searches + one dense
+        # program compile (persistently cached).
         self._cal_mean_scan = float(
             self.n_scanned[start + half:start + size].mean())
+        self._dense_min_bsz = None
+        mr = self._mr()
+        if (self.dense_auto and mr is not None and self.dense_cut
+                and mr.rows.db.shape[0] >= 2048):
+            import time as _time
+            probe = min(size - half, self.BATCH_BUCKETS[-1])
+            bsz = self._bucket(probe)
+            auto, self.dense_auto = self.dense_auto, False
+            cut = self.dense_cut
+            try:
+                def _timed():
+                    self.search(start + half, probe)  # warm/compile
+                    t0 = _time.perf_counter()
+                    self.search(start + half, probe)
+                    return _time.perf_counter() - t0
+                t_gather = _timed()
+                self.dense_cut = 0.0
+                t_dense = _timed()
+                if t_dense < t_gather:
+                    self._dense_min_bsz = max(
+                        1, int(bsz * t_dense / t_gather))
+            finally:
+                self.dense_cut, self.dense_auto = cut, auto
         return self.multipler
 
     def _min_recall(self, D: np.ndarray, start: int, size: int) -> float:

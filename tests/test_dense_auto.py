@@ -45,12 +45,12 @@ def es_big():
 def test_auto_flip_keys_on_window_size(es_big):
     es = es_big
     es.dense_auto, es.dense_cut = True, 0.25
-    es._cal_mean_scan = 40.0  # fabricated workload statistic
+    es._dense_min_bsz = 512   # fabricated measured crossover
     # (plan stores the cut in row units: 0 = every query dense,
     #  > 0 = per-query threshold, < 0 = no dense program)
-    # 1024-query window: 1024*40 >= 16*512 -> dense
+    # 1024-query window >= the measured crossover -> dense
     assert es._mr_oneshot_plan(1024).dense_cut_rows == 0
-    # B=1 latency window: 1*40 < 16*512 -> per-query routing unchanged
+    # B=1 latency window: below the crossover -> per-query routing
     assert es._mr_oneshot_plan(1).dense_cut_rows > 0
     # no window size given (budget engines): never flips
     assert es._mr_oneshot_plan().dense_cut_rows > 0
@@ -58,30 +58,34 @@ def test_auto_flip_keys_on_window_size(es_big):
     es.dense_auto = False
     assert es._mr_oneshot_plan(1024).dense_cut_rows > 0
     es.dense_auto = True
-    # no calibration statistic yet: no flip
-    es._cal_mean_scan = None
+    # no measured crossover yet (or dense lost the probe): no flip
+    es._dense_min_bsz = None
     assert es._mr_oneshot_plan(1024).dense_cut_rows > 0
 
 
 def test_auto_routing_never_alters_results(es_big):
     es = es_big
-    es._cal_mean_scan = None
+    es._dense_min_bsz = None
     es.dense_auto = False
     D0, I0 = es.search(50, 50)
     ns0 = es.n_scanned[50:100].copy()
     es.dense_auto = True
-    es._cal_mean_scan = 1e9  # force the flip at every window size > ~0
+    es._dense_min_bsz = 1  # force the flip at every window size
     D1, I1 = es.search(50, 50)
     np.testing.assert_array_equal(I0, I1)
     np.testing.assert_allclose(D0, D1, rtol=1e-5)
     np.testing.assert_array_equal(ns0, es.n_scanned[50:100])
 
 
-def test_calibrate_records_holdout_mean_scan(es_big):
+def test_calibrate_records_stats_and_probes_crossover(es_big):
     es = es_big
     es._cal_mean_scan = None
+    es._dense_min_bsz = None
     es.calibrate(0, 50, target_bound=0.9)
     assert es._cal_mean_scan is not None and es._cal_mean_scan > 0
+    # the probe either measured a dense win (positive crossover) or left
+    # routing on gathers — both are valid outcomes of a real timing
+    assert es._dense_min_bsz is None or es._dense_min_bsz >= 1
 
 
 def test_small_corpus_floor_suppresses_flip():
@@ -98,6 +102,6 @@ def test_small_corpus_floor_suppresses_flip():
     es.sys_train(5, ds.xq)
     es.set_topk(5)
     es.set_queries(5, ds.xq, np.full(10, 0.9, np.float32))
-    es.dense_auto, es._cal_mean_scan = True, 1e9
+    es.dense_auto, es._dense_min_bsz = True, 1
     # the floor nulls the cut entirely on tiny corpora
     assert es._mr_oneshot_plan(1024).dense_cut_rows < 0
