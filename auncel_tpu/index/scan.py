@@ -29,7 +29,8 @@ import jax
 import jax.numpy as jnp
 
 from auncel_tpu.types import Metric, worst_value
-from auncel_tpu.ops.topk import topk_scores, init_topk
+from auncel_tpu.ops.topk import (topk_scores, init_topk,
+                                 merge_topk_verified)
 
 
 def sq_decode_dev(sub: jax.Array, d: int, sq_scale: jax.Array,
@@ -269,9 +270,11 @@ def scan_probe_range(
             scores, sub_ids = jax.lax.fori_loop(
                 0, gathers_per_merge, g_body, (buf_s, buf_i))
 
-        allv = jnp.concatenate([rvals, scores], axis=-1)
-        alli = jnp.concatenate([rids, sub_ids], axis=-1)
-        return topk_scores(allv, alli, k, metric)
+        # Verified ApproxTopK merge (ops/topk.py): width-flat candidate
+        # selection + exactness certificate; the exact [B, k + M*cap]
+        # sort was the measured wall-clock bottleneck of the XLA scan at
+        # large batch (tens of ms per merge; RESULTS_r3 frontier table).
+        return merge_topk_verified(rvals, rids, scores, sub_ids, k, metric)
 
     return jax.lax.fori_loop(0, n_merges, merge_body, (vals, ids))
 
@@ -443,9 +446,12 @@ def masked_full_scan(
 
         def do_merge(c):
             rv, ri = c
-            return topk_scores(jnp.concatenate([rv, scores], axis=-1),
-                               jnp.concatenate([ri, sub_ids], axis=-1),
-                               k, metric)
+            # Verified ApproxTopK merge: width-flat candidate selection
+            # under an exactness certificate (ops/topk.py) — the exact
+            # sort over [B, k + C*cap] was the dense window's dominant
+            # cost (RESULTS_r3 frontier: ~25 ms at W=65k, x ~150 windows
+            # at 10M ~ the measured 5 s dense pass).
+            return merge_topk_verified(rv, ri, scores, sub_ids, k, metric)
 
         return jax.lax.cond(improving, do_merge, lambda c: c,
                             (rvals, rids))

@@ -64,6 +64,96 @@ def merge_topk(
     return topk_scores(vals, ids, k, metric)
 
 
+def merge_topk_verified(
+    rvals: jax.Array,
+    rids: jax.Array,
+    scores: jax.Array,
+    ids: jax.Array,
+    k: int,
+    metric: Metric,
+    oversample: int = 2,
+) -> tuple[jax.Array, jax.Array]:
+    """EXACT top-k merge of a running result with a wide score window,
+    using the TPU ApproxTopK reduction as a candidate selector under an
+    exactness certificate.
+
+    The exact merge (`topk_scores` over [.., k+W]) is sort-bound and
+    scales with W (measured, RESULTS_r3 top-k frontier: 14.8 ms at
+    W=33k, B=1024, k=100 on one v5e), while `approx_min_k` is width-flat
+    (~3.3 ms) but may drop a true neighbor — which breaks the
+    partial==full value-consistency invariant the profile trainer and
+    bound checker rest on, so round 3 rejected it as a DIRECT merge.
+    This keeps exactness by PROVING, per window, that nothing
+    rank-relevant was dropped:
+
+      1. select the best k' = oversample*k of the union with
+         `approx_min_k` (recall 0.95, `aggregate_to_topk` sorts the
+         reduced set exactly);
+      2. certificate: count (exactly, one reduction) the union elements
+         at least as good as the selected k-th value, and compare with
+         the same count over the selected set. Equality proves every
+         element ranking at or above the selected k-th — a superset of
+         the true top-k, since the selected k-th can only be worse than
+         the true k-th — survived selection, AND that every unselected
+         element is strictly worse than the selected k-th;
+      3. re-sort the selected set by (value, original position): because
+         of (2) every tie contender for a top-k rank was selected, so
+         this reproduces `lax.top_k`'s stable first-occurrence tie-break
+         bit-for-bit — the engine-equality invariants (oneshot == wave,
+         dense == gather) compare ids EXACTLY and must not see
+         selection-order ties;
+      4. on any counting mismatch (a genuine recall miss) fall back to
+         the exact sort for the whole window via `lax.cond` — rare by
+         construction (the oversample margin covers the ~5% per-element
+         recall), and the fallback restores exact behavior.
+
+    The certificate makes the fast path safe: a mis-selection can cost
+    a fallback sort, never a wrong result or a different tie-break.
+    """
+    cat_v = jnp.concatenate([rvals, scores], axis=-1)
+    cat_i = jnp.concatenate([rids, ids], axis=-1)
+    n = cat_v.shape[-1]
+    k2 = min(oversample * k, n)
+    if n <= 4 * k2:
+        # narrow windows: the exact sort is already at its frontier
+        return topk_scores(cat_v, cat_i, k, metric)
+    # Counts exclude the metric's worst value (pad slots): a query whose
+    # running result is not yet full has kth == worst, and its exactness
+    # condition is "every REAL candidate survived selection" — counting
+    # pads would force a permanent fallback instead.
+    w = worst_value(metric)
+    if metric.lower_is_better:
+        sel_v, sel_pos = jax.lax.approx_min_k(cat_v, k2)
+        kth = sel_v[..., k - 1:k]
+        c_all = jnp.sum((cat_v <= kth) & (cat_v < w), axis=-1)
+        c_sel = jnp.sum((sel_v <= kth) & (sel_v < w), axis=-1)
+    else:
+        sel_v, sel_pos = jax.lax.approx_max_k(cat_v, k2)
+        kth = sel_v[..., k - 1:k]
+        c_all = jnp.sum((cat_v >= kth) & (cat_v > w), axis=-1)
+        c_sel = jnp.sum((sel_v >= kth) & (sel_v > w), axis=-1)
+    sel_i = jnp.take_along_axis(cat_i, sel_pos, axis=-1)
+    proven = jnp.all(c_all == c_sel)
+
+    def fast(_):
+        # Stable re-rank of the selected set by (value, position in the
+        # exact path's concat order): the certificate guarantees every
+        # tie contender was selected, so this matches lax.top_k's
+        # first-occurrence tie-break exactly.
+        key = sel_v if metric.lower_is_better else -sel_v
+        kq, _, iq, vq = jax.lax.sort(
+            (key, sel_pos.astype(jnp.int32), sel_i, sel_v), num_keys=2)
+        v, i = vq[..., :k], iq[..., :k]
+        # pad slots (worst value) selected at the tail: keep id -1
+        is_pad = jnp.isinf(v) if metric is Metric.L2 else jnp.isneginf(v)
+        return v, jnp.where(is_pad, -1, i)
+
+    def exact(_):
+        return topk_scores(cat_v, cat_i, k, metric)
+
+    return jax.lax.cond(proven, fast, exact, None)
+
+
 def sort_scores(
     vals: jax.Array,
     ids: jax.Array,
