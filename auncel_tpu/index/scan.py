@@ -30,7 +30,7 @@ import jax.numpy as jnp
 
 from auncel_tpu.types import Metric, worst_value
 from auncel_tpu.ops.topk import (topk_scores, init_topk,
-                                 merge_topk_verified)
+                                 merge_topk_verified, topk_vals_verified)
 
 
 def sq_decode_dev(sub: jax.Array, d: int, sq_scale: jax.Array,
@@ -539,12 +539,11 @@ def dense_stage_snapshots(
                 improving = jnp.any(jnp.max(sc, axis=1) > snap[:, j, k - 1])
 
             def do_merge(sn, sc=sc, j=j):
+                # values-only verified merge: the per-stage-per-block
+                # exact sorts were the dense DECIDE pass's dominant cost
+                # (n_stages x n_blocks of them; ops/topk.py)
                 cand = jnp.concatenate([sn[:, j], sc], axis=-1)
-                if metric.lower_is_better:
-                    best = -jax.lax.top_k(-cand, k)[0]
-                else:
-                    best = jax.lax.top_k(cand, k)[0]
-                return sn.at[:, j].set(best)
+                return sn.at[:, j].set(topk_vals_verified(cand, k, metric))
 
             snap = jax.lax.cond(improving, do_merge, lambda sn: sn, snap)
         return snap

@@ -154,6 +154,47 @@ def merge_topk_verified(
     return jax.lax.cond(proven, fast, exact, None)
 
 
+def topk_vals_verified(
+    cand: jax.Array,
+    k: int,
+    metric: Metric,
+    oversample: int = 2,
+) -> jax.Array:
+    """Values-only `merge_topk_verified`: exact sorted top-k VALUES of a
+    wide candidate window via the ApproxTopK selector + the same
+    counting certificate (no ids, so no tie-break re-rank is needed —
+    tied values are equal values). Used by the dense decide pass, whose
+    per-stage snapshots are value-only (profile/bounded_mr.py)."""
+    n = cand.shape[-1]
+    k2 = min(oversample * k, n)
+    if n <= 4 * k2:
+        if metric.lower_is_better:
+            return -jax.lax.top_k(-cand, k)[0]
+        return jax.lax.top_k(cand, k)[0]
+    w = worst_value(metric)
+    if metric.lower_is_better:
+        sel_v, _ = jax.lax.approx_min_k(cand, k2)
+        kth = sel_v[..., k - 1:k]
+        c_all = jnp.sum((cand <= kth) & (cand < w), axis=-1)
+        c_sel = jnp.sum((sel_v <= kth) & (sel_v < w), axis=-1)
+    else:
+        sel_v, _ = jax.lax.approx_max_k(cand, k2)
+        kth = sel_v[..., k - 1:k]
+        c_all = jnp.sum((cand >= kth) & (cand > w), axis=-1)
+        c_sel = jnp.sum((sel_v >= kth) & (sel_v > w), axis=-1)
+    proven = jnp.all(c_all == c_sel)
+
+    def fast(_):
+        return sel_v[..., :k]
+
+    def exact(_):
+        if metric.lower_is_better:
+            return -jax.lax.top_k(-cand, k)[0]
+        return jax.lax.top_k(cand, k)[0]
+
+    return jax.lax.cond(proven, fast, exact, None)
+
+
 def sort_scores(
     vals: jax.Array,
     ids: jax.Array,
