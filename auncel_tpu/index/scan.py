@@ -29,8 +29,7 @@ import jax
 import jax.numpy as jnp
 
 from auncel_tpu.types import Metric, worst_value
-from auncel_tpu.ops.topk import (topk_scores, init_topk,
-                                 merge_topk_verified, topk_vals_verified)
+from auncel_tpu.ops.topk import topk_scores, init_topk
 
 
 def sq_decode_dev(sub: jax.Array, d: int, sq_scale: jax.Array,
@@ -270,11 +269,12 @@ def scan_probe_range(
             scores, sub_ids = jax.lax.fori_loop(
                 0, gathers_per_merge, g_body, (buf_s, buf_i))
 
-        # Verified ApproxTopK merge (ops/topk.py): width-flat candidate
-        # selection + exactness certificate; the exact [B, k + M*cap]
-        # sort was the measured wall-clock bottleneck of the XLA scan at
-        # large batch (tens of ms per merge; RESULTS_r3 frontier table).
-        return merge_topk_verified(rvals, rids, scores, sub_ids, k, metric)
+        # Exact sort merge — the verified-ApproxTopK alternative was
+        # measured and rejected (0.83-0.95x at every width,
+        # Merge_bench.log round 4; see ops/topk.py::merge_topk_verified).
+        allv = jnp.concatenate([rvals, scores], axis=-1)
+        alli = jnp.concatenate([rids, sub_ids], axis=-1)
+        return topk_scores(allv, alli, k, metric)
 
     return jax.lax.fori_loop(0, n_merges, merge_body, (vals, ids))
 
@@ -445,13 +445,15 @@ def masked_full_scan(
             improving = jnp.any(jnp.max(scores, axis=1) > rvals[:, k - 1])
 
         def do_merge(c):
+            # Exact sort merge. The verified-ApproxTopK alternative
+            # (ops/topk.py::merge_topk_verified) was measured on-chip and
+            # REJECTED: 0.89-0.90x at W=65k-131k, B=1024 (Merge_bench.log,
+            # round 4) — the selector + certificate overhead exceeds the
+            # exact sort's margin at production widths.
             rv, ri = c
-            # Verified ApproxTopK merge: width-flat candidate selection
-            # under an exactness certificate (ops/topk.py) — the exact
-            # sort over [B, k + C*cap] was the dense window's dominant
-            # cost (RESULTS_r3 frontier: ~25 ms at W=65k, x ~150 windows
-            # at 10M ~ the measured 5 s dense pass).
-            return merge_topk_verified(rv, ri, scores, sub_ids, k, metric)
+            return topk_scores(jnp.concatenate([rv, scores], axis=-1),
+                               jnp.concatenate([ri, sub_ids], axis=-1),
+                               k, metric)
 
         return jax.lax.cond(improving, do_merge, lambda c: c,
                             (rvals, rids))
@@ -539,11 +541,12 @@ def dense_stage_snapshots(
                 improving = jnp.any(jnp.max(sc, axis=1) > snap[:, j, k - 1])
 
             def do_merge(sn, sc=sc, j=j):
-                # values-only verified merge: the per-stage-per-block
-                # exact sorts were the dense DECIDE pass's dominant cost
-                # (n_stages x n_blocks of them; ops/topk.py)
                 cand = jnp.concatenate([sn[:, j], sc], axis=-1)
-                return sn.at[:, j].set(topk_vals_verified(cand, k, metric))
+                if metric.lower_is_better:
+                    best = -jax.lax.top_k(-cand, k)[0]
+                else:
+                    best = jax.lax.top_k(cand, k)[0]
+                return sn.at[:, j].set(best)
 
             snap = jax.lax.cond(improving, do_merge, lambda sn: sn, snap)
         return snap

@@ -77,6 +77,18 @@ def merge_topk_verified(
     using the TPU ApproxTopK reduction as a candidate selector under an
     exactness certificate.
 
+    MEASURED AND REJECTED as the engine default (round 4,
+    Merge_bench.log, one v5e): 0.95x/0.83x/0.87x/0.89x/0.90x vs the
+    exact sort at W = 2k/8k/33k/65k/131k (B=1024, k=100) — the selector
+    + certificate + stable re-rank overhead exceeds the exact sort's
+    margin at every production width, and the w-corpus serving cell
+    confirmed end-to-end (103.4 vs 116.5 qps). Kept, with its tests, as
+    the proof that the certificate construction is sound (values exact,
+    tie-break bit-identical) should a future backend shift the
+    sort/ApproxTopK cost ratio; it also documents WHY the engines keep
+    exact sorts — this was the second attack on the merge frontier after
+    round 3's plain-approx rejection, with the same conclusion.
+
     The exact merge (`topk_scores` over [.., k+W]) is sort-bound and
     scales with W (measured, RESULTS_r3 top-k frontier: 14.8 ms at
     W=33k, B=1024, k=100 on one v5e), while `approx_min_k` is width-flat
