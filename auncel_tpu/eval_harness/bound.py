@@ -82,6 +82,9 @@ def run(db: str = "synth100K", ts: int = 1000, ses: int = 1000,
         m = es.calibrate(c0, csz, target_bound=1.0 - error_bound)
         log(f"auto-calibrated multipler={m:.2f} std_m={es.std_m:g} "
             f"(on {csz} queries at [{c0}:{c0 + csz}])")
+        log(f"dense auto-routing probe: cal_mean_scan="
+            f"{es._cal_mean_scan:.1f} dense_min_bsz={es._dense_min_bsz} "
+            f"(windows >= that size serve dense; None = gather always)")
 
     # Throughput (batched) measurement.
     D, I = es.search(ts, ses)  # warm + compile
