@@ -176,10 +176,19 @@ class IVFFlatIndex(Index):
         # — the reference breaks the scan loop after the list that crosses
         # the budget; its ParameterSpace sweeps this for IMI quantizers)
         self.max_codes = 0
-        # dense-scan crossover threshold for fixed-nprobe search (see
-        # search(); None disables, 0.0 forces). Units: the fraction of
-        # corpus rows one query's nprobe covers.
+        # dense-scan crossover for fixed-nprobe search (see search();
+        # None disables, 0.0 forces). The live criterion is
+        # BATCH-AMORTIZED (round 4): dense iff
+        #   B x est_rows >= dense_batch_mult x dense_cut x corpus rows
+        # (one shared pass costs ~flat per window; gathers scale with
+        # the batch's total budget). Defaults give an effective ratio
+        # of 16 corpus-reads-of-gathers per dense pass — between the
+        # measured dense win at B=1000 x nprobe=256 (ratio 250: 837 qps
+        # dense vs ~290 gather-class at 10M) and break-even — and a
+        # B=1 latency query NEVER pays a full corpus pass (the old
+        # per-query rule was batch-blind and did exactly that).
         self.dense_cut: float | None = 0.25
+        self.dense_batch_mult: float = 64.0
         self.centroids: np.ndarray | None = None
         self.interdis: np.ndarray | None = None
         self._sq_range_override = None  # (vmin, scale) from exact reload
@@ -544,9 +553,20 @@ class IVFFlatIndex(Index):
             # the shared pass buys nothing (and its kernel reassociates
             # fp differently — keep small indexes bit-stable).
             # dense_cut == 0.0 forces dense (bypasses the floor).
+            # The criterion is BATCH-AMORTIZED (round 4): one shared
+            # corpus pass costs ~flat per window while gathers scale
+            # with B x nprobe, so dense wins iff the batch's TOTAL
+            # budget dwarfs the corpus — measured at 10M: B=1000 x
+            # nprobe=256 serves dense at 837 qps vs ~290 gather-class,
+            # while a B=1 query at the same nprobe must NOT pay a
+            # full corpus pass (latency path). The old per-query
+            # est_rows >= cut rule was batch-blind and routed single
+            # queries dense.
             if (self.dense_cut is not None and not self.max_codes
                     and (n_rows >= 2048 or not self.dense_cut)
-                    and est_rows >= self.dense_cut * n_rows):
+                    and (not self.dense_cut
+                         or q.shape[0] * est_rows >= self.dense_batch_mult
+                            * self.dense_cut * n_rows)):
                 res = multirow_dense_fixed(mr, q, jnp.int32(nprobe), k,
                                            self.metric)
                 ndis = q.shape[0] * n_rows * mr.rows.db.shape[1]

@@ -38,7 +38,7 @@ def log(m):
 
 
 def main(db="synth1M", ts=1000, ses=1000, k=10, eps=0.10, storage="f32",
-         n_lat=200):
+         n_lat=200, profile_size=0):
     ts, ses, k, eps, n_lat = int(ts), int(ses), int(k), float(eps), \
         int(n_lat)
     data = common.load_dataset(db, nq=ts + ses)
@@ -48,8 +48,10 @@ def main(db="synth1M", ts=1000, ses=1000, k=10, eps=0.10, storage="f32",
     log("index + gt ready")
 
     # Disjoint protocol (shipped default since round 4): profile on the
-    # first half of the train slice, calibrate on the second half.
-    psz = max(ts // 2, 1)
+    # first profile_size (default: half) of the train slice, calibrate
+    # on the rest — at 10M the measured floor is 2000 calibration
+    # samples, so pass ts=3000 profile_size=1000 there.
+    psz = int(profile_size) or max(ts // 2, 1)
     es = ErrorSys(idx, train_num=ts + ses, max_topk=100)
     es.set_gt(gt_D, gt_I)
     es.sys_train(psz, data.xq)
