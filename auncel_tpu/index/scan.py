@@ -29,7 +29,8 @@ import jax
 import jax.numpy as jnp
 
 from auncel_tpu.types import Metric, worst_value
-from auncel_tpu.ops.topk import topk_scores, init_topk
+from auncel_tpu.ops.topk import (topk_scores, init_topk,
+                                 merge_topk_verified)
 
 
 def sq_decode_dev(sub: jax.Array, d: int, sq_scale: jax.Array,
@@ -269,12 +270,16 @@ def scan_probe_range(
             scores, sub_ids = jax.lax.fori_loop(
                 0, gathers_per_merge, g_body, (buf_s, buf_i))
 
-        # Exact sort merge — the verified-ApproxTopK alternative was
-        # measured and rejected (0.83-0.95x at every width,
-        # Merge_bench.log round 4; see ops/topk.py::merge_topk_verified).
-        allv = jnp.concatenate([rvals, scores], axis=-1)
-        alli = jnp.concatenate([rids, sub_ids], axis=-1)
-        return topk_scores(allv, alli, k, metric)
+        # Verified ApproxTopK merge — REGIME-MEASURED (round 4): the
+        # ladder merges run at compacted sub-batches (a2_cap=64,
+        # tail_cap=256), where the selector+certificate beats the exact
+        # sort END-TO-END: headline A/B 332.6 qps (verified) vs 294.5
+        # (exact) at identical calibration (logs_r4/bound10Mc vs
+        # bound10Md). The standalone B=1024 microbench (Merge_bench.log,
+        # 0.83-0.95x) measures a different regime — the WIDE dense-pass
+        # merges, which stay exact (masked_full_scan below; w-corpus
+        # cell measured verified there at 103.4 vs 116.5 qps).
+        return merge_topk_verified(rvals, rids, scores, sub_ids, k, metric)
 
     return jax.lax.fori_loop(0, n_merges, merge_body, (vals, ids))
 
