@@ -56,9 +56,12 @@ def run(db: str = "synth100K", ts: int = 1000, ses: int = 1000,
     elif calibrate:
         # calibrate against the STRICTEST mixed bound (0.9) on the
         # disjoint half of the train slice: per-query decisions at looser
-        # bounds only terminate earlier
-        m = es.calibrate(psz, min(ts - psz, 2000),
-                         target_bound=MIXED_BOUNDS[0])
+        # bounds only terminate earlier. --profile-size >= ts leaves no
+        # disjoint queries — fall back to profile-seen calibration like
+        # compare.py rather than calibrating on zero queries.
+        c0, csz = (psz, min(ts - psz, 2000)) if psz < ts \
+            else (0, min(ts, 2000))
+        m = es.calibrate(c0, csz, target_bound=MIXED_BOUNDS[0])
         log(f"auto-calibrated multipler={m:.2f} std_m={es.std_m:g}")
     else:
         es.set_hyper(8.0, 1.0)

@@ -77,17 +77,17 @@ def merge_topk_verified(
     using the TPU ApproxTopK reduction as a candidate selector under an
     exactness certificate.
 
-    MEASURED AND REJECTED as the engine default (round 4,
-    Merge_bench.log, one v5e): 0.95x/0.83x/0.87x/0.89x/0.90x vs the
-    exact sort at W = 2k/8k/33k/65k/131k (B=1024, k=100) — the selector
-    + certificate + stable re-rank overhead exceeds the exact sort's
-    margin at every production width, and the w-corpus serving cell
-    confirmed end-to-end (103.4 vs 116.5 qps). Kept, with its tests, as
-    the proof that the certificate construction is sound (values exact,
-    tie-break bit-identical) should a future backend shift the
-    sort/ApproxTopK cost ratio; it also documents WHY the engines keep
-    exact sorts — this was the second attack on the merge frontier after
-    round 3's plain-approx rejection, with the same conclusion.
+    REGIME-MEASURED (round 4, one v5e): this is the DEFAULT for the
+    compacted ladder/tail gather merges (scan_probe_range routes all of
+    them here) — headline A/B at 10M read 332.6 qps (verified) vs 294.5
+    (exact) at identical calibration (logs_r4/bound10Mc vs bound10Md).
+    It remains REJECTED for the wide dense-pass merges
+    (masked_full_scan keeps exact sorts): the standalone microbench at
+    B=1024 (Merge_bench.log, 0.83-0.95x at W=2k..131k) and the w-corpus
+    serving cell (103.4 vs 116.5 qps) both measured the selector +
+    certificate overhead losing there. Round-5 re-measures the split
+    with interleaved repeats (the two round-4 arms were single runs
+    within axon variance).
 
     The exact merge (`topk_scores` over [.., k+W]) is sort-bound and
     scales with W (measured, RESULTS_r3 top-k frontier: 14.8 ms at
@@ -162,47 +162,6 @@ def merge_topk_verified(
 
     def exact(_):
         return topk_scores(cat_v, cat_i, k, metric)
-
-    return jax.lax.cond(proven, fast, exact, None)
-
-
-def topk_vals_verified(
-    cand: jax.Array,
-    k: int,
-    metric: Metric,
-    oversample: int = 2,
-) -> jax.Array:
-    """Values-only `merge_topk_verified`: exact sorted top-k VALUES of a
-    wide candidate window via the ApproxTopK selector + the same
-    counting certificate (no ids, so no tie-break re-rank is needed —
-    tied values are equal values). Used by the dense decide pass, whose
-    per-stage snapshots are value-only (profile/bounded_mr.py)."""
-    n = cand.shape[-1]
-    k2 = min(oversample * k, n)
-    if n <= 4 * k2:
-        if metric.lower_is_better:
-            return -jax.lax.top_k(-cand, k)[0]
-        return jax.lax.top_k(cand, k)[0]
-    w = worst_value(metric)
-    if metric.lower_is_better:
-        sel_v, _ = jax.lax.approx_min_k(cand, k2)
-        kth = sel_v[..., k - 1:k]
-        c_all = jnp.sum((cand <= kth) & (cand < w), axis=-1)
-        c_sel = jnp.sum((sel_v <= kth) & (sel_v < w), axis=-1)
-    else:
-        sel_v, _ = jax.lax.approx_max_k(cand, k2)
-        kth = sel_v[..., k - 1:k]
-        c_all = jnp.sum((cand >= kth) & (cand > w), axis=-1)
-        c_sel = jnp.sum((sel_v >= kth) & (sel_v > w), axis=-1)
-    proven = jnp.all(c_all == c_sel)
-
-    def fast(_):
-        return sel_v[..., :k]
-
-    def exact(_):
-        if metric.lower_is_better:
-            return -jax.lax.top_k(-cand, k)[0]
-        return jax.lax.top_k(cand, k)[0]
 
     return jax.lax.cond(proven, fast, exact, None)
 

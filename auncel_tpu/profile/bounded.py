@@ -314,13 +314,18 @@ def _bounded_impl(arrays, traces, q, require_acc, multipler, std_m, gt_kth,
 
     if with_true_recall:
         # Reference profile mode (IndexIVF.cpp:578-588,624-627): count heap
-        # entries within the GT k-th distance; can exceed 1 by construction.
+        # entries within the GT k-th distance. The raw count runs over the
+        # max_topk-wide heap and can exceed query_k (ties/slack); the
+        # reference's logged recall caps at 1 (profile.cpp:246-280), so
+        # clamp — satisfaction math is unaffected (cnt > k already meant
+        # true recall 1.0).
         if metric is Metric.L2:
-            cnt = jnp.sum(vals <= gt_kth[:, None] * TRUE_RECALL_SLACK, axis=1)
+            cnt = jnp.sum(vals <= gt_kth[:, None] * TRUE_RECALL_SLACK,
+                          axis=1)
         else:
             cnt = jnp.sum(
                 vals >= gt_kth[:, None] * (2.0 - TRUE_RECALL_SLACK), axis=1)
-        true_recall = cnt.astype(jnp.float32) / kf
+        true_recall = jnp.minimum(cnt, query_k).astype(jnp.float32) / kf
         true_recall = jnp.where(my_np >= nlist, 1.0, true_recall)
     else:
         true_recall = jnp.zeros((B,), jnp.float32)

@@ -381,7 +381,8 @@ def _mr_impl(arrays, mr, traces, q, require_acc, multipler, std_m, gt_kth,
         else:
             cnt = jnp.sum(vals >= gt_kth[:, None] * (2.0 - TRUE_RECALL_SLACK),
                           axis=1)
-        true_recall = cnt.astype(jnp.float32) / kf
+        # logged recall caps at 1 like the reference's (profile.cpp:246-280)
+        true_recall = jnp.minimum(cnt, query_k).astype(jnp.float32) / kf
         true_recall = jnp.where(my_np >= nlist, 1.0, true_recall)
     else:
         true_recall = jnp.zeros((B,), jnp.float32)
@@ -496,7 +497,16 @@ def _dense_decide(arrays, mr, traces, q, q_sq, require_acc, multipler,
     B = q.shape[0]
     nlist = arrays.nlist
     cap_stage = max(nlist // 8, 1)
-    stages = tuple(b for b in wave_boundaries(nlist) if b <= cap_stage)
+    # The decision ladder is the PLAN's decide boundaries (a1 + a2), not
+    # the raw power-of-two grid: plan_oneshot may have coalesced early
+    # stages away (min_decide_stage) or trimmed the ladder (b1_stages),
+    # and the dense replay must decide at exactly the stages the gather
+    # engine would — otherwise decisions/budgets diverge beyond the
+    # documented fp envelope (round-4 advisor finding).
+    stages = tuple(sorted({s for (s, _, dec, _) in
+                           plan.a1.waves + plan.a2.waves if dec}))
+    if not stages:
+        stages = tuple(b for b in wave_boundaries(nlist) if b <= cap_stage)
     rank_k = min(nlist, max(cap_stage, n_boundaries(nlist) + 1))
     cdis, cids = coarse_rank(arrays, q, metric, q_sq=q_sq, rank_k=rank_k)
     dtb = boundary_distances(cdis, cids, arrays.interdis, metric)
@@ -771,7 +781,8 @@ def bounded_oneshot_mr(
                 cnt = jnp.sum(
                     vals >= gt_kth[:, None] * (2.0 - TRUE_RECALL_SLACK),
                     axis=1)
-            true_recall = cnt.astype(jnp.float32) / float(query_k)
+            true_recall = (jnp.minimum(cnt, query_k).astype(jnp.float32)
+                           / float(query_k))
             true_recall = jnp.where(my_np >= nlist, 1.0, true_recall)
         else:
             true_recall = jnp.zeros((B,), jnp.float32)
@@ -831,7 +842,8 @@ def bounded_oneshot_mr(
         else:
             cnt = jnp.sum(vals >= gt_kth[:, None] * (2.0 - TRUE_RECALL_SLACK),
                           axis=1)
-        true_recall = cnt.astype(jnp.float32) / float(query_k)
+        true_recall = (jnp.minimum(cnt, query_k).astype(jnp.float32)
+                       / float(query_k))
         true_recall = jnp.where(my_np >= nlist, 1.0, true_recall)
     else:
         true_recall = jnp.zeros((B,), jnp.float32)

@@ -124,9 +124,11 @@ class ErrorSys:
         # crossover: it times one gather window vs one dense window at
         # the calibrated config and derives the minimum window size where
         # dense wins (dense cost is ~window-size-flat, gather ~linear).
-        # Routing never alters results (dense == gather bitwise for the
-        # same budgets, asserted in tests); B=1 latency windows never
-        # flip.
+        # Routing contract: ids equal for the same budgets; VALUES agree
+        # within the dense kernel's fp-reassociation envelope (~1e-7 rel,
+        # tests assert 1e-5 — test_dense_xover), so a flipped window can
+        # move a query's returned distances within that envelope. B=1
+        # latency windows never flip.
         self.dense_auto: bool = True
         self._cal_mean_scan: float | None = None
         self._dense_min_bsz: int | None = None
@@ -432,8 +434,10 @@ class ErrorSys:
             else:
                 cnt = (vals >= gt_kth[:, None] *
                        (2.0 - TRUE_RECALL_SLACK)).sum(1)
+            # logged recall caps at 1 (reference profile.cpp:246-280)
             t_rec = np.where(my_np >= nlist, 1.0,
-                             cnt / float(self.query_topk))
+                             np.minimum(cnt, self.query_topk)
+                             / float(self.query_topk))
             self.t_recalls[start:start + size] = t_rec[:size]
 
         self.my_nprobe[start:start + size] = my_np[:size]
