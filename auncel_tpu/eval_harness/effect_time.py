@@ -14,9 +14,10 @@ reference logs measured wall-clock, effect_time.cpp:274-312):
     alongside, because on this stack a dispatch pays a ~30-40 ms host<->TPU
     tunnel round trip that is not device time; ``measured_device`` =
     measured - floor is the hardware-apples comparison.
-  * model: n_scanned * calibrated per-probe cost for every query (what the
-    budget->probe-count conversion believed). The model is validated
-    against the measured sample (correlation + relative error), instead of
+  * model: the calibrated batch-1 cost table evaluated at n_scanned for
+    every query (what the budget->probe-count conversion believed; round-5
+    table model, ErrorSys.calibrate_time). The model is validated against
+    the measured sample (correlation + relative error), instead of
     validating itself as it did before round 2.
 """
 
@@ -69,11 +70,14 @@ def run(db: str = "synth100K", ts: int = 1000, ses: int = 1000,
                           for i in range(ts + ses)], np.float32)
     es.set_queries(ses, data.xq, budgets)
     per_probe = es.calibrate_time()
-    log(f"calibrated per-probe cost: {per_probe * 1e3:.1f} us")
+    tbl = es._time_cost_table
+    log(f"calibrated cost table: cost(1)={tbl[0]:.2f} ms, "
+        f"cost(nlist)={tbl[-1]:.2f} ms; tail slope {per_probe * 1e3:.1f} "
+        f"us/probe")
 
     # full batched pass: budget -> probe budget -> results + model cost
     D, I = es.time_search(ts, ses)
-    model_ms = es.n_scanned[ts:ts + ses] * per_probe
+    model_ms = es.time_cost_ms(es.n_scanned[ts:ts + ses])
     within_model = float(np.mean(model_ms <= budgets[ts:ts + ses]))
     log(f"within-budget rate (cost model): {within_model:.4f}")
 
@@ -84,7 +88,7 @@ def run(db: str = "synth100K", ts: int = 1000, ses: int = 1000,
     # snapshot BEFORE the floor run below overwrites these slots with ~1
     # (time_search writes n_scanned on every call, error_sys.py)
     probes_sample = es.n_scanned[qids].astype(np.float64).copy()
-    model_sample = probes_sample * per_probe
+    model_sample = es.time_cost_ms(probes_sample)
     # dispatch floor: the same timed loop with the minimum possible work
     # (budget below one probe's cost -> n_budget clamps to 1 probe)
     saved = es.require_acc

@@ -23,6 +23,7 @@ implementation and the fallback.
 """
 
 import functools
+import os
 from typing import NamedTuple
 
 import jax
@@ -31,6 +32,14 @@ import jax.numpy as jnp
 from auncel_tpu.types import Metric, worst_value
 from auncel_tpu.ops.topk import (topk_scores, init_topk,
                                  merge_topk_verified)
+
+# Ladder-merge engine selector for A/B measurement (round-5 VERDICT #3:
+# the round-4 default was picked from single +-10% runs). "verified" is
+# the shipped default (certified ApproxTopK for the compacted gather
+# ladder merges); "exact" forces the plain sort merge everywhere. Read
+# once at import — the A/B harness (scripts/merge_ab.sh) sets it per
+# subprocess so each arm traces its own programs.
+LADDER_MERGE = os.environ.get("AUNCEL_LADDER_MERGE", "verified")
 
 
 def sq_decode_dev(sub: jax.Array, d: int, sq_scale: jax.Array,
@@ -279,6 +288,13 @@ def scan_probe_range(
         # 0.83-0.95x) measures a different regime — the WIDE dense-pass
         # merges, which stay exact (masked_full_scan below; w-corpus
         # cell measured verified there at 103.4 vs 116.5 qps).
+        # AUNCEL_LADDER_MERGE=exact flips every ladder merge to the plain
+        # sort for the round-5 variance-aware A/B (both are exact
+        # mathematically; the knob only changes wall-clock).
+        if LADDER_MERGE == "exact":
+            return topk_scores(jnp.concatenate([rvals, scores], axis=-1),
+                               jnp.concatenate([rids, sub_ids], axis=-1),
+                               k, metric)
         return merge_topk_verified(rvals, rids, scores, sub_ids, k, metric)
 
     return jax.lax.fori_loop(0, n_merges, merge_body, (vals, ids))

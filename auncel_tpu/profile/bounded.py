@@ -110,8 +110,31 @@ def _simulate_cur_num(p: jax.Array, first_ok: jax.Array,
     return jnp.where(done, result, low + 1)
 
 
+def _recall_estimate(traces, dtb, tval, ind, k, std_m):
+    """phi -> U -> cur_num -> predicted recall at width ``k`` (the
+    reference's per-boundary estimate, IVF_pro.cpp:258-291). Shared by the
+    padded and multirow engines (and the k+1 exact-top-k margin)."""
+    kf = float(k)
+    mrange = jnp.arange(1, k + 1, dtype=jnp.float32)[None, :]
+    phi = sum_angle(tval[:, :k], dtb, (1 << ind) - 1)
+    U = trace_lookup(traces, ind, phi, std_m)
+    p = (mrange * U) <= kf
+    first_ok = kf * U[:, k - 1] <= kf * FULL_OK_SLACK
+    pre_num = _simulate_cur_num(p, first_ok, k)
+    return pre_num.astype(jnp.float32) / kf
+
+
+def exact_topk_mask(require_acc, query_k: int):
+    """Queries whose bound demands the exact top-k: ceil(acc*k) == k <=>
+    acc*k > k-1 (the 1e-4 slack absorbs the f32 representation of
+    acc = 1 - eps; a false positive only makes the query MORE
+    conservative)."""
+    return require_acc * float(query_k) > float(query_k) - 1.0 + 1e-4
+
+
 @functools.partial(
-    jax.jit, static_argnames=("query_k", "max_topk", "metric"))
+    jax.jit, static_argnames=("query_k", "max_topk", "metric",
+                              "decide_margin"))
 def bounded_search_decide(
     arrays: IVFArrays,
     traces: TraceSet,
@@ -122,6 +145,7 @@ def bounded_search_decide(
     query_k: int,
     max_topk: int,
     metric: Metric,
+    decide_margin: bool = False,
 ):
     """Phase A of the two-phase throughput path: run only the decision
     waves (stages 1..nlist/8). Returns (vals, ids, my_nprobe, decided_at,
@@ -129,7 +153,8 @@ def bounded_search_decide(
     budget on right-sized query buckets, so one straggler no longer drags
     the whole batch through masked full-width waves."""
     return _bounded_waves(arrays, traces, q, require_acc, multipler, std_m,
-                          query_k, max_topk, metric, decide_only=True)
+                          query_k, max_topk, metric, decide_only=True,
+                          decide_margin=decide_margin)
 
 
 @functools.partial(
@@ -188,18 +213,20 @@ def finish_scan(
 
 def _bounded_waves(arrays, traces, q, require_acc, multipler, std_m,
                    query_k, max_topk, metric, decide_only=False,
-                   gt_kth=None, with_true_recall=False):
+                   gt_kth=None, with_true_recall=False,
+                   decide_margin=False):
     """Shared wave-loop body for bounded_search / bounded_search_decide."""
     return _bounded_impl(arrays, traces, q, require_acc, multipler, std_m,
                          gt_kth if gt_kth is not None
                          else jnp.zeros(q.shape[0], jnp.float32),
                          query_k, max_topk, metric, with_true_recall,
-                         decide_only)
+                         decide_only, decide_margin=decide_margin)
 
 
 @functools.partial(
     jax.jit,
-    static_argnames=("query_k", "max_topk", "metric", "with_true_recall"))
+    static_argnames=("query_k", "max_topk", "metric", "with_true_recall",
+                     "decide_margin"))
 def bounded_search(
     arrays: IVFArrays,
     traces: TraceSet,
@@ -212,17 +239,19 @@ def bounded_search(
     max_topk: int,           # profile depth (heap size, == GT depth)
     metric: Metric,
     with_true_recall: bool = False,
+    decide_margin: bool = False,
 ):
     """Returns (vals [B, max_topk], ids, my_nprobe [B], n_scanned [B],
     true_recall [B])."""
     return _bounded_impl(arrays, traces, q, require_acc, multipler, std_m,
                          gt_kth, query_k, max_topk, metric,
-                         with_true_recall, decide_only=False)
+                         with_true_recall, decide_only=False,
+                         decide_margin=decide_margin)
 
 
 def _bounded_impl(arrays, traces, q, require_acc, multipler, std_m, gt_kth,
                   query_k, max_topk, metric, with_true_recall, decide_only,
-                  ranked=None):
+                  ranked=None, decide_margin=False):
     from auncel_tpu.profile.geometry import n_boundaries
     B = q.shape[0]
     nlist = arrays.nlist
@@ -252,7 +281,9 @@ def _bounded_impl(arrays, traces, q, require_acc, multipler, std_m, gt_kth,
     pre_val = jnp.zeros((B,), jnp.float32)
     stops = jnp.floor(require_acc * STAGNATION_FACTOR).astype(jnp.int32)
     kf = float(query_k)
-    mrange = jnp.arange(1, query_k + 1, dtype=jnp.float32)[None, :]
+    exact_mask = None
+    if decide_margin and query_k + 1 <= max_topk:
+        exact_mask = exact_topk_mask(require_acc, query_k)
 
     state = (vals, ids, my_np, decided_at, stoped, pre_val)
     prev = 0
@@ -279,12 +310,15 @@ def _bounded_impl(arrays, traces, q, require_acc, multipler, std_m, gt_kth,
             tval = vals
             if metric is Metric.IP:
                 tval = jnp.arccos(jnp.clip(vals, -1.0, 1.0))
-            phi = sum_angle(tval[:, :query_k], dtb, (1 << ind) - 1)
-            U = trace_lookup(traces, ind, phi, std_m)
-            p = (mrange * U) <= kf
-            first_ok = kf * U[:, query_k - 1] <= kf * FULL_OK_SLACK
-            pre_num = _simulate_cur_num(p, first_ok, query_k)
-            recall = pre_num.astype(jnp.float32) / kf
+            recall = _recall_estimate(traces, dtb, tval, ind, query_k,
+                                      std_m)
+            if exact_mask is not None:
+                # k+1 exact-top-k margin (VERDICT r4 #4) — min() keeps the
+                # marked query strictly conservative vs the base predicate
+                r2 = _recall_estimate(traces, dtb, tval, ind, query_k + 1,
+                                      std_m)
+                recall = jnp.where(exact_mask, jnp.minimum(recall, r2),
+                                   recall)
 
             max_val = vals[:, max_topk - 1]  # worst of the running top-k
             if wave_i > 0:

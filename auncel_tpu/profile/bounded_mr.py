@@ -45,11 +45,11 @@ from auncel_tpu.index.multirow import MultiRowArrays, expand_probes
 from auncel_tpu.ops.distance import sqnorms
 from auncel_tpu.ops.topk import init_topk
 from auncel_tpu.profile.geometry import (
-    boundary_distances, sum_angle, n_boundaries)
-from auncel_tpu.profile.trace import TraceSet, trace_lookup
+    boundary_distances, n_boundaries)
+from auncel_tpu.profile.trace import TraceSet
 from auncel_tpu.profile.bounded import (
-    FULL_OK_SLACK, STAGNATION_FACTOR, TRUE_RECALL_SLACK,
-    wave_boundaries, stage_to_trace, _simulate_cur_num)
+    STAGNATION_FACTOR, TRUE_RECALL_SLACK, wave_boundaries, stage_to_trace,
+    _recall_estimate, exact_topk_mask)
 
 
 class MRPlan(NamedTuple):
@@ -148,6 +148,73 @@ def plan_mr_waves(rows_per_list: np.ndarray, nlist: int, decide_only: bool,
     return MRPlan(tuple(waves), S, out_slots)
 
 
+def plan_latency(rows_per_list: np.ndarray, nlist: int,
+                 decide_stages: tuple = (4, 16, 64),
+                 serve_base: int = 64) -> MRPlan:
+    """Batch-1-shaped single-phase plan (round-4 VERDICT #1).
+
+    At tiny batches the one-shot engine's strengths invert: device-side
+    compaction (A2/tail sort-scatter loops), per-stage snapshots, and the
+    full power-of-two decide ladder are all per-wave FIXED costs, while
+    one query's scan bytes are noise (the 10M head-to-head measured the
+    ladder at ~2.2x ELP's flat 256-list scan device-side,
+    logs_r4/latfig10M.err, with the mean DECISION at stage ~4). This plan
+    drives the plain single-phase wave engine (``bounded_search_mr``) with
+
+      * a THINNED decide ladder: only ``decide_stages`` (+ the forced
+        nlist/8 boundary, IndexIVF.cpp:619) carry the termination
+        predicate. Strictly bound-conservative: a query that would have
+        decided at a dropped stage s decides at the next kept stage
+        s' > s with a complete snapshot — it terminates later with a
+        larger budget, never earlier (same argument as
+        ``min_decide_stage``; stagnation also only advances at kept
+        complete boundaries, delaying the forced recall=1 override).
+      * exact-cover decide waves (one gather+merge per kept stage, widths
+        sized to the worst row increment so every stage completes), each
+        ``lax.cond``-skipped once the batch's frontiers pass it.
+      * a GEOMETRIC serve tail on the SAME probe expansion: widths
+        serve_base, 2*serve_base, ... cover any decided budget up to a
+        full scan; a decided query executes only the waves its own budget
+        needs, so the common case (decide at stage ~4, budget ~30 lists)
+        runs ~3 small waves instead of ELP's full fixed-nprobe ladder.
+
+    Decide stages must be trained boundaries (powers of two below
+    nlist/8): the termination predicate reads the per-boundary trace
+    (stage_to_trace), so arbitrary stages have no profile to consult.
+    """
+    rpl = np.asarray(rows_per_list, np.int64)
+    desc = np.sort(rpl)[::-1]
+    sum_top = np.concatenate([[0], np.cumsum(desc)])
+    cap_stage = max(nlist // 8, 1)
+    allowed = {b for b in wave_boundaries(nlist) if b <= cap_stage}
+    # stages at/above the forced cap are subsumed by it (dropped); stages
+    # below it must be trained boundaries or the trace lookup would read
+    # a profile that was never trained for them
+    bad = [s for s in decide_stages
+           if int(s) < cap_stage and int(s) not in allowed]
+    if bad:
+        raise ValueError(
+            f"decide_stages {bad} are not trained boundaries "
+            f"(powers of two below nlist/8 = {cap_stage})")
+    stages = sorted({int(s) for s in decide_stages
+                     if int(s) in allowed and int(s) < cap_stage})
+    stages.append(cap_stage)  # the forced decision must always run
+    waves = []
+    prev = 0
+    for s in stages:
+        delta = s - prev
+        W = max(8, int(sum_top[min(delta, len(desc))]))
+        waves.append((s, W, True, True))
+        prev = s
+    total = max(int(rpl.sum()), 1)
+    cum, w = 0, max(int(serve_base), 8)
+    while cum < total:
+        waves.append((nlist, w, False, False))
+        cum += w
+        w = min(w * 2, max(total - cum, 1))
+    return MRPlan(tuple(waves), nlist, total)
+
+
 def plan_finish_waves(rows_per_list: np.ndarray, nlist: int, w: int,
                       n_waves: int = 8, base_stage: int | None = None
                       ) -> tuple:
@@ -172,28 +239,35 @@ def _goal_rows(offsets: jax.Array, g: jax.Array) -> jax.Array:
 
 
 def _decide_at_stage(traces, dtb, vals, stage, nlist, query_k, max_topk,
-                     std_m, metric):
+                     std_m, metric, exact_mask=None):
     """The per-boundary termination predicate (IndexIVF.cpp:551-568):
     phi -> U -> cur_num -> predicted recall. Pure function of the sorted
-    top-k snapshot after exactly `stage` lists."""
-    kf = float(query_k)
-    mrange = jnp.arange(1, query_k + 1, dtype=jnp.float32)[None, :]
+    top-k snapshot after exactly `stage` lists.
+
+    ``exact_mask`` [B] enables the EXACT-TOP-K MARGIN (round-4 VERDICT #4)
+    for the marked queries: when ceil((1-eps)*k) == k the bound demands the
+    exact top-k and one dropped neighbor on the worst held-out query kills
+    the cell, so those queries additionally evaluate the predicate at an
+    internal width of query_k + 1 and take the MINIMUM of both estimates —
+    the decision then carries a one-neighbor structural margin (the served
+    top-k comes from a snapshot whose (k+1)-th candidate is also predicted
+    true). min() makes the margin strictly conservative: a marked query
+    never terminates earlier than the unmargined engine."""
     ind = stage_to_trace(stage, nlist)
     tval = vals
     if metric is Metric.IP:
         tval = jnp.arccos(jnp.clip(vals, -1.0, 1.0))
-    phi = sum_angle(tval[:, :query_k], dtb, (1 << ind) - 1)
-    U = trace_lookup(traces, ind, phi, std_m)
-    p = (mrange * U) <= kf
-    first_ok = kf * U[:, query_k - 1] <= kf * FULL_OK_SLACK
-    pre_num = _simulate_cur_num(p, first_ok, query_k)
-    return pre_num.astype(jnp.float32) / kf
+    recall = _recall_estimate(traces, dtb, tval, ind, query_k, std_m)
+    if exact_mask is not None and query_k + 1 <= max_topk:
+        r2 = _recall_estimate(traces, dtb, tval, ind, query_k + 1, std_m)
+        recall = jnp.where(exact_mask, jnp.minimum(recall, r2), recall)
+    return recall
 
 
 @functools.partial(
     jax.jit,
     static_argnames=("query_k", "max_topk", "metric", "plan",
-                     "with_true_recall"))
+                     "with_true_recall", "decide_margin"))
 def bounded_search_mr(
     arrays,                  # IVFArrays (list-level: centroids/interdis)
     mr: MultiRowArrays,
@@ -208,16 +282,19 @@ def bounded_search_mr(
     metric: Metric,
     plan: MRPlan,
     with_true_recall: bool = False,
+    decide_margin: bool = False,
 ):
     """Single-phase bounded search over rows. Returns (vals, ids,
     my_nprobe [list units], n_scanned [list units], true_recall)."""
     return _mr_impl(arrays, mr, traces, q, require_acc, multipler, std_m,
                     gt_kth, query_k, max_topk, metric, plan,
-                    with_true_recall, decide_only=False)
+                    with_true_recall, decide_only=False,
+                    decide_margin=decide_margin)
 
 
 @functools.partial(
-    jax.jit, static_argnames=("query_k", "max_topk", "metric", "plan"))
+    jax.jit, static_argnames=("query_k", "max_topk", "metric", "plan",
+                              "decide_margin"))
 def bounded_search_decide_mr(
     arrays,
     mr: MultiRowArrays,
@@ -230,6 +307,7 @@ def bounded_search_decide_mr(
     max_topk: int,
     metric: Metric,
     plan: MRPlan,
+    decide_margin: bool = False,
 ):
     """Decision waves over the plan's stage window. Returns the full
     resumable state (vals, ids, my_nprobe, decided_at, stoped, pre_val,
@@ -238,11 +316,13 @@ def bounded_search_decide_mr(
     z = jnp.zeros(q.shape[0], jnp.float32)
     return _mr_impl(arrays, mr, traces, q, require_acc, multipler, std_m,
                     z, query_k, max_topk, metric, plan,
-                    with_true_recall=False, decide_only=True)
+                    with_true_recall=False, decide_only=True,
+                    decide_margin=decide_margin)
 
 
 @functools.partial(
-    jax.jit, static_argnames=("query_k", "max_topk", "metric", "plan"))
+    jax.jit, static_argnames=("query_k", "max_topk", "metric", "plan",
+                              "decide_margin"))
 def bounded_resume_mr(
     arrays,
     mr: MultiRowArrays,
@@ -256,6 +336,7 @@ def bounded_resume_mr(
     max_topk: int,
     metric: Metric,
     plan: MRPlan,            # stage window (min_stage, max_stage]
+    decide_margin: bool = False,
 ):
     """Resume the decision waves for a re-batched subset: same engine, the
     carried state supplies the top-k, stagnation counters, and row
@@ -265,15 +346,22 @@ def bounded_resume_mr(
     z = jnp.zeros(q.shape[0], jnp.float32)
     return _mr_impl(arrays, mr, traces, q, require_acc, multipler, std_m,
                     z, query_k, max_topk, metric, plan,
-                    with_true_recall=False, decide_only=True, init=state)
+                    with_true_recall=False, decide_only=True, init=state,
+                    decide_margin=decide_margin)
 
 
 def _mr_impl(arrays, mr, traces, q, require_acc, multipler, std_m, gt_kth,
              query_k, max_topk, metric, plan, with_true_recall, decide_only,
-             init=None):
+             init=None, decide_margin=False):
     B = q.shape[0]
     nlist = arrays.nlist
     cap_stage = max(nlist // 8, 1)
+    # Exact-top-k margin (VERDICT r4 #4): ceil(acc*k) == k <=> acc*k > k-1
+    # (the 1e-4 slack absorbs f32 representation of acc = 1 - eps; a
+    # false positive only makes the marked query MORE conservative).
+    exact_mask = None
+    if decide_margin and query_k + 1 <= max_topk:
+        exact_mask = exact_topk_mask(require_acc, query_k)
     q_sq = sqnorms(q)
     rank_k = min(nlist, max(plan.S, n_boundaries(nlist) + 1))
     cdis, cids = coarse_rank(arrays, q, metric, q_sq=q_sq, rank_k=rank_k)
@@ -321,7 +409,8 @@ def _mr_impl(arrays, mr, traces, q, require_acc, multipler, std_m, gt_kth,
             # Exactly `stage` complete lists behind the top-k for these:
             complete = frontier >= offsets[:, min(stage, plan.S) - 1]
             recall = _decide_at_stage(traces, dtb, vals, stage, nlist,
-                                      query_k, max_topk, std_m, metric)
+                                      query_k, max_topk, std_m, metric,
+                                      exact_mask)
 
             # Stagnation (IndexIVF.cpp:570-601). Advances by the per-query
             # list gap since the last COMPLETE boundary: the worst top-k
@@ -476,7 +565,8 @@ def plan_oneshot(rows_per_list: np.ndarray, nlist: int, split: int = 8,
 
 
 def _dense_decide(arrays, mr, traces, q, q_sq, require_acc, multipler,
-                  std_m, query_k, max_topk, metric, plan):
+                  std_m, query_k, max_topk, metric, plan,
+                  decide_margin=False):
     """Decision phase as ONE shared corpus pass + a ladder replay.
 
     ``dense_stage_snapshots`` computes the exact sorted top-``max_topk``
@@ -522,6 +612,9 @@ def _dense_decide(arrays, mr, traces, q, q_sq, require_acc, multipler,
         plan.decide_block)
 
     stops = jnp.floor(require_acc * STAGNATION_FACTOR).astype(jnp.int32)
+    exact_mask = None
+    if decide_margin and query_k + 1 <= max_topk:
+        exact_mask = exact_topk_mask(require_acc, query_k)
     my_np = jnp.zeros((B,), jnp.int32)
     decided_at = jnp.zeros((B,), jnp.int32)
     stoped = jnp.zeros((B,), jnp.int32)
@@ -530,7 +623,8 @@ def _dense_decide(arrays, mr, traces, q, q_sq, require_acc, multipler,
     for si, stage in enumerate(stages):
         vals = snaps[:, si]
         recall = _decide_at_stage(traces, dtb, vals, stage, nlist,
-                                  query_k, max_topk, std_m, metric)
+                                  query_k, max_topk, std_m, metric,
+                                  exact_mask)
         max_val = vals[:, max_topk - 1]
         seen = last_stage > 0  # python bool: every boundary is complete
         if seen:
@@ -719,7 +813,7 @@ def nprobe_search_mr(
 @functools.partial(
     jax.jit,
     static_argnames=("query_k", "max_topk", "metric", "plan",
-                     "with_true_recall"))
+                     "with_true_recall", "decide_margin"))
 def bounded_oneshot_mr(
     arrays,
     mr: MultiRowArrays,
@@ -734,6 +828,7 @@ def bounded_oneshot_mr(
     metric: Metric,
     plan: MROneShotPlan,
     with_true_recall: bool = False,
+    decide_margin: bool = False,
 ):
     """The production bounded search: ONE dispatch, ONE fetch, with
     DEVICE-SIDE batch compaction replacing the host-orchestrated phases.
@@ -766,7 +861,7 @@ def bounded_oneshot_mr(
         q_sq = sqnorms(q)
         my_np, decided_at = _dense_decide(
             arrays, mr, traces, q, q_sq, require_acc, multipler, std_m,
-            query_k, max_topk, metric, plan)
+            query_k, max_topk, metric, plan, decide_margin)
         target = jnp.clip(jnp.maximum(my_np, decided_at), 1, nlist)
         vals, ids = init_topk((B,), max_topk, metric)
         vals, ids = _tail_dispatch(
@@ -790,7 +885,8 @@ def bounded_oneshot_mr(
 
     state, q_sq = _mr_impl(arrays, mr, traces, q, require_acc, multipler,
                            std_m, z, query_k, max_topk, metric, plan.a1,
-                           False, decide_only=True)
+                           False, decide_only=True,
+                           decide_margin=decide_margin)
 
     if plan.a2.waves:
         # Adaptive: when MOST of the batch is still undecided after A1
@@ -802,7 +898,7 @@ def bounded_oneshot_mr(
             out, _ = _mr_impl(
                 arrays, mr, traces, q, require_acc, multipler, std_m, z,
                 query_k, max_topk, metric, plan.a2, False,
-                decide_only=True, init=st)
+                decide_only=True, init=st, decide_margin=decide_margin)
             return out
 
         state = jax.lax.cond(jnp.sum(state[2] == 0) > B // 2, a2_full,
@@ -818,7 +914,7 @@ def bounded_oneshot_mr(
             sub_out, _ = _mr_impl(
                 arrays, mr, traces, q[idx], require_acc[idx], multipler,
                 std_m, zs, query_k, max_topk, metric, plan.a2, False,
-                decide_only=True, init=sub)
+                decide_only=True, init=sub, decide_margin=decide_margin)
             return tuple(x.at[idx].set(y) for x, y in zip(st, sub_out))
 
         state = jax.lax.while_loop(a2_cond, a2_body, state)

@@ -34,23 +34,13 @@ from auncel_tpu.profile.bounded import (
     bounded_search, bounded_search_decide, finish_scan, budgeted_search,
     nprobe_search)
 from auncel_tpu.profile.bounded_mr import (
-    bounded_oneshot_mr, budgeted_search_mr, nprobe_search_mr,
-    plan_oneshot)
+    bounded_oneshot_mr, bounded_search_mr, budgeted_search_mr,
+    nprobe_search_mr, plan_oneshot, plan_latency)
 
 
-@functools.partial(
-    jax.jit,
-    static_argnames=("bsz", "query_k", "max_topk", "metric", "plan",
-                     "with_true_recall"))
-def _oneshot_window(arrays, mr, traces, q_all, acc_all, gtk_all,
-                    multipler, std_m, start, size, bsz, query_k, max_topk,
-                    metric, plan, with_true_recall):
-    """Device-side window extraction + bounded search + result narrowing:
-    the query/bound arrays live on device across calls (uploaded once at
-    set_queries, padded by a bucket so slices never clamp), and only
-    [bsz, query_k] results come back — transfers through the ~30 MB/s
-    tunnel are otherwise the batch bottleneck. ``start``/``size`` are
-    traced: one compiled program per batch bucket."""
+def _slice_window(q_all, acc_all, gtk_all, start, size, bsz):
+    """Device-side window extraction (the arrays live on device across
+    calls, padded by a bucket so slices never clamp)."""
     d = q_all.shape[1]
     mask = jnp.arange(bsz, dtype=jnp.int32) < size
     q = jax.lax.dynamic_slice(q_all, (start, 0), (bsz, d)) * mask[:, None]
@@ -58,9 +48,48 @@ def _oneshot_window(arrays, mr, traces, q_all, acc_all, gtk_all,
         acc_all, start, bsz, 0), 1e-3)  # padding decides at the 2nd wave
     gtk = jnp.where(mask, jax.lax.dynamic_slice_in_dim(
         gtk_all, start, bsz, 0), 0.0)
+    return q, acc, gtk
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("bsz", "query_k", "max_topk", "metric", "plan",
+                     "with_true_recall", "decide_margin"))
+def _oneshot_window(arrays, mr, traces, q_all, acc_all, gtk_all,
+                    multipler, std_m, start, size, bsz, query_k, max_topk,
+                    metric, plan, with_true_recall, decide_margin=False):
+    """Device-side window extraction + bounded search + result narrowing:
+    the query/bound arrays live on device across calls (uploaded once at
+    set_queries, padded by a bucket so slices never clamp), and only
+    [bsz, query_k] results come back — transfers through the ~30 MB/s
+    tunnel are otherwise the batch bottleneck. ``start``/``size`` are
+    traced: one compiled program per batch bucket."""
+    q, acc, gtk = _slice_window(q_all, acc_all, gtk_all, start, size, bsz)
     vals, ids, my_np, n_scanned, t_rec = bounded_oneshot_mr(
         arrays, mr, traces, q, acc, multipler, std_m, gtk, query_k,
-        max_topk, metric, plan, with_true_recall)
+        max_topk, metric, plan, with_true_recall, decide_margin)
+    return (vals[:, :query_k], ids[:, :query_k], my_np, n_scanned, t_rec)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("bsz", "query_k", "max_topk", "metric", "plan",
+                     "with_true_recall", "decide_margin"))
+def _latency_window(arrays, mr, traces, q_all, acc_all, gtk_all,
+                    multipler, std_m, start, size, bsz, query_k, max_topk,
+                    metric, plan, with_true_recall, decide_margin=False):
+    """The tiny-batch window: same device-side slicing as
+    ``_oneshot_window`` but the search runs the SINGLE-PHASE wave engine
+    under a batch-1-shaped plan (``plan_latency``) — thinned decide
+    ladder + geometric serve tail, no compaction machinery. Decisions are
+    bound-conservative vs the one-shot engine (they land at the same or a
+    later kept stage), so a query served at batch 1 may scan MORE lists
+    than the same query in a big window — never fewer (round-4 VERDICT #1:
+    per-wave fixed costs, not scan bytes, dominate batch-1 latency)."""
+    q, acc, gtk = _slice_window(q_all, acc_all, gtk_all, start, size, bsz)
+    vals, ids, my_np, n_scanned, t_rec = bounded_search_mr(
+        arrays, mr, traces, q, acc, multipler, std_m, gtk, query_k,
+        max_topk, metric, plan, with_true_recall, decide_margin)
     return (vals[:, :query_k], ids[:, :query_k], my_np, n_scanned, t_rec)
 
 
@@ -85,6 +114,14 @@ class ErrorSys:
         self.profile = False           # record t_recalls (effect_error mode)
         self.query_topk = max_topk
         self.per_probe_ms: float | None = None
+        # Measured batch-1 device-cost CURVE for the budget engine
+        # (calibrate_time): _time_cost_table[i] = cost in ms of scanning
+        # i+1 lists, device-side (dispatch floor subtracted), monotone.
+        # When present, time_search inverts budgets through it instead of
+        # the linear per-probe model — at 10M cost is NOT linear in probes
+        # (cond-gated wave ladders; round-4 measured corr -0.10 for the
+        # linear model, logs_r4/effTime10Mb.err).
+        self._time_cost_table: np.ndarray | None = None
         # Coalesce decision stages below this (plan_mr_waves
         # min_decide_stage): 1 = the reference's full power-of-two ladder;
         # 4 folds stages 1-2 into one wide wave — fewer merge+decide
@@ -137,6 +174,24 @@ class ErrorSys:
         # rows-per-list profiles (10M: ~39 rows/list) may want wider
         # compaction sub-batches (scripts/tune10M.py sweeps these).
         self.plan_overrides: dict = {}
+        # Batch-1-shaped serving (round-4 VERDICT #1): windows whose batch
+        # bucket is <= lat_bucket_max ride the single-phase engine under a
+        # plan_latency schedule — thinned decide ladder (lat_decide_stages
+        # + the forced nlist/8) and a geometric serve tail, instead of the
+        # one-shot engine's compaction machinery whose per-wave fixed
+        # costs dominate at tiny batches. Decisions are bound-conservative
+        # vs the batched ladder (land at the same or a later stage). Set
+        # lat_bucket_max = 0 to disable.
+        self.lat_bucket_max: int = 1
+        self.lat_decide_stages: tuple = (4, 16, 64)
+        self.lat_serve_base: int = 64
+        # Exact-top-k decide margin (round-4 VERDICT #4): when a query's
+        # bound demands the exact top-k (ceil(acc*k) == k), decide with an
+        # internal k+1-wide predicate as well and take the minimum — one
+        # structural spare neighbor for the cells the held-out matrix
+        # misses by one. "auto" enables it only when some bound actually
+        # demands exact top-k (zero cost otherwise); True/False force.
+        self.decide_margin: bool | str = "auto"
         self.gt_D: np.ndarray | None = None
         self.gt_I: np.ndarray | None = None
         # online state (set_queries)
@@ -266,6 +321,29 @@ class ErrorSys:
                 dense_cut=cut, dense_decide=dd, **self.plan_overrides)
         return self._mr_plans[key]
 
+    def _mr_latency_plan(self):
+        assert self._mr() is not None, "multirow layout not enabled"
+        key = ("latency", tuple(self.lat_decide_stages),
+               int(self.lat_serve_base))
+        if key not in self._mr_plans:
+            self._mr_plans[key] = plan_latency(
+                self._mr_rpl, self.index.nlist,
+                decide_stages=tuple(self.lat_decide_stages),
+                serve_base=int(self.lat_serve_base))
+        return self._mr_plans[key]
+
+    def _decide_margin_flag(self) -> bool:
+        """Host-side static: enable the k+1 exact-top-k decide margin for
+        this search? (see self.decide_margin)."""
+        if self.query_topk + 1 > self.max_topk:
+            return False
+        if self.decide_margin == "auto":
+            if self.require_acc is None:
+                return False
+            k = self.query_topk
+            return bool(np.any(self.require_acc * k > k - 1 + 1e-4))
+        return bool(self.decide_margin)
+
     def _dev_all(self):
         """Device-resident (queries, bounds, gt-kth) padded by one batch
         bucket so window slices never clamp. Rebind with set_queries /
@@ -368,14 +446,20 @@ class ErrorSys:
 
         if mr is not None:
             # the one-shot engine compacts on device: single dispatch,
-            # single (narrow) fetch, device-resident query windows
+            # single (narrow) fetch, device-resident query windows; tiny
+            # buckets ride the batch-1-shaped single-phase plan instead
             q_all, acc_all, gtk_all = self._dev_all()
-            out = _oneshot_window(
+            margin = self._decide_margin_flag()
+            if bsz <= self.lat_bucket_max:
+                window_fn, plan = _latency_window, self._mr_latency_plan()
+            else:
+                window_fn, plan = _oneshot_window, self._mr_oneshot_plan(bsz)
+            out = window_fn(
                 self.index.arrays, mr, self.traces, q_all, acc_all,
                 gtk_all, jnp.float32(self.multipler),
                 jnp.float32(self.std_m), jnp.int32(start), jnp.int32(size),
                 bsz, self.query_topk, self.max_topk, self.index.metric,
-                self._mr_oneshot_plan(bsz), want_true)
+                plan, want_true, margin)
             vals, ids, my_np, n_scanned, t_rec = jax.device_get(out)
             if want_true:
                 self.t_recalls[start:start + size] = t_rec[:size]
@@ -385,7 +469,8 @@ class ErrorSys:
                 jnp.asarray(acc), jnp.float32(self.multipler),
                 jnp.float32(self.std_m), jnp.asarray(gt_kth),
                 self.query_topk, self.max_topk, self.index.metric,
-                with_true_recall=want_true)
+                with_true_recall=want_true,
+                decide_margin=self._decide_margin_flag())
             # ONE host round-trip (each fetch pays ~40 ms tunnel RTT)
             vals, ids, my_np, n_scanned, t_rec = jax.device_get(out)
             if want_true:
@@ -396,7 +481,8 @@ class ErrorSys:
                     self.index.arrays, self.traces, jnp.asarray(q),
                     jnp.asarray(acc), jnp.float32(self.multipler),
                     jnp.float32(self.std_m), self.query_topk,
-                    self.max_topk, self.index.metric)
+                    self.max_topk, self.index.metric,
+                    decide_margin=self._decide_margin_flag())
             # ONE fetch for phase-B planning AND the base results (a
             # second fetch later would cost another ~40ms tunnel RTT)
             my_np, decided, vals, ids = jax.device_get(
@@ -490,7 +576,8 @@ class ErrorSys:
             jnp.float32(self.std_m), jnp.int32(start),
             jnp.int32(size), self._bucket(size), self.query_topk,
             self.max_topk, self.index.metric,
-            self._mr_oneshot_plan(self._bucket(size)), want_true)
+            self._mr_oneshot_plan(self._bucket(size)), want_true,
+            self._decide_margin_flag())
         return (start, size, want_true, out)
 
     def finish_bounded(self, handle):
@@ -507,26 +594,41 @@ class ErrorSys:
 
     # -------------------------------------------------------- time budget
 
-    def calibrate_time(self, probe_lo: int = 32, probe_hi: int = 128,
-                       reps: int = 5) -> float:
-        """Measure the marginal per-probe cost (ms) of the ENGINE that
-        time_search spends budgets on — the reference budgets the very
-        loop it times (IndexIVF.cpp:545-549). Forcing the budget engine to
-        exact probe counts (per_probe_ms=1 makes n_budget == nprobe) and
-        differencing two counts cancels fixed dispatch overhead. Timing a
-        different engine (e.g. the padded fixed-nprobe path while budgets
-        are spent on the row layout) overestimates per-probe cost ~3x and
-        makes budgets systematically underspend."""
+    def calibrate_time(self, reps: int = 5, sample_q: int = 4,
+                       grid: list | None = None) -> float:
+        """Measure the batch-1 cost CURVE of the ENGINE time_search spends
+        budgets on — the reference budgets the very loop it times
+        (IndexIVF.cpp:545-549).
+
+        Round-5 rework (VERDICT r4 #2): the old single per-probe slope was
+        calibrated from two batched counts and at 10M was UNCORRELATED
+        with measured batch-1 latency (corr -0.10, within-budget 0.375,
+        logs_r4/effTime10Mb.err) — the budget engine's cost is a staircase
+        of cond-gated geometric waves, not linear in probes. This measures
+        the curve directly: time exact probe counts over a geometric grid
+        at batch 1 (the budget-enforcement shape), on several sample
+        queries (per-query row counts vary the executed waves), take the
+        per-count MAX over queries (conservative: overpricing underspends,
+        never overshoots), subtract the n=1 dispatch floor, interpolate to
+        a dense monotone table cost(n) for n = 1..nlist. time_search then
+        inverts each budget through the table with the reference's 0.95
+        safety margin. Returns the large-n marginal slope (back-compat
+        per_probe_ms; also the fallback when a caller sets it directly)."""
+        nlist = self.index.nlist
+        if grid is None:
+            grid = [1]
+            while grid[-1] < nlist:
+                grid.append(min(grid[-1] * 2, nlist))
         bsz = self._bucket(1)
-        q = np.zeros((bsz, self.index.d), np.float32)
-        if self.queries is not None:
-            q[:1] = self.queries[:1]
-        qd = jnp.asarray(q)
+        nq_avail = 0 if self.queries is None else self.queries.shape[0]
+        sample_q = max(1, min(sample_q, max(nq_avail, 1)))
         mr = self._mr()
 
-        def run(nprobe):
-            # exact probe counts (the float budget inversion is off by
-            # one for ~2% of counts; calibration must time what it says)
+        def run(nprobe, qrow):
+            q = np.zeros((bsz, self.index.d), np.float32)
+            if nq_avail:
+                q[:1] = qrow
+            qd = jnp.asarray(q)
             probes = jnp.full((bsz,), nprobe, jnp.int32)
             if mr is not None:
                 return nprobe_search_mr(
@@ -537,21 +639,56 @@ class ErrorSys:
                 self.index.arrays, qd, probes,
                 self.max_topk, self.index.metric)
 
-        def timed(nprobe):
-            jax.device_get(run(nprobe))  # warm + compile
-            t0 = time.perf_counter()
-            for _ in range(reps):
-                out = jax.device_get(run(nprobe))
-            del out
-            return (time.perf_counter() - t0) / reps * 1e3
-
-        t_lo, t_hi = timed(probe_lo), timed(probe_hi)
-        self.per_probe_ms = max((t_hi - t_lo) / (probe_hi - probe_lo), 1e-4)
+        # probe counts are traced -> ONE compiled program; warm it once
+        qrows = (self.queries[:sample_q] if nq_avail
+                 else np.zeros((1, self.index.d), np.float32))
+        jax.device_get(run(1, qrows[0]))
+        t = np.zeros((len(grid), len(qrows)), np.float64)
+        for gi, n in enumerate(grid):
+            for qi, qrow in enumerate(qrows):
+                samples = []
+                for _ in range(reps):
+                    t0 = time.perf_counter()
+                    jax.device_get(run(n, qrow))
+                    samples.append(time.perf_counter() - t0)
+                t[gi, qi] = float(np.median(samples)) * 1e3
+        floor = float(np.min(t[0]))
+        cost_grid = np.maximum(t - floor, 0.0).max(axis=1)
+        cost_grid = np.maximum.accumulate(cost_grid)  # monotone in n
+        dense = np.interp(np.arange(1, nlist + 1, dtype=np.float64),
+                          np.asarray(grid, np.float64), cost_grid)
+        self._time_cost_table = np.maximum.accumulate(dense)
+        # back-compat marginal slope from the top of the curve
+        span = max(grid[-1] - grid[-2], 1) if len(grid) > 1 else 1
+        self.per_probe_ms = max(
+            (cost_grid[-1] - cost_grid[-2]) / span if len(grid) > 1
+            else cost_grid[-1] / max(grid[-1], 1), 1e-4)
         return self.per_probe_ms
+
+    def time_cost_ms(self, n_probes) -> np.ndarray:
+        """The calibrated cost model's prediction (ms, device-side) for
+        scanning ``n_probes`` lists at batch 1 — what time_search believed
+        when it converted budgets (eval harness validation hook)."""
+        n = np.clip(np.asarray(n_probes, np.int64), 1, self.index.nlist)
+        if self._time_cost_table is not None:
+            return self._time_cost_table[n - 1]
+        return n * float(self.per_probe_ms or 0.0)
+
+    def _budget_to_probes(self, budget_ms: np.ndarray) -> np.ndarray:
+        """Largest probe count whose calibrated cost fits 0.95x each
+        budget (the reference's safety margin, IndexIVF.cpp:545-549)."""
+        m = 0.95 * np.asarray(budget_ms, np.float64)
+        n = np.searchsorted(self._time_cost_table, m, side="right")
+        return np.clip(n, 1, self.index.nlist).astype(np.int32)
 
     def time_search(self, start: int, search_size: int = -1):
         """Latency-budget mode: require_acc holds per-query budgets in ms
-        (reference time_search, profile.cpp:229-244)."""
+        (reference time_search, profile.cpp:229-244). Budgets convert to
+        probe counts up front — through the measured cost TABLE when
+        calibrate_time ran (each budget maps to the largest count whose
+        measured batch-1 cost fits 0.95x of it), else through the linear
+        per-probe model (back-compat: callers that set per_probe_ms
+        directly, e.g. tests avoiding on-CPU timing)."""
         size = self.num if search_size == -1 else search_size
         if self.per_probe_ms is None:
             self.calibrate_time()
@@ -570,7 +707,18 @@ class ErrorSys:
         budget = np.full(bsz, 1e-6, np.float32)  # pad: minimal probes
         budget[:size] = self.require_acc[start:start + size]
         mr = self._mr()
-        if mr is not None:
+        if self._time_cost_table is not None:
+            probes = jnp.asarray(self._budget_to_probes(budget))
+            if mr is not None:
+                out = nprobe_search_mr(
+                    self.index.arrays, mr, jnp.asarray(q), probes,
+                    self.max_topk, self.index.metric,
+                    self._mr_oneshot_plan())
+            else:
+                out = nprobe_search(
+                    self.index.arrays, jnp.asarray(q), probes,
+                    self.max_topk, self.index.metric)
+        elif mr is not None:
             out = budgeted_search_mr(
                 self.index.arrays, mr, jnp.asarray(q), jnp.asarray(budget),
                 jnp.float32(self.per_probe_ms), self.max_topk,

@@ -1,0 +1,30 @@
+#!/usr/bin/env bash
+# Round-5 VERDICT #3: variance-aware merge-engine A/B.
+#
+# >= 3 INTERLEAVED repeats per arm (verified vs exact ladder merges) of
+# BOTH the 10M headline command and the 1M bench. Interleaving spreads the
+# axon compile/tunnel lottery evenly across arms; the round-4 default was
+# picked from single runs of a +-10% measurement, which cannot separate a
+# real regime effect from that lottery. Each arm runs in its own
+# subprocess (AUNCEL_LADDER_MERGE is read at import).
+set -uo pipefail
+cd "$(dirname "$0")/.."
+mkdir -p logs_r5
+
+for rep in 1 2 3; do
+  for arm in verified exact; do
+    echo "=== [$(date +%H:%M:%S)] merge_ab rep=$rep arm=$arm 10M" \
+      | tee -a logs_r5/queue.log
+    AUNCEL_LADDER_MERGE=$arm timeout 7200 \
+      python -m auncel_tpu.eval_harness.bound synthDeep10M 3000 1000 10 \
+      0.10 --storage sq8 --profile-size 1000 --batch-latency 0 \
+      > "logs_r5/ab10M_${arm}_${rep}.out" \
+      2> "logs_r5/ab10M_${arm}_${rep}.err"
+    echo "=== [$(date +%H:%M:%S)] merge_ab rep=$rep arm=$arm bench1M" \
+      | tee -a logs_r5/queue.log
+    AUNCEL_LADDER_MERGE=$arm timeout 3600 python bench.py \
+      > "logs_r5/ab1M_${arm}_${rep}.out" \
+      2> "logs_r5/ab1M_${arm}_${rep}.err"
+  done
+done
+echo "=== [$(date +%H:%M:%S)] merge_ab DONE" | tee -a logs_r5/queue.log

@@ -22,8 +22,9 @@ run_job() {
 run_job hnsw1M 10800 python scripts/hnsw1M.py
 run_job warm10M 3600 python scripts/warm10M.py
 run_job effErr1M 5400 python -m auncel_tpu.eval_harness.effect_error synthHard1M 2000 1000 10 --calibrate
-run_job effTime1M 5400 python -m auncel_tpu.eval_harness.effect_time synthHard1M 2000 1000 10
 run_job compareH100K 3600 python -m auncel_tpu.eval_harness.compare synthHard100K 2000 1000 10 0.10
 run_job compare100K 3600 python -m auncel_tpu.eval_harness.compare synth100K 2000 1000 10 0.10
+# effTime1M moved to queue2: it must measure the REWORKED per-wave cost
+# model (VERDICT #2), not the rejected per-probe one.
 
 echo "=== [$(date +%H:%M:%S)] QUEUE1 DONE" | tee -a logs_r5/queue.log

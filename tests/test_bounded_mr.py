@@ -257,3 +257,130 @@ def test_degenerate_trace_never_terminates():
     phi = jnp.asarray([[0.0, 1e-9, 0.5, 100.0]])
     u = np.asarray(trace_lookup(ts, 0, phi, jnp.float32(1.0)))
     assert (u >= EMPTY_TRACE_U * 0.99).all(), u
+
+
+def test_plan_latency_is_conservative_and_exact(trained):
+    """The batch-1-shaped plan (thinned decide ladder + geometric serve
+    tail, round-5) terminates every query at the same or a later stage
+    than the full ladder, and its results are exactly the full-ladder
+    engine's results at its own (>=) budgets."""
+    from auncel_tpu.profile.bounded_mr import plan_latency
+    idx, es, xq, gt_D, n_train, n_test = trained
+    idx.enable_multirow(row_cap=128)
+    mr = idx.multirow
+    q = xq[n_train:n_train + n_test]
+    acc = np.full(n_test, 0.9, np.float32)
+    v1, i1, np1, ns1, _ = _run_mr(idx, es, q, acc)  # full ladder
+    rpl = np.asarray(mr.rows_per_list)
+    cap_stage = max(idx.nlist // 8, 1)
+    plan = plan_latency(rpl, idx.nlist, decide_stages=(2,), serve_base=8)
+    stages = sorted({s for (s, w, dec, main) in plan.waves if dec})
+    assert stages == [2, cap_stage]
+    v2, i2, np2, ns2, _ = _run_mr(idx, es, q, acc, plan=plan)
+    assert (np2 > 0).all()             # everyone decides
+    assert (np2 >= np1).all(), np2[np2 < np1]
+    assert (ns2 >= ns1).all()
+    # a superset prefix can only improve the exact top-k
+    assert (v2[:, :es.query_topk] <= v1[:, :es.query_topk] + 1e-6).all()
+    # exactness: queries whose decision matched the full ladder must
+    # return bitwise the full ladder's results
+    same = np2 == np1
+    np.testing.assert_array_equal(v2[same], v1[same])
+    np.testing.assert_array_equal(i2[same], i1[same])
+
+
+def test_plan_latency_rejects_untrained_stage(trained):
+    from auncel_tpu.profile.bounded_mr import plan_latency
+    idx, es, xq, gt_D, n_train, n_test = trained
+    idx.enable_multirow(row_cap=128)
+    rpl = np.asarray(idx.multirow.rows_per_list)
+    with pytest.raises(ValueError):
+        plan_latency(rpl, idx.nlist, decide_stages=(3,))
+    # stages at/above the forced cap are dropped, not rejected
+    plan = plan_latency(rpl, idx.nlist, decide_stages=(idx.nlist,))
+    stages = sorted({s for (s, w, dec, main) in plan.waves if dec})
+    assert stages == [max(idx.nlist // 8, 1)]
+
+
+def test_errsys_tiny_bucket_rides_latency_plan(trained):
+    """ErrorSys routes batch-1 searches through the latency plan: the
+    per-query budget is conservative (>= the batched decision) and the
+    served top-k is exact for that budget."""
+    idx, es, xq, gt_D, n_train, n_test = trained
+    idx.enable_multirow(row_cap=128)
+    D1, I1 = es.search(n_train, n_test)            # batched oneshot
+    np1 = es.my_nprobe[n_train:n_train + n_test].copy()
+    assert es.lat_bucket_max >= 1                  # default on
+    lat_np = np.zeros(n_test, np.int64)
+    D2 = np.zeros_like(D1)
+    for j in range(n_test):
+        Dq, Iq = es.search(n_train + j, 1)
+        D2[j] = Dq[0]
+        lat_np[j] = es.my_nprobe[n_train + j]
+    assert (lat_np >= np1).all()
+    # Exactness at the query's own budget: the batch-1 result must equal
+    # the exact fixed-count replay BITWISE (same batch shape, same gather
+    # kernels). Cross-BATCH-SHAPE value comparison is deliberately absent:
+    # q_sq + db_sq - 2*dot reassociates per shape, and its fp error scales
+    # with the norms, not the distance.
+    from auncel_tpu.profile.bounded_mr import nprobe_search_mr, plan_oneshot
+    mr = idx.multirow
+    oplan = plan_oneshot(np.asarray(mr.rows_per_list), idx.nlist)
+    for j in range(0, n_test, 9):
+        rv, ri, _ = nprobe_search_mr(
+            idx.arrays, mr, jnp.asarray(xq[n_train + j:n_train + j + 1]),
+            jnp.asarray([int(lat_np[j])]), es.max_topk, idx.metric, oplan)
+        np.testing.assert_array_equal(
+            np.asarray(rv)[0, :es.query_topk], D2[j])
+    # disabled -> the batched engine's decisions
+    try:
+        es.lat_bucket_max = 0
+        Dq, Iq = es.search(n_train, 1)
+        assert es.my_nprobe[n_train] == np1[0]
+    finally:
+        es.lat_bucket_max = 1
+
+
+def test_decide_margin_is_conservative(trained):
+    """The k+1 exact-top-k margin: marked queries terminate at the same
+    stage or later (min() with the base predicate), unmarked queries are
+    untouched, and ErrorSys's auto flag keys on ceil(acc*k) == k."""
+    idx, es, xq, gt_D, n_train, n_test = trained
+    idx.enable_multirow(row_cap=128)
+    mr = idx.multirow
+    q = xq[n_train:n_train + n_test]
+    plan = plan_mr_waves(np.asarray(mr.rows_per_list), idx.nlist,
+                         decide_only=False)
+
+    def run(acc, margin):
+        out = bounded_search_mr(
+            idx.arrays, mr, es.traces, jnp.asarray(q), jnp.asarray(acc),
+            jnp.float32(es.multipler), jnp.float32(es.std_m),
+            jnp.zeros(n_test, jnp.float32), es.query_topk, es.max_topk,
+            idx.metric, plan, decide_margin=margin)
+        return [np.asarray(x) for x in out]
+
+    acc95 = np.full(n_test, 0.95, np.float32)   # ceil(.95*10)=10: exact
+    v1, i1, np1, ns1, _ = run(acc95, False)
+    v2, i2, np2, ns2, _ = run(acc95, True)
+    assert (np2 >= np1).all(), np2[np2 < np1]
+    assert (v2[:, :es.query_topk] <= v1[:, :es.query_topk] + 1e-6).all()
+    acc90 = np.full(n_test, 0.9, np.float32)    # ceil(.9*10)=9: unmarked
+    v3, i3, np3, ns3, _ = run(acc90, True)
+    v4, i4, np4, ns4, _ = run(acc90, False)
+    np.testing.assert_array_equal(np3, np4)
+    np.testing.assert_array_equal(v3, v4)
+    # ErrorSys auto flag
+    old_acc = es.require_acc
+    try:
+        es.set_queries(n_test, xq, np.full(n_train + n_test, 0.9,
+                                           np.float32))
+        assert es._decide_margin_flag() is False
+        es.set_queries(n_test, xq, np.full(n_train + n_test, 0.95,
+                                           np.float32))
+        assert es._decide_margin_flag() is True
+        es.decide_margin = False
+        assert es._decide_margin_flag() is False
+    finally:
+        es.decide_margin = "auto"
+        es.set_queries(n_test, xq, old_acc)

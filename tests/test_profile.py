@@ -211,6 +211,7 @@ def test_profile_mode_records_true_recall(trained_sys):
 def test_time_budget_mode(trained_sys):
     ds, idx, es, gt_D, gt_I = trained_sys
     es.per_probe_ms = 0.05  # synthetic cost model: avoid timing on CPU
+    es._time_cost_table = None  # force the linear fallback path
     budgets = np.zeros(400, np.float32)
     budgets[200:400] = np.tile([0.5, 3.0], 100)  # alternate tight/loose ms
     es.set_queries(200, ds.xq, budgets, alloc_size=400)
@@ -218,6 +219,39 @@ def test_time_budget_mode(trained_sys):
     n = es.n_scanned[200:400]
     assert n[::2].mean() < n[1::2].mean()  # bigger budget -> more probes
     assert n.max() <= 64 and n.min() >= 1
+
+
+def test_time_budget_cost_table(trained_sys):
+    """Round-5 table model (VERDICT r4 #2): budgets invert through the
+    MEASURED monotone cost curve — each budget maps to the largest probe
+    count whose cost fits 0.95x of it, whatever the curve's shape."""
+    ds, idx, es, gt_D, gt_I = trained_sys
+    nlist = idx.nlist
+    # synthetic nonlinear staircase (the regime that broke the linear
+    # model at 10M): big jumps where a new wave starts
+    steps = np.where(np.arange(nlist) % 7 == 0, 0.5, 0.02)
+    tbl = np.cumsum(steps)
+    es._time_cost_table = np.maximum.accumulate(tbl)
+    es.per_probe_ms = 999.0  # must be ignored when the table exists
+    budgets = np.linspace(0.3, float(tbl[-1]) * 1.2, 400).astype(np.float32)
+    n = es._budget_to_probes(budgets)
+    assert n.min() >= 1 and n.max() <= nlist
+    m = 0.95 * budgets.astype(np.float64)
+    cost_n = es.time_cost_ms(n)
+    # fits the margined budget wherever any count does...
+    fits = m >= es._time_cost_table[0]
+    assert (cost_n[fits] <= m[fits]).all()
+    # ...and is maximal: one more probe would overshoot
+    room = n < nlist
+    nxt = np.clip(n + 1, 1, nlist)
+    assert (es.time_cost_ms(nxt)[fits & room] > m[fits & room]).all()
+    # end to end: time_search spends exactly these counts
+    es.set_queries(200, ds.xq, budgets, alloc_size=400)
+    D, I = es.time_search(200, 64)
+    np.testing.assert_array_equal(es.n_scanned[200:264],
+                                  es._budget_to_probes(budgets[200:264]))
+    es._time_cost_table = None
+    es.per_probe_ms = None
 
 
 def test_profile_save_load(tmp_path, trained_sys):
