@@ -15,9 +15,11 @@ for rep in 1 2 3; do
   for arm in verified exact; do
     echo "=== [$(date +%H:%M:%S)] merge_ab rep=$rep arm=$arm 10M" \
       | tee -a logs_r5/queue.log
+    # --stream: each rep also measures sustained-stream qps at 10M
+    # (VERDICT #7), so the stream number lands with a spread too
     AUNCEL_LADDER_MERGE=$arm timeout 7200 \
       python -m auncel_tpu.eval_harness.bound synthDeep10M 3000 1000 10 \
-      0.10 --storage sq8 --profile-size 1000 --batch-latency 0 \
+      0.10 --storage sq8 --profile-size 1000 --batch-latency 0 --stream \
       > "logs_r5/ab10M_${arm}_${rep}.out" \
       2> "logs_r5/ab10M_${arm}_${rep}.err"
     echo "=== [$(date +%H:%M:%S)] merge_ab rep=$rep arm=$arm bench1M" \
