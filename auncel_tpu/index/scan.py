@@ -138,9 +138,19 @@ def pick_probe_chunk(batch: int, cap: int, d: int, width: int,
                      budget_bytes: int = 256 * 1024 * 1024) -> int:
     """Probes scanned per loop step: as many as fit the gather-buffer
     budget (fewer loop iterations + one top-k merge per chunk instead of
-    per probe), capped at 8 and at the wave width."""
+    per probe), capped at the wave width and a BATCH-AWARE probe cap.
+
+    The cap was a flat 8 through round 4 — right for batch 1024 (one
+    probe is already ~134 MB there) but pathological at batch 1: a
+    256-list scan became ~256 sequential fori iterations of ~40 us fixed
+    cost each, which IS the measured ~10 ms batch-1 device time at 10M
+    (logs_r4/latfig10M.err). Small batches now chunk up to 512/B probes
+    per gather (same 256 MB buffer bound), collapsing the iteration count
+    ~64x at batch 1. Results are unchanged — chunking only regroups the
+    same masked candidates between the same exact merges."""
     per_probe = batch * cap * d * 4
-    c = max(1, min(8, width, budget_bytes // max(per_probe, 1)))
+    probe_cap = max(8, 512 // max(batch, 1))
+    c = max(1, min(probe_cap, width, budget_bytes // max(per_probe, 1)))
     # round down to a power of two to bound the number of compiled variants
     p = 1
     while p * 2 <= c:
