@@ -371,17 +371,37 @@ class HNSWIndex(Index):
         self._push_dev()
         self._insert_batch(np.asarray([self.entry_point], np.int64))
         done = 0
+        # AUNCEL_HNSW_PROGRESS=1: per-phase wall-clock to stderr (large
+        # builds run for hours through the axon tunnel; a killed run
+        # should still leave evidence of how far it got)
+        import os as _os
+        import sys as _sys
+        import time as _time
+        prog = bool(_os.environ.get("AUNCEL_HNSW_PROGRESS"))
+        t0 = _time.time()
+        last = t0
         while done < rest.size:
             # batch <= current graph size (doubling), within buckets
             bs = min(max(BUILD_BATCH_MIN, done + 1), BUILD_BATCH_MAX)
             self._insert_batch(rest[done:done + bs])
             done += bs
+            if prog and (_time.time() - last > 60 or done >= rest.size):
+                last = _time.time()
+                print(f"[hnsw build {last - t0:7.1f} s] inserted "
+                      f"{done}/{rest.size}", file=_sys.stderr, flush=True)
         self._built = True
         for l in range(self.max_level + 1):
             self._repair_connectivity(l)
+        if prog:
+            print(f"[hnsw build {_time.time() - t0:7.1f} s] insert + "
+                  f"repair done; refine x{self.refine_passes} starts",
+                  file=_sys.stderr, flush=True)
         self._push_dev()
         if self.refine_passes:
             self.refine(self.refine_passes)
+        if prog:
+            print(f"[hnsw build {_time.time() - t0:7.1f} s] build done",
+                  file=_sys.stderr, flush=True)
 
     def refine(self, passes: int = 1, ef: int | None = None,
                batch: int = 8192) -> None:

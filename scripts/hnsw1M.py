@@ -36,6 +36,7 @@ def recall(I, gt, k=10):
 
 def main(nb=1_000_000, efc=80, passes=2):
     nb, efc, passes = int(nb), int(efc), int(passes)
+    os.environ["AUNCEL_HNSW_PROGRESS"] = "1"  # phase logs survive a kill
     ds = make_clustered_dataset(nb=nb, nq=256, d=128,
                                 n_clusters=max(nb // 400, 64), seed=3)
     log(f"dataset ready: {nb} x 128")
