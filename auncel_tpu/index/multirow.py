@@ -149,20 +149,19 @@ def expand_probes(mr: MultiRowArrays, cids: jax.Array, n_slots: int,
     rpl = mr.rows_per_list[sel]                        # [B, S]
     offsets = jnp.cumsum(rpl, axis=1)                  # rows after slot s
     p = jnp.arange(out_slots, dtype=jnp.int32)[None, :]
-    # "which list does row-slot p belong to" = #(offsets <= p). Two
-    # lowerings — NEVER searchsorted's default method='scan', which
-    # serializes on TPU: a vectorized counting reduction ([B, S, P]
-    # compare + sum) when the compare tensor is small, else the sort-based
-    # searchsorted (O((S+P) log) per query, no giant intermediate).
-    if B * n_slots * out_slots <= (1 << 24):
-        # bound the [B, S, P] compare intermediate itself (~16M bool);
-        # gating on S*P alone let B=1024 inflate it to ~1 GiB
-        s = jnp.sum(offsets[:, :, None] <= p[:, None, :],
-                    axis=1, dtype=jnp.int32)           # [B, P] list slot
-    else:
-        s = jax.vmap(lambda off, pp: jnp.searchsorted(
-            off, pp, side="right", method="sort"))(
-            offsets, jnp.broadcast_to(p, (B, out_slots))).astype(jnp.int32)
+    # "which list does row-slot p belong to" = #(offsets <= p), computed
+    # as scatter + cumsum: bump a counter at each list's END offset, then
+    # prefix-sum over slots — O(S + P) with ONE scan, no [B, S, P]
+    # compare tensor and no per-query sort. (History: the compare
+    # reduction was ~1 GiB at B=1024; the sort-based searchsorted cost
+    # +6.6 ms at the batch-1 full-nlist expansion, and widening the
+    # compare gate to cover it measured even slower, 39 ms total —
+    # logs_r5/latB1b.err / latB1b2.err. Scatter+cumsum beats both at
+    # every shape the engines use.)
+    binx = jax.lax.broadcasted_iota(jnp.int32, offsets.shape, 0)
+    marks = jnp.zeros((B, out_slots + 1), jnp.int32).at[
+        binx, jnp.clip(offsets, 0, out_slots)].add(1, mode="drop")
+    s = jnp.cumsum(marks[:, :out_slots], axis=1)       # [B, P] list slot
     in_range = s < n_slots
     s_c = jnp.minimum(s, n_slots - 1)
     starts = offsets - rpl

@@ -103,10 +103,16 @@ def _simulate_cur_num(p: jax.Array, first_ok: jax.Array,
     # enough iterations to exhaust [0, query_k-1] for ANY query_k (10 was
     # a silent truncation past k=512: the unexecuted iterations made the
     # fallback under-report cur_num — conservative, but a divergence from
-    # the reference replay)
+    # the reference replay). UNROLLED python loop, not lax.fori_loop: the
+    # body is ~6 tiny elementwise ops, and fori_loop's iteration barrier
+    # blocked XLA from fusing them — measured ~2 ms per decision block at
+    # batch 1 through sequential kernel launches (logs_r5/latB1b.err);
+    # unrolled, the whole search fuses into a handful of kernels.
     n_iter = max(int(np.ceil(np.log2(max(query_k, 2)))) + 1, 10)
-    low, high, done, result = jax.lax.fori_loop(
-        0, n_iter, body, (low, high, done, result))
+    st = (low, high, done, result)
+    for i in range(n_iter):
+        st = body(i, st)
+    low, high, done, result = st
     return jnp.where(done, result, low + 1)
 
 

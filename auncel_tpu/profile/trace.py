@@ -104,7 +104,13 @@ def trace_lookup(traces: TraceSet, trace_idx: int, phi_q: jax.Array,
     std_bins = traces.std[trace_idx]
     nb = traces.n_bins[trace_idx]
 
-    idx = jnp.searchsorted(phi_bins, phi_q, side="right") - 1
+    # #(bins <= phi) - 1 as a vectorized compare+sum over the (small,
+    # padded-to-max_bins) bin table — NOT jnp.searchsorted, whose default
+    # method='scan' lowers to ~log2(bins) SEQUENTIAL tiny kernels on TPU
+    # and made each decision block ~ms-scale at batch 1 (this lookup runs
+    # once per decision boundary on the hot path).
+    idx = jnp.sum(phi_bins[None, None, :] <= phi_q[:, :, None],
+                  axis=-1, dtype=jnp.int32) - 1
     idx = jnp.clip(idx, 0, nb - 1)
     base = u_bins[idx] + std_m * std_bins[idx]
     last_phi = phi_bins[nb - 1]
