@@ -182,9 +182,14 @@ class ErrorSys:
         # costs dominate at tiny batches. Decisions are bound-conservative
         # vs the batched ladder (land at the same or a later stage). Set
         # lat_bucket_max = 0 to disable.
+        # Defaults are the measured-best 10M batch-1 arm (logs_r5/
+        # latB1_3.err: (16,)/256 mean 41.5 ms vs (4,16,64)/64 43.4 —
+        # two decide blocks beat four even though budgets triple; the
+        # p95/max tail is heavier, so latency-sensitive deployments that
+        # fear forced full scans may prefer (4, 16, 64)).
         self.lat_bucket_max: int = 1
-        self.lat_decide_stages: tuple = (4, 16, 64)
-        self.lat_serve_base: int = 64
+        self.lat_decide_stages: tuple = (16,)
+        self.lat_serve_base: int = 256
         # Exact-top-k decide margin (round-4 VERDICT #4): when a query's
         # bound demands the exact top-k (ceil(acc*k) == k), decide with an
         # internal k+1-wide predicate as well and take the minimum — one
