@@ -11,8 +11,19 @@ set -uo pipefail
 cd "$(dirname "$0")/.."
 mkdir -p logs_r5
 
+# Hard deadline (epoch seconds, override via MERGE_AB_DEADLINE): the
+# driver's end-of-round bench.py must find the TPU idle — a rep that
+# would start after the deadline is skipped (partial reps still carry
+# spreads; 2 interleaved reps beat 3 that poison the headline bench).
+DEADLINE="${MERGE_AB_DEADLINE:-$(cat .merge_ab_deadline 2>/dev/null || echo $(( $(date +%s) + 86400 )) )}"
+
 for rep in 1 2 3; do
   for arm in verified exact; do
+    if [ "$(date +%s)" -ge "$DEADLINE" ]; then
+      echo "=== [$(date +%H:%M:%S)] merge_ab DEADLINE hit; stopping at rep=$rep arm=$arm" \
+        | tee -a logs_r5/queue.log
+      exit 0
+    fi
     echo "=== [$(date +%H:%M:%S)] merge_ab rep=$rep arm=$arm 10M" \
       | tee -a logs_r5/queue.log
     # --stream: each rep also measures sustained-stream qps at 10M
